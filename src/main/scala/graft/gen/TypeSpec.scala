@@ -38,7 +38,10 @@ final case class SpecParseException(msg: String) extends RuntimeException(msg)
 object TypeSpecParser {
 
   def parse(rawInput: String): Vector[ColSpec] = {
-    val input = rawInput.toLowerCase
+    // Locale.ROOT: the reference lowercases bytes with std::tolower
+    // (generate_csv.cpp:366) — default-locale toLowerCase would diverge
+    // (e.g. Turkish dotless-i).
+    val input = rawInput.toLowerCase(java.util.Locale.ROOT)
     val out = Vector.newBuilder[ColSpec]
     var pos = 0
     while (pos < input.length) {
@@ -87,18 +90,32 @@ object TypeSpecParser {
     pos
   }
 
+  // ASCII-only classes, matching C isdigit/isalpha in the "C" locale
+  // (generate_csv.cpp:262,282) — Char.isDigit/isLetter would admit
+  // Unicode digits/letters the reference rejects.
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAsciiAlnum(c: Char): Boolean =
+    isAsciiDigit(c) || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
   private def int(input: String, pos0: Int): (Int, Int) = {
     if (pos0 >= input.length) throw SpecParseException("Unexpected EOL")
     var pos = pos0
-    while (pos < input.length && input.charAt(pos).isDigit) pos += 1
+    while (pos < input.length && isAsciiDigit(input.charAt(pos))) pos += 1
     if (pos == pos0) throw SpecParseException("No int value found in (...)")
-    (input.substring(pos0, pos).toInt, pos)
+    // Digit runs beyond Int range must still surface as SpecParseException —
+    // callers rely on that error contract (the reference separately catches
+    // stoi's std::out_of_range, generate_csv.cpp:372).
+    try (input.substring(pos0, pos).toInt, pos)
+    catch {
+      case _: NumberFormatException =>
+        throw SpecParseException("Int value out of range in (...)")
+    }
   }
 
   private def typeToken(input: String, pos0: Int): (String, Int) = {
     if (pos0 >= input.length) throw SpecParseException("Unexpected EOL")
     var pos = pos0
-    while (pos < input.length && { val c = input.charAt(pos); c.isLetter || c.isDigit }) pos += 1
+    while (pos < input.length && isAsciiAlnum(input.charAt(pos))) pos += 1
     if (pos == pos0) throw SpecParseException("No type found while parsing")
     (input.substring(pos0, pos), pos)
   }
