@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Testdata table loaders + cross-engine determinism conventions.
+  *
+  * Every query in the inventory must hash-match a DuckDB oracle on the
+  * same parquet (driver contract). The rules that make that possible:
+  *
+  *  1. Money/metric doubles are cast to DECIMAL(18,2) *before* any
+  *     aggregation: decimal sums are exact integer arithmetic in both
+  *     engines, so they are independent of partial-aggregation order —
+  *     raw double sums are not. (Sources are on a 0.01 grid, so the
+  *     cast itself is unambiguous.)
+  *  2. Averages/ratios are derived as CAST(exact_sum AS DOUBLE)/count:
+  *     identical operands ⇒ identical IEEE result ⇒ no rounding needed.
+  *     Engine round() on doubles is never used for output columns
+  *     (Spark rounds via shortest-decimal-repr, DuckDB on the binary
+  *     value — they disagree exactly at .5 boundaries).
+  *  3. Derived timestamps are emitted as epoch microseconds (BIGINT):
+  *     Spark unix_micros ≡ DuckDB epoch_us, no timezone ambiguity.
+  *  4. Every result defines a total order (ORDER BY with unique
+  *     tie-break keys); DuckDB ORDER BY gets explicit NULLS FIRST on
+  *     ASC keys to match Spark's default null ordering.
+  *  5. Cross-engine hashing uses md5 (same bytes in, same hex out):
+  *     a 60-bit integer hash is conv(substr(md5(x),1,15),16,10) in
+  *     Spark ≡ ('0x'||substr(md5(x),1,15))::BIGINT in DuckDB.
+  */
+object Tables {
+  val Dec2: DecimalType  = DecimalType(18, 2)
+  val Dec382: DecimalType = DecimalType(38, 2)
+  val Dec384: DecimalType = DecimalType(38, 4)
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw nanos Long is
+    * floor-divided to microseconds (matching DuckDB's ns→us truncation
+    * on read) and re-typed as a session-TZ (UTC) timestamp.
+    * `div` keeps the arithmetic in Long — `/` would go through Double
+    * and lose precision above 2^53.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational operator inventory: scans, filters, aggregations,
+  * joins (broadcast/shuffle/semi/anti/theta/nested-loop/as-of), window
+  * functions, top-k, global sort, set operations.
+  *
+  * Everything is a declarative DataFrame chain — Catalyst owns predicate
+  * pushdown, column pruning, and join strategy selection. Per-query
+  * 100 TB notes are on each definition.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Parquet scan with projection: reads only 5 of 11 columns
+    // (ReadSchema pruning); ordering keys are the natural sort of the
+    // table so at scale this is a sorted-files pass-through.
+    "q_scan_parquet" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Filter + project: all three predicates are parquet-pushable
+    // (timestamp range, double range, double compare).
+    "q_filter_project" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06)
+          && col("l_quantity") < 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // TPC-H Q1 shape: partial+final HashAggregate, no join. Decimal
+    // sums are exact ⇒ shuffle-order-independent (Tables.scala rules).
+    "q_agg_pricing" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec2)).cast(Dec382).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(Dec2)
+            * (lit(1).cast(Dec2) - col("l_discount").cast(Dec2))).cast(Dec384).as("sum_disc_price"),
+          (sum(col("l_quantity").cast(Dec2)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    "q_agg_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP grouping sets; null markers ordered NULLS FIRST both sides.
+    "q_agg_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // CUBE over orders.
+    "q_agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(Dec2)).cast(Dec382).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // collect_set → ObjectHashAggregate; sort_array for determinism.
+    "q_agg_collect" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Small-dim broadcast join: at any scale region (5 rows) broadcasts;
+    // no shuffle on the fact side.
+    "q_join_broadcast" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")),
+
+    // 3-way key join + aggregate. At 100 TB: orders⋈customer shuffles on
+    // custkey; nation broadcasts. SMJ hint documents the shuffle path.
+    "q_join_shuffle" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d).hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Dec2)).cast(Dec382).as("total"))
+        .orderBy("n_name")),
+
+    // Left-semi: EXISTS without materializing the right side columns.
+    "q_join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")),
+
+    // Left-anti: NOT EXISTS.
+    "q_join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey")),
+
+    // Equi join + theta residual: hash join on the key, residual filter
+    // evaluated post-probe (no pair explosion).
+    "q_join_theta" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_extendedprice") > col("o_totalprice") * 0.3)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Pure theta (no equi key) → BroadcastNestedLoopJoin; only sane when
+    // one side is tiny — nation×nation here by design.
+    "q_join_nestedloop" -> ((s, d) => {
+      val a = nation(s, d).select(col("n_name").as("a_name"), col("n_regionkey").as("a_rk"))
+      val b = nation(s, d).select(col("n_regionkey").as("b_rk"))
+      a.join(b, col("a_rk") < col("b_rk"))
+        .groupBy(col("a_name"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("a_name")
+    }),
+
+    // As-of join, Spark-native scale form: instead of a per-row range
+    // join (quadratic blowup), union the two event streams and take a
+    // running max of the view-timestamp per user — one shuffle on
+    // user_id, linear work, same semantics as ASOF >= (views sort
+    // before purchases on ties via the kind column).
+    "q_join_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(null).cast("bigint").as("event_id"), lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.union(purchases)
+        .withColumn("last_view_us",
+          max(when(col("kind") === 0, unix_micros(col("ts")))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"), col("last_view_us"))
+        .orderBy("event_id")
+    }),
+
+    // Ranking windows: row_number with a total tie-break + rank on the
+    // raw metric. One shuffle on the partition key.
+    "q_window_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"), col("rnk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running total: decimal sum over a fully-specified frame order ⇒
+    // exact and order-independent.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+          sum(col("o_totalprice").cast(Dec2)).over(w).cast(Dec382).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // lag/lead over the event stream per user.
+    "q_window_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_val"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // True top-k: TakeOrderedAndProject (per-partition heap + driver
+    // merge), not a global sort.
+    "q_topk" -> ((s, d) =>
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // Global sort: range-partitioned exchange + per-partition sort.
+    "q_sort" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))),
+
+    // Set ops (all distinct-semantics, matching SQL UNION/INTERSECT/EXCEPT).
+    "q_union" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("k"))
+        .union(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")))
+        .distinct()
+        .orderBy("k")),
+
+    "q_intersect" -> ((s, d) =>
+      customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+        .intersect(orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    "q_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("k"))
+        .except(orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_nestedloop" ->
+      """SELECT a.n_name AS a_name, count(*) AS n_pairs
+        |FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+        |GROUP BY a.n_name ORDER BY a_name""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(v.ts) AS last_view_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_val,
+        |  lead(event_type) OVER w AS next_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_sort" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey AS k FROM orders
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+  )
+}
