@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar-function surface: string, date/time, math, array/higher-order,
+  * map, and JSON expressions — all codegen'd Catalyst built-ins, no UDFs.
+  *
+  * Cross-engine notes: regexes are kept to the Java∩RE2 common subset;
+  * math is restricted to IEEE-exact ops (sqrt is correctly-rounded by
+  * spec; exp/ln/pow are deliberately absent — libm results differ in the
+  * last ulp between JVM and C++); integer day-of-week is aligned to
+  * Spark's 1=Sunday convention.
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // String kitchen over part.
+    "q_scalar_string" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_up"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 4).as("name_pre"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").like("%green%").as("is_green"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+          replace(col("p_type"), lit("SMALL"), lit("S")).as("type_repl"))
+        .orderBy("p_partkey")),
+
+    // Date/time kitchen over orders (o_orderdate is TIMESTAMP_NTZ).
+    "q_scalar_date" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"), // 1=Sunday
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          unix_micros(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_us"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")),
+
+    // Math kitchen over lineitem — IEEE-exact operations only.
+    "q_scalar_math" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          (col("l_partkey") % 7).as("part_mod"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"),
+          signum(col("l_quantity") - 25.0).cast("int").as("qty_sign"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Array / higher-order functions over tokenized part names.
+    "q_scalar_array" -> ((s, d) =>
+      part(s, d)
+        .withColumn("toks", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "green").as("has_green"),
+          sort_array(col("toks")).as("toks_sorted"),
+          array_join(transform(col("toks"), x => upper(x)), "-").as("toks_up"),
+          filter(col("toks"), x => length(x) > 4).as("long_toks"),
+          aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("char_sum"))
+        .orderBy("p_partkey")),
+
+    // Map construction + extraction. DuckDB map extract yields a LIST,
+    // so the oracle indexes [1]; Spark's element_at is already scalar.
+    "q_scalar_map" -> ((s, d) =>
+      region(s, d)
+        .select(
+          col("r_regionkey"),
+          element_at(
+            map(lit("name"), col("r_name"), lit("key"), col("r_regionkey").cast("string")),
+            "name").as("from_map"))
+        .orderBy("r_regionkey")),
+
+    // JSON extraction over events.props (shape {"k": <int>}).
+    "q_json_props" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_val"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_struct"))
+        .orderBy("event_id")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substr(p_name, 1, 4) AS name_pre,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  p_name LIKE '%green%' AS is_green,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+        |  replace(p_type, 'SMALL', 'S') AS type_repl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  o_orderdate::DATE + 30 AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS INT) AS days_since,
+        |  epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  l_partkey % 7 AS part_mod,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate,
+        |  CAST(CASE WHEN l_quantity > 25.0 THEN 1 WHEN l_quantity < 25.0 THEN -1 ELSE 0 END AS INT) AS qty_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scalar_array" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  list_sort(string_split(p_name, ' ')) AS toks_sorted,
+        |  array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), '-') AS toks_up,
+        |  list_filter(string_split(p_name, ' '), x -> strlen(x) > 4) AS long_toks,
+        |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> strlen(x))) AS BIGINT) AS char_sum
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_map" ->
+      """SELECT r_regionkey,
+        |  map(['name','key'], [r_name, CAST(r_regionkey AS VARCHAR)])['name'][1] AS from_map
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k')::BIGINT AS k_val,
+        |  json_extract_string(props, '$.k')::INT AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

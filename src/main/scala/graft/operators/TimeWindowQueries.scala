@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-time windowing over the events table, batch form: tumbling,
+  * sliding (hopping), and session windows via Spark's native window /
+  * session_window expressions. The streaming tier
+  * (graft.streaming.EventsStreaming) reuses the same aggregation bodies
+  * under readStream + watermark; these batch variants are the
+  * oracle-checkable contract.
+  *
+  * Window starts are emitted as epoch microseconds (BIGINT) — Spark
+  * unix_micros ≡ DuckDB epoch_us — sidestepping timestamp-tz ambiguity.
+  * Value sums go through DECIMAL(18,2) for order-independence.
+  */
+object TimeWindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type. Scale: single shuffle on
+    // (window, type); partial aggregation does the heavy lifting map-side.
+    "q_win_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("ws_us", "event_type")),
+
+    // Sliding 1-hour windows hopping every 15 minutes: each event lands
+    // in exactly 4 windows (Spark expands via Expand, then aggregates —
+    // row amplification ×4 happens before the shuffle, which is the
+    // right tradeoff vs a range join).
+    "q_win_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("nd_users"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("nd_users"))
+        .orderBy("ws_us")),
+
+    // Session windows with a 10-minute inactivity gap per user.
+    // Spark merges events while gap < 10 min; session end = last + gap.
+    // Scale: one shuffle on user_id; state is bounded per user.
+    "q_win_session" -> ((s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n"), col("total"))
+        .orderBy("user_id", "start_us")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_win_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin,
+
+    "q_win_sliding" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000::BIGINT AS ws_us,
+        |  count(*) AS n,
+        |  count(DISTINCT user_id) AS nd_users
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |GROUP BY 1 ORDER BY ws_us""".stripMargin,
+
+    "q_win_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) + 600000000 AS end_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+  )
+}
