@@ -18,7 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.queries ++
       operators.ScalarQueries.queries ++
-      operators.TimeWindowQueries.queries
+      operators.TimeWindowQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +29,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracles ++
       operators.ScalarQueries.oracles ++
-      operators.TimeWindowQueries.oracles
+      operators.TimeWindowQueries.oracles ++
+      operators.DedupQueries.oracles ++
+      operators.TextQueries.oracles ++
+      operators.SimilarityQueries.oracles
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  *
+  * Two tiers:
+  *  - q_sim_topk: exact brute-force cosine top-k — the correctness
+  *    baseline. At test scale the candidate side broadcasts; at 100 TB
+  *    this shape is only sane for small query batches (broadcast the
+  *    QUERIES, scan the corpus once, per-partition top-k heaps via
+  *    window, then a tiny final merge).
+  *  - q_sim_ann: random-hyperplane LSH — the scale path. Vectors hash
+  *    to a bucket from the sign pattern of NBits fixed hyperplanes;
+  *    search only compares within the query's bucket (recall/cost is
+  *    tuned by NBits and multi-probe, not data size).
+  *
+  * Cross-engine determinism: cosine = fold(products)/(sqrt·sqrt) with
+  * identical association order both engines ⇒ identical double bits;
+  * scores are used for ranking (row_number with id tie-break) but never
+  * output. Hyperplane components are exact rationals k/1000003 - 0.5
+  * from a fixed integer LCG, materialized as integer literals in both
+  * the Spark plan and the DuckDB SQL.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumQueries = 10 // vec_id < 10 are the query vectors
+  private val TopK = 5
+  // 4 hyperplanes → 16 buckets. Recall note: this corpus has NO true
+  // near-neighbors (max pairwise cosine ≈ 0.51 ⇒ angles ≥ 59°), so
+  // random-hyperplane LSH recall vs exact top-k is intrinsically low
+  // (P[same sig] = (1-θ/π)^NBits ≈ 0.2 at 59°) — the operator's value
+  // is the cost bound (bucket-local compare), and recall rises steeply
+  // when real duplicates exist (θ→0 ⇒ P→1). Tune NBits/multi-probe per
+  // corpus at deployment.
+  private val NBits = 4
+
+  /** Deterministic pseudo-random numerator for hyperplane h, dim j. */
+  private def planeNum(h: Int, j: Int): Long =
+    ((h.toLong * 64 + j) * 2654435761L) % 1000003L
+
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normD(x: Column): Column =
+    sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** LSH bucket id: bit h set iff dot(v, plane_h) > 0. */
+  private def bucket(v: Column): Column =
+    (0 until NBits).map { h =>
+      val plane = typedLit((1 to 64).map(j => planeNum(h, j)))
+      val proj = aggregate(
+        zip_with(v, plane, (p, k) => p.cast("double") * (k.cast("double") / 1000003.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << h)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def queries: Map[String, Q] = Map(
+    // Exact cosine top-k for each of the first NumQueries vectors.
+    "q_sim_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val byScore = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rnk", row_number().over(byScore))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // LSH-bucketed ANN: compare only within the query vector's bucket.
+    "q_sim_ann" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          normD(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bkt").as("qb"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cb"))
+      val byScore = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(q).join(c, col("qb") === col("cb") && col("q_id") =!= col("cand_id"))
+        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rnk", row_number().over(byScore))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Bucket histogram — the observability query for LSH tuning
+    // (bucket skew is what kills ANN at scale).
+    "q_sim_buckets" -> ((s, d) =>
+      embeddings(s, d)
+        .select(bucket(col("embedding")).as("bkt"), col("label"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("nd_labels"))
+        .orderBy("bkt")),
+  )
+
+  def oracles: Map[String, String] = {
+    def planeList(h: Int): String =
+      (1 to 64).map(j => planeNum(h, j)).mkString("[", ",", "]")
+    val bucketSql = (0 until NBits).map { h =>
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |  i -> embedding[i]::DOUBLE * ((${planeList(h)})[i]::DOUBLE / 1000003.0 - 0.5)),
+         |  (x, y) -> x + y) > 0 THEN ${1L << h}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString(" + ")
+    val cosSql =
+      """list_reduce(list_transform(generate_series(1, 64),
+        |      i -> q.qe[i]::DOUBLE * c.ce[i]::DOUBLE), (x, y) -> x + y) / (q.qn * c.cn)""".stripMargin
+
+    Map(
+      "q_sim_topk" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < $NumQueries
+           |), c AS (
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn FROM e
+           |), scored AS (
+           |  SELECT q.q_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM q JOIN c ON q.q_id <> c.cand_id)
+           |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
+           |ORDER BY q_id, rnk""".stripMargin,
+
+      "q_sim_ann" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
+           |    $bucketSql AS bkt
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bkt AS qb FROM e WHERE vec_id < $NumQueries
+           |), c AS (
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, bkt AS cb FROM e
+           |), scored AS (
+           |  SELECT q.q_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM q JOIN c ON q.qb = c.cb AND q.q_id <> c.cand_id)
+           |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
+           |ORDER BY q_id, rnk""".stripMargin,
+
+      "q_sim_buckets" ->
+        s"""SELECT bkt, count(*) AS n, count(DISTINCT label) AS nd_labels FROM (
+           |  SELECT $bucketSql AS bkt, label FROM embeddings)
+           |GROUP BY bkt ORDER BY bkt""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, language identification (stopword heuristic), and
+  * document fingerprinting (polynomial rolling hash + winnowing min).
+  *
+  * All linear per-document column work — no shuffle except the final
+  * ordering; at 100 TB these run as a single narrow pass over the
+  * corpus. Scores are exact small-integer ratios (identical double
+  * bits in both engines), fingerprints are exact integer arithmetic
+  * kept below 2^63 via mod-1e9+7 folding.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopword marker lists per language (classic langid heuristic:
+    * score = count of language-marker tokens; the testdata vocabulary
+    * is synthetic and shared across langs, so this is exercised as a
+    * deterministic scoring pipeline, not a classifier benchmark).
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "von"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai"),
+  )
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Count of tokens that appear in `words`. */
+  private def markerCount(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  def queries: Map[String, Q] = Map(
+    // Token statistics: counts via split (whitespace tokenizer) and a
+    // BPE-ish sub-token estimate via a regex pass.
+    "q_text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          size(filter(toks, t => length(t) >= 5)).as("n_long"),
+          // crude BPE-ish proxy: ceil(chars/4) per token, summed
+          aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+            .as("n_subtoks"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: distinct-token ratio, mean token length, and a
+    // rule-based keep flag — the standard cheap pre-filters of a
+    // training-data pipeline.
+    "q_text_quality" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_toks", size(toks))
+        .withColumn("char_sum", aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
+        .select(
+          col("doc_id"),
+          col("n_toks"),
+          (size(array_distinct(toks)).cast("double") / col("n_toks")).as("distinct_ratio"),
+          (col("char_sum").cast("double") / col("n_toks")).as("mean_tok_len"),
+          (col("n_toks").between(10, 1000)
+            && (col("char_sum").cast("double") / col("n_toks")).between(2.0, 12.0)
+            && (size(array_distinct(toks)).cast("double") / col("n_toks")) > 0.2)
+            .as("keep"))
+        .orderBy("doc_id")),
+
+    // Language ID via stopword-marker scoring; argmax with alphabetical
+    // tie-break, expressed as a deterministic CASE cascade.
+    "q_text_langid" -> ((s, d) => {
+      val scored = documents(s, d)
+        .select(col("doc_id") +: col("lang").as("label") +:
+          Markers.map { case (l, ws) => markerCount(ws).as(s"s_$l") }: _*)
+      // argmax: first lang (alphabetical) whose score equals the max
+      val best = Markers.map(_._1)
+        .foldRight(lit("und")) { case (l, e) =>
+          when(col(s"s_$l") === greatest(Markers.map(m => col(s"s_${m._1}")): _*)
+            && greatest(Markers.map(m => col(s"s_${m._1}")): _*) > 0, lit(l)).otherwise(e)
+        }
+      scored
+        .select(col("doc_id"), col("label"), best.as("pred_lang"),
+          greatest(Markers.map(m => col(s"s_${m._1}")): _*).as("best_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: (a) polynomial rolling hash of the token
+    // stream mod 1e9+7 (order-sensitive content id), (b) winnowing-style
+    // min of 3-gram md5s (robust to local edits).
+    "q_text_fingerprint" -> ((s, d) => {
+      val grams = transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      val tokHash = (t: Column) =>
+        conv(md5(t).substr(1, 15), 16, 10).cast("long") % 1000000007L
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokHash(t)) % 1000000007L)
+            .as("fp_poly"),
+          array_min(transform(grams, g => md5(g))).as("fp_min"),
+          col("lang"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = {
+    val markerSql = (l: String, ws: Seq[String]) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+    val scores = Markers.map { case (l, ws) => s"${markerSql(l, ws)} AS s_$l" }.mkString(",\n    ")
+    val maxExpr = s"greatest(${Markers.map(m => s"s_${m._1}").mkString(", ")})"
+    val argmax = Markers.map(_._1).reverse
+      .foldLeft("'und'") { (e, l) =>
+        s"CASE WHEN s_$l = $maxExpr AND $maxExpr > 0 THEN '$l' ELSE $e END"
+      }
+
+    Map(
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> strlen(t) >= 5)) AS INT) AS n_long,
+          |  CAST(list_sum(list_transform(string_split(text, ' '),
+          |    t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtoks,
+          |  n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+          |    len(list_distinct(string_split(text, ' '))) AS nd,
+          |    list_sum(list_transform(string_split(text, ' '), x -> strlen(x))) AS char_sum
+          |  FROM documents)
+          |SELECT doc_id, n_toks,
+          |  nd::DOUBLE / n_toks AS distinct_ratio,
+          |  char_sum::DOUBLE / n_toks AS mean_tok_len,
+          |  (n_toks BETWEEN 10 AND 1000
+          |    AND (char_sum::DOUBLE / n_toks) BETWEEN 2.0 AND 12.0
+          |    AND (nd::DOUBLE / n_toks) > 0.2) AS keep
+          |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_text_langid" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS label,
+           |    $scores
+           |  FROM documents)
+           |SELECT doc_id, label,
+           |  $argmax AS pred_lang,
+           |  CAST($maxExpr AS INT) AS best_score
+           |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "q_text_fingerprint" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+          |  FROM documents)
+          |SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(0::BIGINT, list_transform(tk,
+          |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)),
+          |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_poly,
+          |  list_min(list_transform(
+          |    generate_series(1, len(tk) - 2),
+          |    i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS fp_min,
+          |  lang
+          |FROM t ORDER BY doc_id""".stripMargin,
+    )
+  }
+}
