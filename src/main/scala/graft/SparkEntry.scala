@@ -21,7 +21,9 @@ object SparkEntry {
       operators.TimeWindowQueries.queries ++
       operators.DedupQueries.queries ++
       operators.TextQueries.queries ++
-      operators.SimilarityQueries.queries
+      operators.SimilarityQueries.queries ++
+      operators.GenQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +34,7 @@ object SparkEntry {
       operators.TimeWindowQueries.oracles ++
       operators.DedupQueries.oracles ++
       operators.TextQueries.oracles ++
-      operators.SimilarityQueries.oracles
+      operators.SimilarityQueries.oracles ++
+      operators.GenQueries.oracles ++
+      operators.MultimodalQueries.oracles
 }

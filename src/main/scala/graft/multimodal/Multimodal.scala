@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque binary payloads with
+  * typed metadata, and batch feature extraction over them.
+  *
+  * The decode step is a STUB — this container has no image/audio codec
+  * libraries, so `decodeStub` derives a deterministic 8-dim feature
+  * vector from the md5 of the payload bytes. Everything around it is
+  * the real production shape:
+  *   - binary `payload` column + typed metadata columns,
+  *   - a typed Dataset[MediaRow] boundary,
+  *   - mapPartitions with per-partition resource reuse (the digest
+  *     instance stands in for a decoder/model handle — the pattern
+  *     that matters at scale: initialize once per task, not per row),
+  *   - fixed-width feature output flattened to columns for a stable
+  *     parquet schema.
+  *
+  * At 100 TB: payloads dominate bytes; keep them in their own parquet
+  * column (columnar pruning means metadata-only queries never read
+  * them), size partitions by payload bytes (maxPartitionBytes), and
+  * never collect features to the driver.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           features: Array[Double])
+
+  val FeatureDim = 8
+
+  /** Synthesize the media table from documents: payload = utf-8 bytes of
+    * the text (deterministic stand-in for image/audio/video bytes),
+    * media_type assigned round-robin.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: md5-derived pseudo-features in [0, 1). A real
+    * deployment swaps this body for codec + model inference; the
+    * signature (bytes in, fixed-width doubles out) is the contract.
+    */
+  private def decodeStub(md: java.security.MessageDigest,
+                         payload: Array[Byte]): Array[Double] =
+    Array.tabulate(FeatureDim) { i =>
+      md.reset()
+      md.update(payload)
+      md.update(i.toString.getBytes("UTF-8"))
+      val hex = md.digest().map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000L).toDouble / 1000.0
+    }
+
+  /** Batch feature extraction: one decoder instance per partition. */
+  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+          decodeStub(md, r.payload))
+      }
+    }
+  }
+}

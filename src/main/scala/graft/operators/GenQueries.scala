@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.SqloadGen
+
+/** Oracle-checkable queries over the Tier A generator itself — the
+  * reference-parity surface (SURVEY.md §2.1) under the driver's
+  * DuckDB gate.
+  *
+  * The generated data never touches disk: the oracle for q_gen_keys
+  * recomputes the rkey bit permutation in pure SQL over range(); the
+  * oracle for q_gen_domains is a literal row of expected invariants
+  * (the generator's value domains are deterministic by construction).
+  */
+object GenQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GenRows = 1000L
+
+  /** The composed bit permutation rkey applies to g = id+1:
+    * rotr1 then segregate4 (generate_csv.cpp:149-161,201-204).
+    * Pure-Long mirror used to derive the output-bit → input-bit table
+    * for the SQL oracle.
+    */
+  private def bitPermuteStep(x: Long, m: Long, s: Int): Long = {
+    val t = ((x >>> s) ^ x) & m
+    (x ^ t) ^ (t << s)
+  }
+  private def rkeyScalar(g: Long): Long = {
+    val r = (g << 63) | (g >>> 1)
+    val s1 = bitPermuteStep(r, 0x2222222222222222L, 1)
+    val s2 = bitPermuteStep(s1, 0x0c0c0c0c0c0c0c0cL, 2)
+    bitPermuteStep(s2, 0x00f000f000f000f0L, 4)
+  }
+
+  /** outBit -> inBit table of the (bijective) permutation. */
+  private lazy val permTable: Map[Int, Int] =
+    (0 until 64).map { inBit =>
+      val out = rkeyScalar(1L << inBit)
+      java.lang.Long.numberOfTrailingZeros(out) -> inBit
+    }.toMap
+
+  def queries: Map[String, Q] = Map(
+    // key/rkey sequences: exact-value parity with the reference
+    // (gapless key; bijective rkey). sfDir is unused — the source is
+    // the generator itself.
+    "q_gen_keys" -> ((s, _) =>
+      SqloadGen.table(s, "key,rkey", GenRows)
+        .select(col("c0").as("k"), col("c1").as("rkey"))
+        .orderBy("k")),
+
+    // Domain invariants of the random generators, as one boolean row.
+    // The oracle is the expected-literal row — an invariant check that
+    // needs no access to the generated data.
+    "q_gen_domains" -> ((s, _) =>
+      SqloadGen.table(s,
+        "bit,tinyint,smallint,mediumint,int,year,double,char(7),varchar(13),text,date,datetime,time,decimal(10,2)",
+        GenRows)
+        .agg(
+          count(lit(1)).as("n"),
+          (min(col("c0")) >= 0 && max(col("c0")) <= 1).as("bit_ok"),
+          (min(col("c1")) >= -128 && max(col("c1")) <= 127).as("tinyint_ok"),
+          (min(col("c2")) >= -32768 && max(col("c2")) <= 32767).as("smallint_ok"),
+          (min(col("c3")) >= -8388608 && max(col("c3")) <= 8388607).as("mediumint_ok"),
+          (min(col("c5")) >= 1901 && max(col("c5")) <= 2155).as("year_ok"),
+          (min(col("c6")) >= -2147483648.0 && max(col("c6")) < 2147483648.0).as("double_ok"),
+          (count(when(col("c7").rlike("^[A-Z]{7}$"), 1)) === count(lit(1))).as("char_ok"),
+          (count(when(col("c8").rlike("^[0-9A-Za-z]{13}$"), 1)) === count(lit(1))).as("varchar_ok"),
+          (min(length(col("c9"))) >= 1 && max(length(col("c9"))) <= 256).as("text_ok"),
+          (min(year(col("c10"))) >= 1900 && max(year(col("c10"))) <= 2021
+            && max(dayofmonth(col("c10"))) <= 28).as("date_ok"),
+          (min(year(col("c11"))) >= 1900 && max(year(col("c11"))) <= 2021).as("datetime_ok"),
+          (count(when(col("c12").rlike("^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]$"), 1))
+            === count(lit(1))).as("time_ok"),
+          (min(col("c13")) >= 0
+            && max(col("c13")) < lit(BigDecimal(100000000))).as("decimal_ok"))),
+
+    // Determinism contract: the same (spec, rows, seed) generated with
+    // 1 partition and 16 partitions is byte-identical. Output is the
+    // xor-fold fingerprint of each run — equal longs, oracle-literal.
+    "q_gen_determinism" -> ((s, _) => {
+      def fp(parts: Int) =
+        SqloadGen.table(s, "key,int,varchar(8),double,datetime", GenRows,
+            seed = 7, numPartitions = parts)
+          .select(xxhash64(col("c0"), col("c1"), col("c2"), col("c3"), col("c4")).as("h"))
+          .agg(expr("bit_xor(h)").as("f"))
+      fp(1).crossJoin(fp(16).withColumnRenamed("f", "f2"))
+        .select((col("f") === col("f2")).as("partition_invariant"),
+          lit(GenRows).as("n"))
+    }),
+  )
+
+  def oracles: Map[String, String] = {
+    // rkey via bit extraction: out = Σ_j ((g >> p(j)) & 1) * 2^j, built
+    // in HUGEINT (DuckDB BIGINT shifts overflow-check at bit 63), then
+    // wrapped to signed two's-complement BIGINT.
+    val terms = (0 until 64).map { j =>
+      val p = permTable(j)
+      s"(((k + 1) >> $p) & 1)::HUGEINT * '${BigInt(1) << j}'::HUGEINT"
+    }.mkString(" + ")
+
+    Map(
+      "q_gen_keys" ->
+        s"""WITH g AS (SELECT range AS k FROM range(0, $GenRows)),
+           |u AS (SELECT k, $terms AS uval FROM g)
+           |SELECT k,
+           |  CAST(CASE WHEN uval >= '9223372036854775808'::HUGEINT
+           |    THEN uval - '18446744073709551616'::HUGEINT
+           |    ELSE uval END AS BIGINT) AS rkey
+           |FROM u ORDER BY k""".stripMargin,
+
+      "q_gen_domains" ->
+        s"""SELECT CAST($GenRows AS BIGINT) AS n,
+           |  true AS bit_ok, true AS tinyint_ok, true AS smallint_ok,
+           |  true AS mediumint_ok, true AS year_ok, true AS double_ok,
+           |  true AS char_ok, true AS varchar_ok, true AS text_ok,
+           |  true AS date_ok, true AS datetime_ok, true AS time_ok,
+           |  true AS decimal_ok""".stripMargin,
+
+      "q_gen_determinism" ->
+        s"SELECT true AS partition_invariant, CAST($GenRows AS BIGINT) AS n",
+    )
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Oracle-checkable view of the multimodal pipeline: because the stub
+  * decoder is md5-based, DuckDB can recompute the exact features from
+  * the source text — so even the mapPartitions path sits under the
+  * correctness gate.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q_multimodal_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(s, d).toDF()
+      val cols = (0 until Multimodal.FeatureDim)
+        .map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      feats.select(Seq(col("doc_id"), col("media_type"), col("n_bytes")) ++ cols: _*)
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = {
+    val featSql = (0 until Multimodal.FeatureDim).map { i =>
+      s"(('0x' || substr(md5(text || '$i'), 1, 15))::BIGINT % 1000) / 1000.0 AS f$i"
+    }.mkString(",\n  ")
+    Map(
+      "q_multimodal_features" ->
+        s"""SELECT doc_id,
+           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           |  CAST(strlen(text) AS INT) AS n_bytes,
+           |  $featSql
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.streaming.EventsStreaming
+
+/** Streaming tier validation: run the streaming window aggregations to
+  * completion over the static sf0.001 events parquet and compare with
+  * the equivalent batch queries.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val streamed = EventsStreaming.runToCompletion(spark,
+      EventsStreaming.tumblingCounts(spark, sf), "t_tumbling")
+    val batch = operators.TimeWindowQueries.queries("q_win_tumbling")(spark, sf)
+      .select("ws_us", "event_type", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming sliding counts == batch sliding counts") {
+    val streamed = EventsStreaming.runToCompletion(spark,
+      EventsStreaming.slidingTotals(spark, sf), "t_sliding")
+    val batch = operators.TimeWindowQueries.queries("q_win_sliding")(spark, sf)
+      .select("ws_us", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
