@@ -1,5 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * plus the Tier A generator's throughput, printing one JSON line.
+  *
+  * A warm-up pass (same queries at sf0.001) runs first so the timed
+  * numbers are steady-state — JIT, codegen caches, and parquet footer
+  * reads otherwise land entirely on whichever query runs first.
+  *
+  * The generator benchmark mirrors the reference's published run
+  * (10M rows of the 7-column flagship spec ≈ 529k rows/s on one core,
+  * BASELINE.md): output is forced through the noop sink so every
+  * column is actually computed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +26,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm-up: run the whole inventory once at the smallest SF.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
+    val genSpec = "key,bigint,int(11),varchar(50),double,date,bigint(20)"
+    val genRows = 10000000L
+    gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus.toInt)
+      .write.format("noop").mode("overwrite").save() // gen warm-up
+    val g0 = System.nanoTime()
+    gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
+      .write.format("noop").mode("overwrite").save()
+    val genSec = (System.nanoTime() - g0) / 1e9
+    val genRate = (genRows / genSec).toLong
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate}""")
     spark.stop()
   }
 }

@@ -33,9 +33,18 @@ object GenExprs {
     */
   val DefaultNowEpoch: Long = 1735689600L
 
-  /** 64-bit deterministic hash stream: draw k for column colIdx of row `id`. */
+  /** 64-bit deterministic hash stream: draw k for column colIdx of row `id`.
+    *
+    * (seed, colIdx, draw) are folded into ONE literal so each draw is a
+    * 2-argument xxhash64 — codegen does not reliably common-subexpression-
+    * eliminate repeated multi-arg hash subtrees, and the per-character
+    * string generators reference their draw up to 8 times, so hash
+    * arity is directly on the hot path. draw < 2048 keeps the fold
+    * collision-free per (colIdx, draw); distinct seeds shift the
+    * stream.
+    */
   private def h(id: Column, seed: Long, colIdx: Int, draw: Int): Column =
-    xxhash64(id, lit(seed), lit(colIdx), lit(draw))
+    xxhash64(id, lit(seed * 1000003L + colIdx * 2048L + draw))
 
   /** Uniform double in [0,1) from the top 53 bits of a hash. */
   private def unit(hash: Column): Column =
@@ -70,18 +79,18 @@ object GenExprs {
     segregate4(rotr1)
   }
 
-  /** Fixed- or hash-length random string over an alphabet; one hash draw
-    * per character position (draw index = 1000 + position).
+  /** Random string over an alphabet via the native RandStringExpr
+    * codegen expression (see its scaladoc for the derivation). Eight
+    * characters per 64-bit hash draw, one byte each reduced
+    * mod |alphabet| — a ≤ 4/256 bias vs the reference's uniform draw;
+    * value domains (the tested contract) are unchanged.
     */
   private def randString(id: Column, seed: Long, colIdx: Int,
-                         len: Column, alphabet: Seq[String]): Column = {
-    val alpha = typedLit(alphabet)
-    val n = alphabet.size
-    array_join(
-      transform(sequence(lit(1), len), i =>
-        element_at(alpha, (pmod(xxhash64(id, lit(seed), lit(colIdx), lit(1000), i),
-          lit(n)) + lit(1)).cast(IntegerType))),
-      "")
+                         fixedLen: Int, alphabet: Seq[String],
+                         lenDraw: Int = -1): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(RandStringExpr(ColumnBridge.expression(id),
+      seed * 1000003L + colIdx * 2048L, fixedLen, alphabet.mkString, lenDraw))
   }
 
   /** Spark type for each spec token (SURVEY.md §1.2 mapping). */
@@ -125,22 +134,29 @@ object GenExprs {
       case "float"     => ((unit(draw(0)) * lit(2.0) - lit(1.0)) * lit(1e38)).cast(FloatType)
       case "double"    => (unit(draw(0)) * lit(2.0) - lit(1.0)) * lit(2147483648.0) // ±2^31, NOT ±1e308 (:217-218)
       case "char" | "nchar" =>
-        randString(id, seed, colIdx, lit(spec.length), CharAlphabet)
+        randString(id, seed, colIdx, spec.length, CharAlphabet)
       case "varchar" | "varchar2" | "nvarchar2" =>
-        randString(id, seed, colIdx, lit(spec.length), VarcharAlphabet)
+        randString(id, seed, colIdx, spec.length, VarcharAlphabet)
       case "text" | "blob" =>                             // blob == text (:83-88)
-        randString(id, seed, colIdx,
-          (pmod(draw(0), lit(256L)) + lit(1L)).cast(IntegerType), VarcharAlphabet)
+        randString(id, seed, colIdx, 256, VarcharAlphabet, lenDraw = 0)
       case "date" =>                                      // datetime truncated (:108-110)
-        format_string("%04d-%02d-%02d",
-          uniformLong(draw(1), 1900L, 2021L), uniformLong(draw(2), 1L, 12L),
-          uniformLong(draw(3), 1L, 28L)).cast(DateType)
+        // make_date is pure integer math — the previous format_string +
+        // string-cast round-trip parsed a date per row.
+        make_date(
+          uniformLong(draw(1), 1900L, 2021L).cast(IntegerType),
+          uniformLong(draw(2), 1L, 12L).cast(IntegerType),
+          uniformLong(draw(3), 1L, 28L).cast(IntegerType))
       case "datetime" =>                                  // day capped at 28 (:93)
-        format_string("%04d-%02d-%02d %02d:%02d:%02d",
-          uniformLong(draw(1), 1900L, 2021L), uniformLong(draw(2), 1L, 12L),
-          uniformLong(draw(3), 1L, 28L), uniformLong(draw(4), 0L, 23L),
-          uniformLong(draw(5), 0L, 59L), uniformLong(draw(6), 0L, 59L))
-          .cast(TimestampType)
+        // numeric construction: days-since-epoch * 86400 + time-of-day,
+        // exact in UTC (session TZ pinned) — no string parsing.
+        timestamp_seconds(
+          unix_date(make_date(
+            uniformLong(draw(1), 1900L, 2021L).cast(IntegerType),
+            uniformLong(draw(2), 1L, 12L).cast(IntegerType),
+            uniformLong(draw(3), 1L, 28L).cast(IntegerType))).cast(LongType) * lit(86400L)
+            + uniformLong(draw(4), 0L, 23L) * lit(3600L)
+            + uniformLong(draw(5), 0L, 59L) * lit(60L)
+            + uniformLong(draw(6), 0L, 59L))
       case "timestamp" =>                                 // epoch uniform [1, now] UTC (:124-132)
         timestamp_seconds(uniformLong(draw(0), 1L, nowEpoch))
       case "time" =>

@@ -33,15 +33,20 @@ object DedupQueries {
   private val Bands = 2
   private val RowsPerBand = NumHashes / Bands
 
-  /** Distinct character 5-shingles of the text column. */
-  private def shingles(text: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 4, lit(1))),
-      i => text.substr(i, lit(5))))
+  /** Universal-hash family parameters (shared with the native
+    * expression's implementation so query and oracle stay in sync).
+    */
+  private val P = graft.gen.MinHashImpl.P
+  private def hashParams(i: Int): (Long, Long) = graft.gen.MinHashImpl.hashParams(i)
 
-  /** MinHash signature i: lexicographic min of md5(i ++ shingle). */
-  private def minhashSig(sh: Column, i: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(i.toString), x))))
+  /** All MinHash signatures in one native-expression pass (see
+    * MinHashSigsExpr for semantics and why not built-ins).
+    */
+  private def minhashSigs(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.MinHashSigsExpr(
+      ColumnBridge.expression(text), 5, NumHashes))
+  }
 
   def queries: Map[String, Q] = Map(
     // Exact dedup, keep-first semantics: group on md5(text) (at 100 TB
@@ -67,11 +72,12 @@ object DedupQueries {
     // pre-collapse exact dups first.
     "q_dedup_minhash" -> ((s, d) => {
       val sigs = documents(s, d)
-        .withColumn("sh", shingles(col("text")))
+        .withColumn("sigs", minhashSigs(col("text")))
         .select(col("doc_id") +: (0 until NumHashes)
-          .map(i => minhashSig(col("sh"), i).as(s"sig$i")): _*)
+          .map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
       val bandKeys = (0 until Bands).map { j =>
-        md5(concat((0 until RowsPerBand).map(r => col(s"sig${RowsPerBand * j + r}")): _*))
+        md5(concat_ws(",",
+          (0 until RowsPerBand).map(r => col(s"sig${RowsPerBand * j + r}")): _*))
       }
       val bands = sigs
         .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("bidx", "bkey")))
@@ -102,49 +108,77 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Token-3-gram Jaccard within blocks: block on (lang, n_tokens/10)
-    // so pair enumeration is bounded per block — the blocking-key
-    // pattern that keeps near-dup joins sub-quadratic at scale.
-    // J = |A∩B|/|A∪B| over distinct 3-grams; the double is an exact
-    // small-integer ratio, identical bits in both engines.
+    // Token-3-gram Jaccard via inverted-index join: explode grams, join
+    // on (lang, block, gram), count shared grams per pair — pairs that
+    // share nothing are never materialized. This is THE scalable
+    // near-dup join shape: cost ∝ Σ posting-list², not n² (a per-pair
+    // array-intersection version was 60× slower at sf0.1).
+    // J = |A∩B|/|A∪B| over distinct 3-grams; exact integer ratio ⇒
+    // identical double bits in both engines.
     "q_dedup_ngram" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val grams = array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      val base = documents(s, d)
-        .select(col("doc_id"), col("lang"), grams.as("g"),
-          (size(toks) / 10).cast("int").as("bkt"))
-      val a = base.select(col("doc_id").as("a_id"), col("lang"), col("bkt"), col("g").as("ga"))
-      val b = base.select(col("doc_id").as("b_id"), col("lang").as("lang2"), col("bkt").as("bkt2"), col("g").as("gb"))
-      a.join(b, col("lang") === col("lang2") && col("bkt") === col("bkt2")
-          && col("a_id") < col("b_id"))
-        .withColumn("inter", size(filter(col("ga"), x => array_contains(col("gb"), x))))
-        .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
-        .withColumn("j", col("inter").cast("double") / col("uni"))
+      import org.apache.spark.sql.graft.ColumnBridge
+      val gramHashes = ColumnBridge.column(
+        graft.gen.NgramHashesExpr(ColumnBridge.expression(col("text")), 3))
+      val postings = documents(s, d)
+        .select(col("doc_id"), col("lang"), gramHashes.as("g"),
+          (size(split(col("text"), " ")) / 10).cast("int").as("bkt"))
+        .select(col("doc_id"), col("lang"), col("bkt"),
+          size(col("g")).as("ng"), explode(col("g")).as("gram"))
+      val a = postings.select(col("doc_id").as("a_id"), col("lang"), col("bkt"),
+        col("ng").as("na"), col("gram"))
+      val b = postings.select(col("doc_id").as("b_id"), col("lang").as("lang2"),
+        col("bkt").as("bkt2"), col("ng").as("nb"), col("gram").as("gram2"))
+      a.join(b, col("gram") === col("gram2") && col("lang") === col("lang2")
+          && col("bkt") === col("bkt2") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("j") >= 0.3)
         .select(col("a_id"), col("b_id"), col("j"))
         .orderBy("a_id", "b_id")
     }),
 
-    // Embedding-cosine near-dup: brute-force pair scan (fine at test
-    // scale; the LSH-bucketed scale path is q_sim_ann). Score is NOT
-    // output — only pairs — so last-ulp float divergence can't affect
-    // the hash compare (threshold flips need |cos-0.45| < 1e-13).
-    // Products/accumulation forced to double, left-fold order.
+    // Embedding-cosine near-dup: all-pairs dense similarity. This is
+    // the one operator where mapPartitions is the right physical plan
+    // (the documented last-resort case): a dense all-pairs scan has no
+    // algebraic shortcut for Catalyst to exploit, and every DataFrame
+    // formulation routes 2M pair evaluations through an interpreted
+    // nested-loop-join condition (~70 s at sf0.1 vs ~1 s here). The
+    // candidate side is broadcast once per executor; at 100 TB you
+    // broadcast blocks of the matrix instead of the whole table
+    // (block-partitioned all-pairs), or pre-bucket with LSH (q_sim_ann).
+    // Double math is IEEE, ascending-index accumulation — bit-identical
+    // to the DuckDB list_reduce oracle; only pairs are output, so
+    // last-ulp divergence cannot affect the hash compare.
     "q_dedup_embedding" -> ((s, d) => {
-      def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(aggregate(transform(col("embedding"), p => p.cast("double") * p.cast("double")),
-          lit(0.0), (acc, v) => acc + v)).as("nrm"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.45)
-        .select("a_id", "b_id")
-        .orderBy("a_id", "b_id")
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val all = e.collect().sortBy(_._1) // 2k×64 floats at bench SF; block at scale
+      val norms = all.map { case (_, v) =>
+        var i = 0; var sum = 0.0
+        while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(sum)
+      }
+      val bc = s.sparkContext.broadcast((all, norms))
+      e.mapPartitions { rows =>
+        val (cands, cnorms) = bc.value
+        rows.flatMap { case (aId, av) =>
+          var aSum = 0.0
+          var i = 0
+          while (i < av.length) { aSum += av(i).toDouble * av(i).toDouble; i += 1 }
+          val aNorm = math.sqrt(aSum)
+          cands.iterator.zipWithIndex
+            .filter { case ((bId, _), _) => bId > aId }
+            .flatMap { case ((bId, bv), bi) =>
+              var dot = 0.0
+              var j = 0
+              while (j < av.length) { dot += av(j).toDouble * bv(j).toDouble; j += 1 }
+              if (dot / (aNorm * cnorms(bi)) >= 0.45) Some((aId, bId)) else None
+            }
+        }
+      }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
     }),
   )
 
@@ -158,11 +192,13 @@ object DedupQueries {
          |  THEN ${1L << b}::BIGINT ELSE 0::BIGINT END""".stripMargin
     }.mkString(" + ")
 
-    val minhashSigsSql = (0 until NumHashes)
-      .map(i => s"list_min(list_transform(sh, x -> md5('$i' || x))) AS sig$i")
-      .mkString(",\n    ")
+    val minhashSigsSql = (0 until NumHashes).map { i =>
+      val (a, b) = hashParams(i)
+      s"list_min(list_transform(hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig$i"
+    }.mkString(",\n    ")
     val bandCase = (0 until Bands).map { j =>
-      val cat = (0 until RowsPerBand).map(r => s"sig${RowsPerBand * j + r}").mkString(" || ")
+      val cat = (0 until RowsPerBand).map(r => s"sig${RowsPerBand * j + r}")
+        .mkString("concat_ws(',', ", ", ", ")")
       s"WHEN $j THEN md5($cat)"
     }.mkString(" ")
     val bandIdxValues = (0 until Bands).map(j => s"($j)").mkString(",")
@@ -179,9 +215,11 @@ object DedupQueries {
       "q_dedup_minhash" ->
         s"""WITH sh AS (
            |  SELECT doc_id,
-           |    list_distinct(list_transform(
-           |      generate_series(1, greatest(strlen(text) - 4, 1)),
-           |      i -> substr(text, i, 5))) AS sh
+           |    list_transform(
+           |      list_distinct(list_transform(
+           |        generate_series(1, greatest(strlen(text) - 4, 1)),
+           |        i -> substr(text, i, 5))),
+           |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${P}::BIGINT) AS hs
            |  FROM documents
            |), sig AS (
            |  SELECT doc_id,
