@@ -23,7 +23,8 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.GenQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      operators.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.SimilarityQueries.oracles ++
       operators.GenQueries.oracles ++
-      operators.MultimodalQueries.oracles
+      operators.MultimodalQueries.oracles ++
+      operators.SourceQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables._
+
+/** Source/sink coverage beyond parquet: CSV and JSON write→read
+  * round-trips under the oracle gate, plus sketch-based aggregation.
+  *
+  * The round-trip queries prove format fidelity end to end: the oracle
+  * computes the same aggregate from the ORIGINAL parquet, so any loss
+  * in the text encoding (double shortest-repr, quoting, header
+  * handling, schema-on-read) breaks the hash compare. Doubles survive
+  * because Spark writes shortest-repr and re-parses exactly; sums then
+  * go through the usual decimal-exact path.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // CSV sink → CSV source (header, explicit schema-on-read).
+    "q_source_csv" -> ((s, d) => {
+      val path = "/tmp/graft_q_source_csv"
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType.fromDDL(
+        "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING")
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec2)).cast(Dec382).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // JSON sink → JSON source (schema inference on read).
+    "q_source_json" -> ((s, d) => {
+      val path = "/tmp/graft_q_source_json"
+      events(s, d)
+        .select("event_id", "event_type", "value", "user_id")
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("nd_users"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // HLL++ approximate distinct: deterministic for fixed input, but
+    // engine-specific — so the checked output is the accuracy bound,
+    // not the estimate (oracle = literal expected row).
+    "q_agg_approx" -> ((s, d) =>
+      lineitem(s, d)
+        .agg(
+          countDistinct(col("l_partkey")).as("exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") < 0.05)
+            .as("within_5pct"),
+          (col("exact") > 0).as("nonempty"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_source_csv" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_source_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS nd_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_approx" ->
+      "SELECT true AS within_5pct, true AS nonempty",
+  )
+}

@@ -43,6 +43,11 @@ object TimeWindowQueries {
         .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("nd_users"))
         .orderBy("ws_us")),
 
+    // Custom-state sessionization (flatMapGroupsWithState) — identical
+    // semantics to q_win_session via a different operator; shares its
+    // oracle SQL.
+    "q_session_state" -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+
     // Session windows with a 10-minute inactivity gap per user.
     // Spark merges events while gap < 10 min; session end = last + gap.
     // Scale: one shuffle on user_id; state is bounded per user.
@@ -73,7 +78,11 @@ object TimeWindowQueries {
         |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
         |GROUP BY 1 ORDER BY ws_us""".stripMargin,
 
-    "q_win_session" ->
+    "q_session_state" -> sessionOracle,
+    "q_win_session" -> sessionOracle,
+  )
+
+  private val sessionOracle: String =
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
@@ -92,6 +101,5 @@ object TimeWindowQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin,
-  )
+        |ORDER BY user_id, start_us""".stripMargin
 }
