@@ -57,6 +57,20 @@ object SqloadGen {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed bulk-load table: rows hash-bucketed on `keyCol` into
+    * `buckets` files per partition, registered in the session catalog.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the
+    * co-location contract a partitioned-DB loader (or any repeated
+    * big-join workload) wants at 100 TB. Requires a writable warehouse
+    * dir (spark.sql.warehouse.dir); see BucketingSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CLI parity entry: args = <rows> <spec> [outPath]. Writes CSV to
     * outPath (default /tmp/sqload_out). Unlike the reference, parse errors
     * exit non-zero (the reference prints to stdout and exits 0,

@@ -214,6 +214,24 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))),
 
+    // Skew-safe two-stage (salted) aggregation: stage 1 aggregates on
+    // (key, salt) spreading each hot key over 16 reducers, stage 2
+    // merges the partials. On this data the plain groupBy is fine —
+    // the query exists to keep the salting pattern under the
+    // correctness gate (result must equal the unsalted oracle), since
+    // at 100 TB a handful of hot keys otherwise pins single reducers.
+    "q_agg_salted" -> ((s, d) => {
+      val salted = events(s, d)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(Dec2)).as("pt"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pt")).cast(Dec382).as("total"))
+        .orderBy("event_type")
+    }),
+
     // Set ops (all distinct-semantics, matching SQL UNION/INTERSECT/EXCEPT).
     "q_union" -> ((s, d) =>
       orders(s, d).select(col("o_custkey").as("k"))
@@ -358,6 +376,11 @@ object RelationalQueries {
     "q_sort" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_union" ->
       """SELECT o_custkey AS k FROM orders

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.gen.SqloadGen
+
+/** Bucketed bulk-load layout: proves that two tables bucketed on the
+  * same key join with NO exchange in the physical plan — the
+  * co-location property the bulk-load path is built around.
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  // NOTE: ScalaTest suites share one JVM → one SparkSession; builder
+  // configs after the first getOrCreate are silently ignored, so
+  // runtime-settable confs are applied inside the test instead.
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("same-bucketing join plans as SortMergeJoin with no shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a fresh JVM gets a fresh in-memory catalog but the warehouse
+      // dirs persist — clear both or saveAsTable hits
+      // LOCATION_ALREADY_EXISTS
+      Seq("bkt_a", "bkt_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
+      }
+      val a = SqloadGen.table(spark, "key,int,varchar(8)", 10000, seed = 1)
+      val b = SqloadGen.table(spark, "key,double", 10000, seed = 2)
+      SqloadGen.writeBucketed(a, "bkt_a", "c0", 8)
+      SqloadGen.writeBucketed(b, "bkt_b", "c0", 8)
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "c0")
+      val plan = joined.queryExecution.executedPlan.toString
+      // non-vacuous: it must be the shuffle-join operator, minus the shuffle
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 10000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("repartitionByRange bulk-load layout produces contiguous key ranges") {
+    val df = SqloadGen.table(spark, "key,int", 10000, seed = 3)
+    val parts = df.repartitionByRange(8, df.col("c0"))
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"), df.col("c0"))
+      .groupBy("p")
+      .agg(org.apache.spark.sql.functions.min("c0").as("lo"),
+        org.apache.spark.sql.functions.max("c0").as("hi"))
+      .orderBy("p")
+      .collect()
+    // ranges must be disjoint and ordered
+    parts.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(2) < y.getLong(1))
+      case _ =>
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Inventory-wide contract checks at sf0.001: every query runs, every
+  * query has an oracle, re-running a query is deterministic (same
+  * fingerprint), and the flagship entry returns rows — the fast local
+  * guard for the driver's full DuckDB gate.
+  */
+class InventorySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and is re-run deterministic") {
+      import org.apache.spark.sql.functions._
+      def fingerprint(): (Long, Long) = {
+        val df = fn(spark, sf)
+        val n = df.count()
+        val cols = df.columns.map(c => col(c).cast("string")).toSeq
+        val h = df.select(xxhash64(cols: _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+        (n, if (h.isNullAt(0)) 0L else h.getLong(0))
+      }
+      val a = fingerprint()
+      val b = fingerprint()
+      assert(a == b, s"$name not deterministic across re-runs")
+    }
+  }
+}
