@@ -89,6 +89,33 @@ object ScalarQueries {
             "name").as("from_map"))
         .orderBy("r_regionkey")),
 
+    // Typed Aggregator (UDAF): quantity-weighted average price per
+    // return flag, exact-integer buffer (graft.functions.WeightedAvgPrice).
+    "q_agg_typed" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.WeightedAvgOf[(String, Long, Long)](t => (t._2, t._3))
+          .toColumn.name("wavg_price"))
+        .toDF("l_returnflag", "wavg_price")
+        .orderBy("l_returnflag")
+    }),
+
+    // Pivot: line-status counts as columns per return flag.
+    "q_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"))
+        .orderBy("l_returnflag")),
+
     // JSON extraction over events.props (shape {"k": <int>}).
     "q_json_props" -> ((s, d) =>
       events(s, d)
@@ -153,6 +180,18 @@ object ScalarQueries {
       """SELECT r_regionkey,
         |  map(['name','key'], [r_name, CAST(r_regionkey AS VARCHAR)])['name'][1] AS from_map
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_agg_typed" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / (CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 100.0) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_cnt,
+        |  CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_id,

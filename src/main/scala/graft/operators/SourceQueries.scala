@@ -50,6 +50,19 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // ORC sink → ORC source (binary columnar format, schema preserved).
+    "q_source_orc" -> ((s, d) => {
+      val path = "/tmp/graft_q_source_orc"
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec2)).cast(Dec382).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -76,6 +89,11 @@ object SourceQueries {
         |  count(DISTINCT user_id) AS nd_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",
