@@ -24,7 +24,8 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.GenQueries.queries ++
       operators.MultimodalQueries.queries ++
-      operators.SourceQueries.queries
+      operators.SourceQueries.queries ++
+      operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracles ++
       operators.GenQueries.oracles ++
       operators.MultimodalQueries.oracles ++
-      operators.SourceQueries.oracles
+      operators.SourceQueries.oracles ++
+      operators.PipelineQueries.oracles
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface checks for the native expressions registered by
+  * GraftExtensions: callable from spark.sql, results consistent with
+  * the Scala-API paths.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft_rand_string via SQL matches the generator column") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_rand_string(id, 42002174, 10,
+        |  '0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', -1) AS s
+        |FROM range(100)""".stripMargin)
+    assert(viaSql.count() == 100)
+    assert(viaSql.filter("s NOT RLIKE '^[0-9A-Za-z]{10}$'").count() == 0)
+    // seedMix = seed*1000003 + colIdx*2048 = 42*1000003 + 2048 = 42002174
+    // (column index 1 of seed 42) → must equal the varchar(10) column of
+    // the Scala-API generator
+    val viaApi = gen.SqloadGen.table(spark, "key,varchar(10)", 100, seed = 42)
+      .select("c1")
+    assert(viaSql.exceptAll(viaApi.toDF("s")).count() == 0)
+  }
+
+  test("graft_minhash_sigs and graft_ngram_hashes run over documents") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    val r = spark.sql(
+      """SELECT doc_id, size(graft_minhash_sigs(text, 5, 16)) AS n_sigs,
+        |       size(graft_ngram_hashes(text, 3)) AS n_grams
+        |FROM docs_ext""".stripMargin)
+    assert(r.filter("n_sigs != 16").count() == 0)
+    assert(r.filter("n_grams <= 0").count() == 0)
+  }
+}
