@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.gen.{ColSpec, TypeSpecParser}
+
+/** Property-based tests (SURVEY.md §5.2.2): parser round-trips over
+  * arbitrary valid specs, and rkey bijectivity over arbitrary id
+  * windows — pure-Scala properties, no Spark session needed.
+  * (Raw ScalaCheck Properties: the scalatest bridge artifact is not in
+  * the offline cache; sbt runs these natively.)
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val typeTokens = Gen.oneOf(
+    "bit", "tinyint", "smallint", "mediumint", "int", "bigint",
+    "float", "double", "text", "blob", "date", "datetime",
+    "timestamp", "time", "year", "key", "rkey")
+  private val sizedTokens = Gen.oneOf("char", "nchar", "varchar", "varchar2", "nvarchar2")
+  private val len = Gen.choose(1, 255)
+
+  private val element: Gen[(String, ColSpec)] = Gen.oneOf(
+    typeTokens.map(t => (t, ColSpec(t))),
+    for { t <- sizedTokens; n <- len } yield (s"$t($n)", ColSpec(t, length = n)),
+    for {
+      t <- Gen.oneOf("decimal", "number")
+      p <- Gen.choose(1, 18)
+      s <- Gen.choose(0, 18)
+    } yield (s"$t($p,$s)", ColSpec(t, precision = math.max(p, s), scale = s)))
+
+  property("parser round-trips arbitrary well-formed specs") =
+    forAll(Gen.nonEmptyListOf(element)) { elems =>
+      val input = elems.map(_._1).mkString(",")
+      TypeSpecParser.parse(input) == elems.map(_._2).toVector
+    }
+
+  property("parser is case-insensitive for arbitrary casing") =
+    forAll(Gen.nonEmptyListOf(element)) { elems =>
+      val shouted = elems.map(_._1.toUpperCase(java.util.Locale.ROOT)).mkString(",")
+      TypeSpecParser.parse(shouted) == elems.map(_._2).toVector
+    }
+
+  // pure-Scala mirror of GenExprs.rkey (also used by GenQueries' oracle)
+  private def bps(x: Long, m: Long, s: Int): Long = {
+    val t = ((x >>> s) ^ x) & m; (x ^ t) ^ (t << s)
+  }
+  private def rkey(id: Long): Long = {
+    val g = id + 1
+    val r = (g << 63) | (g >>> 1)
+    bps(bps(bps(r, 0x2222222222222222L, 1), 0x0c0c0c0c0c0c0c0cL, 2),
+      0x00f000f000f000f0L, 4)
+  }
+
+  private val window = for {
+    start <- Gen.choose(0L, Long.MaxValue - 10000)
+    n <- Gen.choose(1, 2000)
+  } yield (start, n)
+
+  property("rkey is collision-free over arbitrary id windows") =
+    forAll(window, window) { (w1: (Long, Int), w2: (Long, Int)) =>
+      val all = ((w1._1 until w1._1 + w1._2) ++ (w2._1 until w2._1 + w2._2)).distinct
+      all.map(rkey).distinct.size == all.size
+    }
+
+  property("rkey matches the reference's published first values") =
+    Prop((0L to 3L).map(rkey) == Seq(Long.MinValue, 1L, Long.MinValue + 1, 256L))
+}
