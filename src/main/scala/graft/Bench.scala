@@ -33,10 +33,13 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // failed queries report -1.0, never a fake duration — a regression
+    // must be visible in the JSON, not summed into total as a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
@@ -52,7 +55,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate}""")
     spark.stop()
   }

@@ -35,7 +35,7 @@ object GraftExtensions {
     case Literal(v: Int, _)  => v.toLong
     case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
   }
-  private def litInt(e: Expression): Int = litLong(e).toInt
+  private def litInt(e: Expression): Int = Math.toIntExact(litLong(e))
   private def litString(e: Expression): String = e match {
     case Literal(v, _) if v != null => v.toString
     case other => throw new IllegalArgumentException(s"expected string literal, got $other")

@@ -55,15 +55,23 @@ object MinHashImpl {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  // numHashes is a plan-time constant: compute the family parameters
+  // once, not per row (the sigs call is the per-document hot path)
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def params(numHashes: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(numHashes, n => {
+      val as = new Array[Long](n)
+      val bs = new Array[Long](n)
+      var i = 0
+      while (i < n) { val (a, b) = hashParams(i); as(i) = a; bs(i) = b; i += 1 }
+      (as, bs)
+    })
+
   def sigs(text: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
     val bytes = text.getBytes
     val md = digests.get()
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      val (a, b) = hashParams(i); as(i) = a; bs(i) = b; i += 1
-    }
+    val (as, bs) = params(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nSh = math.max(bytes.length - (shingleLen - 1), 1)
     var s = 0

@@ -25,28 +25,9 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // 16 hashes in 2 bands of 8 rows: calibrated on the testdata corpus —
-  // random doc pairs have shingle J ≈ 0.15-0.27 (shared synthetic
-  // vocabulary), planted near-dups J ≈ 0.98. P(candidate) = 1-(1-J^8)^2:
-  // ~1e-5 at J=0.23 (noise suppressed), ~0.98 at J=0.98 (dups caught).
-  private val NumHashes = 16
-  private val Bands = 2
-  private val RowsPerBand = NumHashes / Bands
-
-  /** Universal-hash family parameters (shared with the native
-    * expression's implementation so query and oracle stay in sync).
-    */
-  private val P = graft.gen.MinHashImpl.P
-  private def hashParams(i: Int): (Long, Long) = graft.gen.MinHashImpl.hashParams(i)
-
-  /** All MinHash signatures in one native-expression pass (see
-    * MinHashSigsExpr for semantics and why not built-ins).
-    */
-  private def minhashSigs(text: Column): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.gen.MinHashSigsExpr(
-      ColumnBridge.expression(text), 5, NumHashes))
-  }
+  // Banding scheme + calibration: graft.gen.LshBanding (shared with
+  // PipelineQueries so query and pipeline can't desynchronize).
+  import graft.gen.LshBanding
 
   def queries: Map[String, Q] = Map(
     // Exact dedup, keep-first semantics: group on md5(text) (at 100 TB
@@ -64,23 +45,19 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash + LSH banding: 8 hashes, 4 bands × 2 rows. Candidate
-    // pairs = docs sharing any band key. At 100 TB: the band explode is
-    // ×4 rows, the self-join shuffles on (band_idx, band_key) so pairs
-    // are enumerated only within buckets; bucket skew (giant clusters
-    // of identical docs) is the thing to monitor — cap bucket size or
-    // pre-collapse exact dups first.
+    // MinHash + LSH banding (LshBanding: 16 hashes, 2 bands × 8 rows).
+    // Candidate pairs = docs sharing any band key. At 100 TB: the band
+    // explode is ×Bands rows, the self-join shuffles on
+    // (band_idx, band_key) so pairs are enumerated only within buckets;
+    // bucket skew (giant clusters of identical docs) is the thing to
+    // monitor — cap bucket size or pre-collapse exact dups first.
     "q_dedup_minhash" -> ((s, d) => {
       val sigs = documents(s, d)
-        .withColumn("sigs", minhashSigs(col("text")))
-        .select(col("doc_id") +: (0 until NumHashes)
-          .map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
-      val bandKeys = (0 until Bands).map { j =>
-        md5(concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"sig${RowsPerBand * j + r}")): _*))
-      }
+        .withColumn("sigs", LshBanding.minhashSigs(col("text")))
+        .select(col("doc_id") +: LshBanding.sigCols: _*)
       val bands = sigs
-        .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("bidx", "bkey")))
+        .select(col("doc_id"),
+          posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
       val a = bands.select(col("doc_id").as("a_id"), col("bidx"), col("bkey"))
       val b = bands.select(col("doc_id").as("b_id"), col("bidx").as("bidx2"), col("bkey").as("bkey2"))
       a.join(b, col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
@@ -175,7 +152,12 @@ object DedupQueries {
               var dot = 0.0
               var j = 0
               while (j < av.length) { dot += av(j).toDouble * bv(j).toDouble; j += 1 }
-              if (dot / (aNorm * cnorms(bi)) >= 0.45) Some((aId, bId)) else None
+              // zero-norm guard: cosine is undefined (NaN), and NaN
+              // comparison semantics DIFFER across engines (JVM false,
+              // DuckDB sorts NaN above all) — both sides exclude explicitly
+              if (aNorm > 0 && cnorms(bi) > 0
+                && dot / (aNorm * cnorms(bi)) >= 0.45) Some((aId, bId))
+              else None
             }
         }
       }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
@@ -192,17 +174,6 @@ object DedupQueries {
          |  THEN ${1L << b}::BIGINT ELSE 0::BIGINT END""".stripMargin
     }.mkString(" + ")
 
-    val minhashSigsSql = (0 until NumHashes).map { i =>
-      val (a, b) = hashParams(i)
-      s"list_min(list_transform(hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT)) AS sig$i"
-    }.mkString(",\n    ")
-    val bandCase = (0 until Bands).map { j =>
-      val cat = (0 until RowsPerBand).map(r => s"sig${RowsPerBand * j + r}")
-        .mkString("concat_ws(',', ", ", ", ")")
-      s"WHEN $j THEN md5($cat)"
-    }.mkString(" ")
-    val bandIdxValues = (0 until Bands).map(j => s"($j)").mkString(",")
-
     Map(
       "q_dedup_exact" ->
         """SELECT doc_id, h, n_dups, lang FROM (
@@ -215,20 +186,16 @@ object DedupQueries {
       "q_dedup_minhash" ->
         s"""WITH sh AS (
            |  SELECT doc_id,
-           |    list_transform(
-           |      list_distinct(list_transform(
-           |        generate_series(1, greatest(strlen(text) - 4, 1)),
-           |        i -> substr(text, i, 5))),
-           |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${P}::BIGINT) AS hs
+           |    ${LshBanding.shinglesHashSql} AS hs
            |  FROM documents
            |), sig AS (
            |  SELECT doc_id,
-           |    $minhashSigsSql
+           |    ${LshBanding.sigsSql}
            |  FROM sh
            |), band AS (
            |  SELECT doc_id, k.j AS bidx,
-           |    CASE k.j $bandCase END AS bkey
-           |  FROM sig CROSS JOIN (VALUES $bandIdxValues) k(j)
+           |    CASE k.j ${LshBanding.bandCaseSql} END AS bkey
+           |  FROM sig CROSS JOIN (VALUES ${LshBanding.bandIdxValuesSql}) k(j)
            |)
            |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            |FROM band a JOIN band b
@@ -256,8 +223,12 @@ object DedupQueries {
           |    len(list_filter(a.g, x -> list_contains(b.g, x)))::DOUBLE
           |      / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))) AS j
           |  FROM base a JOIN base b
-          |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+          |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+          |  WHERE len(a.g) + len(b.g) > 0)
           |WHERE j >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+          // ^ union>0 guard: two gram-less docs would give j = 0/0 = NaN,
+          // and DuckDB's NaN compares greater than everything — the Spark
+          // side never materializes such pairs (no postings to join).
 
       "q_dedup_embedding" ->
         """WITH e AS (
@@ -268,7 +239,8 @@ object DedupQueries {
           |)
           |SELECT a.vec_id AS a_id, b.vec_id AS b_id
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
-          |WHERE list_reduce(list_transform(generate_series(1, 64),
+          |WHERE a.nrm > 0 AND b.nrm > 0
+          |  AND list_reduce(list_transform(generate_series(1, 64),
           |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
           |      / (a.nrm * b.nrm) >= 0.45
           |ORDER BY a_id, b_id""".stripMargin,

@@ -23,15 +23,7 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 16
-  private val Bands = 2
-  private val RowsPerBand = NumHashes / Bands
-
-  private def minhashSigs(text: Column): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.gen.MinHashSigsExpr(
-      ColumnBridge.expression(text), 5, NumHashes))
-  }
+  import graft.gen.LshBanding
 
   def queries: Map[String, Q] = Map(
     "q_pipeline_e2e" -> ((s, d) => {
@@ -57,15 +49,10 @@ object PipelineQueries {
       // stage 3: near-dup candidates via MinHash banding; drop the
       // higher doc_id of every candidate pair
       val sigs = exact
-        .withColumn("sigs", minhashSigs(col("text")))
-        .select(col("doc_id") +: (0 until NumHashes)
-          .map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
-      val bandKeys = (0 until Bands).map { j =>
-        md5(concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"sig${RowsPerBand * j + r}")): _*))
-      }
+        .withColumn("sigs", LshBanding.minhashSigs(col("text")))
+        .select(col("doc_id") +: LshBanding.sigCols: _*)
       val bands = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("bidx", "bkey")))
+        posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
       val drops = bands.as("a")
         .join(bands.as("b"),
           col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey")
@@ -82,18 +69,7 @@ object PipelineQueries {
     }),
   )
 
-  def oracles: Map[String, String] = {
-    val sigsSql = (0 until NumHashes).map { i =>
-      val (a, b) = graft.gen.MinHashImpl.hashParams(i)
-      s"list_min(list_transform(hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${graft.gen.MinHashImpl.P}::BIGINT)) AS sig$i"
-    }.mkString(",\n    ")
-    val bandCase = (0 until Bands).map { j =>
-      val cat = (0 until RowsPerBand).map(r => s"sig${RowsPerBand * j + r}")
-        .mkString("concat_ws(',', ", ", ", ")")
-      s"WHEN $j THEN md5($cat)"
-    }.mkString(" ")
-    val bandIdxValues = (0 until Bands).map(j => s"($j)").mkString(",")
-
+  def oracles: Map[String, String] =
     Map(
       "q_pipeline_e2e" ->
         s"""WITH kept AS (
@@ -112,20 +88,16 @@ object PipelineQueries {
            |  WHERE rn = 1
            |), sh AS (
            |  SELECT doc_id,
-           |    list_transform(
-           |      list_distinct(list_transform(
-           |        generate_series(1, greatest(strlen(text) - 4, 1)),
-           |        i -> substr(text, i, 5))),
-           |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${graft.gen.MinHashImpl.P}::BIGINT) AS hs
+           |    ${LshBanding.shinglesHashSql} AS hs
            |  FROM exact
            |), sig AS (
            |  SELECT doc_id,
-           |    $sigsSql
+           |    ${LshBanding.sigsSql}
            |  FROM sh
            |), band AS (
            |  SELECT doc_id, k.j AS bidx,
-           |    CASE k.j $bandCase END AS bkey
-           |  FROM sig CROSS JOIN (VALUES $bandIdxValues) k(j)
+           |    CASE k.j ${LshBanding.bandCaseSql} END AS bkey
+           |  FROM sig CROSS JOIN (VALUES ${LshBanding.bandIdxValuesSql}) k(j)
            |), drops AS (
            |  SELECT DISTINCT b.doc_id AS doc_id
            |  FROM band a JOIN band b
@@ -138,5 +110,4 @@ object PipelineQueries {
            |  count(DISTINCT source) AS nd_sources
            |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
     )
-  }
 }

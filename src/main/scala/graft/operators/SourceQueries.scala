@@ -19,10 +19,15 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def scratch(sfDir: String, fmt: String): String =
+    s"/tmp/graft_q_source_${fmt}_${sfDir.replaceAll("[^0-9A-Za-z]", "_")}"
+
   def queries: Map[String, Q] = Map(
-    // CSV sink → CSV source (header, explicit schema-on-read).
+    // CSV sink → CSV source (header, explicit schema-on-read). Paths
+    // are namespaced by sfDir so concurrent runs at different scale
+    // factors can't clobber each other's round-trip data.
     "q_source_csv" -> ((s, d) => {
-      val path = "/tmp/graft_q_source_csv"
+      val path = scratch(d, "csv")
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -38,7 +43,7 @@ object SourceQueries {
 
     // JSON sink → JSON source (schema inference on read).
     "q_source_json" -> ((s, d) => {
-      val path = "/tmp/graft_q_source_json"
+      val path = scratch(d, "json")
       events(s, d)
         .select("event_id", "event_type", "value", "user_id")
         .write.mode("overwrite").json(path)
@@ -52,7 +57,7 @@ object SourceQueries {
 
     // ORC sink → ORC source (binary columnar format, schema preserved).
     "q_source_orc" -> ((s, d) => {
-      val path = "/tmp/graft_q_source_orc"
+      val path = scratch(d, "orc")
       orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").orc(path)

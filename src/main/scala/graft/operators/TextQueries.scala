@@ -93,9 +93,15 @@ object TextQueries {
     // stream mod 1e9+7 (order-sensitive content id), (b) winnowing-style
     // min of 3-gram md5s (robust to local edits).
     "q_text_fingerprint" -> ((s, d) => {
-      val grams = transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      // <3 tokens ⇒ no 3-grams. The guard matters: sequence(1, n) with
+      // n < 1 produces a DESCENDING sequence reaching index 0, and
+      // element_at(_, 0) throws — DuckDB's generate_series(1, 0) is
+      // just empty.
+      val grams = when(size(toks) >= 3,
+        transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
       val tokHash = (t: Column) =>
         conv(md5(t).substr(1, 15), 16, 10).cast("long") % 1000000007L
       documents(s, d)
