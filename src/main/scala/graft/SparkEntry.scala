@@ -25,7 +25,8 @@ object SparkEntry {
       operators.GenQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.SourceQueries.queries ++
-      operators.PipelineQueries.queries
+      operators.PipelineQueries.queries ++
+      operators.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.GenQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       operators.SourceQueries.oracles ++
-      operators.PipelineQueries.oracles
+      operators.PipelineQueries.oracles ++
+      operators.SqlQueries.oracles
 }

@@ -129,6 +129,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // Full outer join with genuinely unmatched rows on both sides
+    // (filters make each side sparse); null-extended columns ordered
+    // NULLS FIRST to match both engines.
+    "q_join_outer" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("c_custkey")).as("k"),
+          col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy(asc_nulls_first("k"), asc_nulls_first("o_orderkey"))
+    }),
+
     // Pure theta (no equi key) → BroadcastNestedLoopJoin; only sane when
     // one side is tiny — nation×nation here by design.
     "q_join_nestedloop" -> ((s, d) => {
@@ -330,6 +344,13 @@ object RelationalQueries {
         |FROM orders JOIN lineitem
         |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.3
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT coalesce(o_custkey, c_custkey) AS k, o_orderkey, o_totalprice, c_name
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY k ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "q_join_nestedloop" ->
       """SELECT a.n_name AS a_name, count(*) AS n_pairs

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The SQL-text surface: queries submitted through spark.sql over temp
+  * views — exercising the parser, CTE handling, and Catalyst's
+  * correlated-subquery decorrelation, none of which the DataFrame-API
+  * inventory touches. Oracle SQL is near-identical text (dialect
+  * differences only in the epoch-micros function).
+  */
+object SqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, d: String): Unit =
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.t(s, d, t).createOrReplaceTempView(t)
+    }
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q3 shape (shipping-priority): 3-way join + filtered agg +
+    // top-k on the aggregate. Catalyst decides join order; the LIMIT
+    // rides TakeOrderedAndProject.
+    "q_sql_q3" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT l_orderkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+          |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+          |  o_orderpriority
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l_orderkey, odate_us, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    }),
+
+    // CTE + correlated EXISTS (decorrelated into a semi join).
+    "q_sql_exists_cte" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """WITH big_orders AS (
+          |  SELECT * FROM orders WHERE o_totalprice > 200000
+          |)
+          |SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM big_orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Scalar subquery threshold. The comparison is algebraically
+    // rearranged to avoid avg(double) (whose sum order differs between
+    // engines): price·count > 1.5·exact_sum keeps everything on
+    // deterministic values.
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice * (SELECT count(*) FROM orders)
+          |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  epoch_us(o_orderdate) AS odate_us,
+        |  o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, odate_us, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q_sql_exists_cte" ->
+      """WITH big_orders AS (
+        |  SELECT * FROM orders WHERE o_totalprice > 200000
+        |)
+        |SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM big_orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice * (SELECT count(*) FROM orders)
+        |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
