@@ -190,6 +190,20 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Distribution windows: ntile buckets + percent_rank/cume_dist —
+    // all exact integer-ratio values, so the doubles are bit-identical
+    // across engines without rounding.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Running total: decimal sum over a fully-specified frame order ⇒
     // exact and order-independent.
     "q_window_running" -> ((s, d) => {
@@ -373,6 +387,15 @@ object RelationalQueries {
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
