@@ -13,10 +13,11 @@ import graft.Tables._
   *    this shape is only sane for small query batches (broadcast the
   *    QUERIES, scan the corpus once, per-partition top-k heaps via
   *    window, then a tiny final merge).
-  *  - q_sim_ann: random-hyperplane LSH — the scale path. Vectors hash
-  *    to a bucket from the sign pattern of NBits fixed hyperplanes;
-  *    search only compares within the query's bucket (recall/cost is
-  *    tuned by NBits and multi-probe, not data size).
+  *  - q_sim_ann: random-hyperplane LSH with multi-probe — the scale
+  *    path. Vectors hash to a bucket from the sign pattern of NBits
+  *    fixed hyperplanes; each query searches its home bucket plus every
+  *    1-bit-flip neighbor (recall/cost is tuned by NBits and probe
+  *    count, not data size).
   *
   * Cross-engine determinism: cosine = fold(products)/(sqrt·sqrt) with
   * identical association order both engines ⇒ identical double bits;
@@ -36,8 +37,8 @@ object SimilarityQueries {
   // random-hyperplane LSH recall vs exact top-k is intrinsically low
   // (P[same sig] = (1-θ/π)^NBits ≈ 0.2 at 59°) — the operator's value
   // is the cost bound (bucket-local compare), and recall rises steeply
-  // when real duplicates exist (θ→0 ⇒ P→1). Tune NBits/multi-probe per
-  // corpus at deployment.
+  // when real duplicates exist (θ→0 ⇒ P→1). Multi-probe below widens
+  // recall; tune further per corpus at deployment.
   private val NBits = 4
 
   /** Deterministic pseudo-random numerator for hyperplane h, dim j. */
@@ -80,14 +81,22 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
-    // LSH-bucketed ANN: compare only within the query vector's bucket.
+    // LSH-bucketed ANN with multi-probe: each query searches its home
+    // bucket plus every 1-bit-flip neighbor (NBits+1 probes). Multi-
+    // probe multiplies the probe count, not the corpus cost, so the
+    // query stays sub-linear in corpus size while recovering most of
+    // what a single bucket misses on borderline hyperplane signs.
+    // A candidate matches exactly one probe mask (mask = qbkt XOR cbkt),
+    // so no dedup is needed before ranking.
     "q_sim_ann" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           normD(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+      val probeMasks = typedLit(0L +: (0 until NBits).map(b => 1L << b))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bkt").as("qb"))
+          col("nrm").as("qn"),
+          explode(transform(probeMasks, m => col("bkt").bitwiseXOR(m))).as("qb"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("bkt").as("cb"))
       val byScore = Window.partitionBy("q_id")
@@ -121,6 +130,8 @@ object SimilarityQueries {
     val cosSql =
       """list_reduce(list_transform(generate_series(1, 64),
         |      i -> q.qe[i]::DOUBLE * c.ce[i]::DOUBLE), (x, y) -> x + y) / (q.qn * c.cn)""".stripMargin
+    val probeMasks = (0L +: (0 until NBits).map(b => 1L << b))
+      .map(m => s"($m)").mkString(",")
 
     Map(
       "q_sim_topk" ->
@@ -148,7 +159,9 @@ object SimilarityQueries {
            |    $bucketSql AS bkt
            |  FROM embeddings
            |), q AS (
-           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bkt AS qb FROM e WHERE vec_id < $NumQueries
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, xor(bkt, m.mask) AS qb
+           |  FROM e CROSS JOIN (VALUES $probeMasks) m(mask)
+           |  WHERE vec_id < $NumQueries
            |), c AS (
            |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, bkt AS cb FROM e
            |), scored AS (
