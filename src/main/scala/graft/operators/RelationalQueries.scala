@@ -154,6 +154,32 @@ object RelationalQueries {
         .orderBy("a_name")
     }),
 
+    // Time-range (interval) join, scalable bucketized form: views that
+    // precede each purchase by ≤ 1 hour, for the same user. Naive form
+    // is a per-user theta join; bucketizing both sides to the hour and
+    // joining on (user, bucket) — purchases exploded into the 2 buckets
+    // their window can touch — bounds pair enumeration to co-located
+    // buckets (the interval-join pattern that survives 100 TB; DuckDB's
+    // oracle uses its native IEJoin range join instead).
+    "q_join_range" -> ((s, d) => {
+      val e = events(s, d)
+      val hourUs = 3600000000L
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("vts"))
+        .withColumn("bkt", expr(s"vts div $hourUs"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"), unix_micros(col("ts")).as("pts"))
+        .withColumn("bkt", explode(array(expr(s"pts div $hourUs"), expr(s"pts div $hourUs") - 1)))
+      purchases.join(views,
+          col("p_user") === col("user_id") && purchases("bkt") === views("bkt")
+            && col("vts") >= col("pts") - hourUs && col("vts") <= col("pts"),
+          "left_outer")
+        .groupBy(col("event_id"), col("p_user"), col("pts"))
+        .agg(count(col("vts")).as("n_views"))
+        .select(col("event_id"), col("p_user").as("user_id"), col("pts"), col("n_views"))
+        .orderBy("event_id")
+    }),
+
     // As-of join, Spark-native scale form: instead of a per-row range
     // join (quadratic blowup), union the two event streams and take a
     // running max of the view-timestamp per user — one shuffle on
@@ -370,6 +396,15 @@ object RelationalQueries {
       """SELECT a.n_name AS a_name, count(*) AS n_pairs
         |FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
         |GROUP BY a.n_name ORDER BY a_name""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts, count(v.ts) AS n_views
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id,
