@@ -64,6 +64,10 @@ object GenQueries {
           (min(col("c1")) >= -128 && max(col("c1")) <= 127).as("tinyint_ok"),
           (min(col("c2")) >= -32768 && max(col("c2")) <= 32767).as("smallint_ok"),
           (min(col("c3")) >= -8388608 && max(col("c3")) <= 8388607).as("mediumint_ok"),
+          // int spans the full 32-bit range, so range bounds are vacuous;
+          // the checkable invariant is draw diversity (1000 draws from
+          // 2^32 values collide almost never)
+          (countDistinct(col("c4")) >= 990).as("int_ok"),
           (min(col("c5")) >= 1901 && max(col("c5")) <= 2155).as("year_ok"),
           (min(col("c6")) >= -2147483648.0 && max(col("c6")) < 2147483648.0).as("double_ok"),
           (count(when(col("c7").rlike("^[A-Z]{7}$"), 1)) === count(lit(1))).as("char_ok"),
@@ -114,7 +118,7 @@ object GenQueries {
       "q_gen_domains" ->
         s"""SELECT CAST($GenRows AS BIGINT) AS n,
            |  true AS bit_ok, true AS tinyint_ok, true AS smallint_ok,
-           |  true AS mediumint_ok, true AS year_ok, true AS double_ok,
+           |  true AS mediumint_ok, true AS int_ok, true AS year_ok, true AS double_ok,
            |  true AS char_ok, true AS varchar_ok, true AS text_ok,
            |  true AS date_ok, true AS datetime_ok, true AS time_ok,
            |  true AS decimal_ok""".stripMargin,

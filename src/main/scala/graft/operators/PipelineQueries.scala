@@ -29,14 +29,14 @@ object PipelineQueries {
     "q_pipeline_e2e" -> ((s, d) => {
       val toks = split(col("text"), " ")
 
-      // stage 1: quality filter (q_text_quality's keep rule)
+      // stage 1: quality filter (shared QualityRule — same thresholds
+      // as q_text_quality by construction)
       val kept = documents(s, d)
         .withColumn("n_toks", size(toks))
         .withColumn("char_sum", aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
-        .withColumn("mean_len", col("char_sum").cast("double") / col("n_toks"))
-        .withColumn("dratio", size(array_distinct(toks)).cast("double") / col("n_toks"))
-        .filter(col("n_toks").between(10, 1000)
-          && col("mean_len").between(2.0, 12.0) && col("dratio") > 0.2)
+        .filter(QualityRule.keep(col("n_toks"),
+          col("char_sum").cast("double") / col("n_toks"),
+          size(array_distinct(toks)).cast("double") / col("n_toks")))
         .select("doc_id", "lang", "source", "text", "n_toks")
 
       // stage 2: exact dedup, keep lowest doc_id per md5(text)
@@ -76,11 +76,7 @@ object PipelineQueries {
            |  SELECT doc_id, lang, source, text,
            |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks
            |  FROM documents
-           |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
-           |    AND (list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))::DOUBLE
-           |         / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0
-           |    AND (len(list_distinct(string_split(text, ' ')))::DOUBLE
-           |         / len(string_split(text, ' '))) > 0.2
+           |  WHERE ${QualityRule.keepSqlOverText}
            |), exact AS (
            |  SELECT doc_id, lang, source, text, n_toks FROM (
            |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

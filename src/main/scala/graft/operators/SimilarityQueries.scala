@@ -66,8 +66,12 @@ object SimilarityQueries {
   def queries: Map[String, Q] = Map(
     // Exact cosine top-k for each of the first NumQueries vectors.
     "q_sim_topk" -> ((s, d) => {
+      // zero-norm vectors are excluded up front (cosine undefined; NaN
+      // would rank above all reals in DESC order in both engines and
+      // silently poison every top-k)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
@@ -92,6 +96,7 @@ object SimilarityQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           normD(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+        .filter(col("nrm") > 0) // see q_sim_topk
       val probeMasks = typedLit(0L +: (0 until NBits).map(b => 1L << b))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -140,10 +145,12 @@ object SimilarityQueries {
            |    sqrt(list_reduce(list_transform(generate_series(1, 64),
            |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
            |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
            |), q AS (
-           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < $NumQueries
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries
            |), c AS (
-           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn FROM e
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn FROM en
            |), scored AS (
            |  SELECT q.q_id, c.cand_id,
            |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
@@ -158,12 +165,14 @@ object SimilarityQueries {
            |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
            |    $bucketSql AS bkt
            |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
            |), q AS (
            |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, xor(bkt, m.mask) AS qb
-           |  FROM e CROSS JOIN (VALUES $probeMasks) m(mask)
+           |  FROM en CROSS JOIN (VALUES $probeMasks) m(mask)
            |  WHERE vec_id < $NumQueries
            |), c AS (
-           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, bkt AS cb FROM e
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, bkt AS cb FROM en
            |), scored AS (
            |  SELECT q.q_id, c.cand_id,
            |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk

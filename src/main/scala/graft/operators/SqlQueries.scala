@@ -13,42 +13,51 @@ object SqlQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def withViews(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem").foreach { t =>
-      Tables.t(s, d, t).createOrReplaceTempView(t)
-    }
+  /** Temp views are session-global state: namespacing them by sfDir
+    * avoids clobbering user views named `orders` etc. and keeps two
+    * scale factors from racing on one session. Returns the name map
+    * to splice into the SQL text.
+    */
+  private def withViews(s: SparkSession, d: String): Map[String, String] = {
+    val sfx = d.replaceAll("[^0-9A-Za-z]", "_")
+    Seq("customer", "orders", "lineitem").map { t =>
+      val v = s"graft_${t}_$sfx"
+      Tables.t(s, d, t).createOrReplaceTempView(v)
+      t -> v
+    }.toMap
+  }
 
   def queries: Map[String, Q] = Map(
     // TPC-H Q3 shape (shipping-priority): 3-way join + filtered agg +
     // top-k on the aggregate. Catalyst decides join order; the LIMIT
     // rides TakeOrderedAndProject.
     "q_sql_q3" -> ((s, d) => {
-      withViews(s, d)
+      val v = withViews(s, d)
       s.sql(
-        """SELECT l_orderkey,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-          |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
-          |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
-          |  o_orderpriority
-          |FROM customer JOIN orders ON c_custkey = o_custkey
-          |  JOIN lineitem ON l_orderkey = o_orderkey
-          |WHERE c_mktsegment = 'BUILDING'
-          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
-          |GROUP BY l_orderkey, odate_us, o_orderpriority
-          |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+        s"""SELECT l_orderkey,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+           |  o_orderpriority
+           |FROM ${v("customer")} JOIN ${v("orders")} ON c_custkey = o_custkey
+           |  JOIN ${v("lineitem")} ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY l_orderkey, odate_us, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
     }),
 
     // CTE + correlated EXISTS (decorrelated into a semi join).
     "q_sql_exists_cte" -> ((s, d) => {
-      withViews(s, d)
+      val v = withViews(s, d)
       s.sql(
-        """WITH big_orders AS (
-          |  SELECT * FROM orders WHERE o_totalprice > 200000
-          |)
-          |SELECT c_custkey, c_name FROM customer c
-          |WHERE EXISTS (SELECT 1 FROM big_orders o WHERE o.o_custkey = c.c_custkey)
-          |ORDER BY c_custkey""".stripMargin)
+        s"""WITH big_orders AS (
+           |  SELECT * FROM ${v("orders")} WHERE o_totalprice > 200000
+           |)
+           |SELECT c_custkey, c_name FROM ${v("customer")} c
+           |WHERE EXISTS (SELECT 1 FROM big_orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin)
     }),
 
     // Scalar subquery threshold. The comparison is algebraically
@@ -56,12 +65,12 @@ object SqlQueries {
     // engines): price·count > 1.5·exact_sum keeps everything on
     // deterministic values.
     "q_sql_scalar_subquery" -> ((s, d) => {
-      withViews(s, d)
+      val v = withViews(s, d)
       s.sql(
-        """SELECT o_orderkey, o_totalprice FROM orders
-          |WHERE o_totalprice * (SELECT count(*) FROM orders)
-          |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
-          |ORDER BY o_orderkey""".stripMargin)
+        s"""SELECT o_orderkey, o_totalprice FROM ${v("orders")}
+           |WHERE o_totalprice * (SELECT count(*) FROM ${v("orders")})
+           |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ${v("orders")})
+           |ORDER BY o_orderkey""".stripMargin)
     }),
   )
 

@@ -14,6 +14,32 @@ import graft.Tables._
   * bits in both engines), fingerprints are exact integer arithmetic
   * kept below 2^63 via mod-1e9+7 folding.
   */
+/** The quality keep-rule, shared between q_text_quality and the
+  * pipeline's stage 1 (PipelineQueries) so thresholds cannot
+  * desynchronize — both the Spark predicate and every oracle-SQL
+  * fragment interpolate these constants.
+  */
+object QualityRule {
+  val MinToks = 10
+  val MaxToks = 1000
+  val MinMeanLen = 2.0
+  val MaxMeanLen = 12.0
+  val MinDistinctRatio = 0.2
+
+  def keep(nToks: Column, meanLen: Column, dratio: Column): Column =
+    nToks.between(MinToks, MaxToks) &&
+      meanLen.between(MinMeanLen, MaxMeanLen) &&
+      dratio > MinDistinctRatio
+
+  /** DuckDB WHERE fragment over the raw `text` column. */
+  def keepSqlOverText: String =
+    s"""len(string_split(text, ' ')) BETWEEN $MinToks AND $MaxToks
+       |    AND (list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))::DOUBLE
+       |         / len(string_split(text, ' '))) BETWEEN $MinMeanLen AND $MaxMeanLen
+       |    AND (len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |         / len(string_split(text, ' '))) > $MinDistinctRatio""".stripMargin
+}
+
 object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -65,9 +91,9 @@ object TextQueries {
           col("n_toks"),
           (size(array_distinct(toks)).cast("double") / col("n_toks")).as("distinct_ratio"),
           (col("char_sum").cast("double") / col("n_toks")).as("mean_tok_len"),
-          (col("n_toks").between(10, 1000)
-            && (col("char_sum").cast("double") / col("n_toks")).between(2.0, 12.0)
-            && (size(array_distinct(toks)).cast("double") / col("n_toks")) > 0.2)
+          QualityRule.keep(col("n_toks"),
+            col("char_sum").cast("double") / col("n_toks"),
+            size(array_distinct(toks)).cast("double") / col("n_toks"))
             .as("keep"))
         .orderBy("doc_id")),
 
@@ -137,19 +163,19 @@ object TextQueries {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_text_quality" ->
-        """WITH t AS (
-          |  SELECT doc_id,
-          |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
-          |    len(list_distinct(string_split(text, ' '))) AS nd,
-          |    list_sum(list_transform(string_split(text, ' '), x -> strlen(x))) AS char_sum
-          |  FROM documents)
-          |SELECT doc_id, n_toks,
-          |  nd::DOUBLE / n_toks AS distinct_ratio,
-          |  char_sum::DOUBLE / n_toks AS mean_tok_len,
-          |  (n_toks BETWEEN 10 AND 1000
-          |    AND (char_sum::DOUBLE / n_toks) BETWEEN 2.0 AND 12.0
-          |    AND (nd::DOUBLE / n_toks) > 0.2) AS keep
-          |FROM t ORDER BY doc_id""".stripMargin,
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+           |    len(list_distinct(string_split(text, ' '))) AS nd,
+           |    list_sum(list_transform(string_split(text, ' '), x -> strlen(x))) AS char_sum
+           |  FROM documents)
+           |SELECT doc_id, n_toks,
+           |  nd::DOUBLE / n_toks AS distinct_ratio,
+           |  char_sum::DOUBLE / n_toks AS mean_tok_len,
+           |  (n_toks BETWEEN ${QualityRule.MinToks} AND ${QualityRule.MaxToks}
+           |    AND (char_sum::DOUBLE / n_toks) BETWEEN ${QualityRule.MinMeanLen} AND ${QualityRule.MaxMeanLen}
+           |    AND (nd::DOUBLE / n_toks) > ${QualityRule.MinDistinctRatio}) AS keep
+           |FROM t ORDER BY doc_id""".stripMargin,
 
       "q_text_langid" ->
         s"""WITH scored AS (

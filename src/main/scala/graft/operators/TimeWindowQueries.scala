@@ -53,7 +53,10 @@ object TimeWindowQueries {
     // Scale: one shuffle on user_id; state is bounded per user.
     "q_win_session" -> ((s, d) =>
       events(s, d)
-        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        // gap duration single-sourced from Sessionize.GapUs (shared with
+        // q_session_state and the common oracle)
+        .groupBy(session_window(col("ts"),
+          s"${graft.streaming.Sessionize.GapUs / 60000000L} minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
         .select(col("user_id"),
@@ -83,10 +86,10 @@ object TimeWindowQueries {
   )
 
   private val sessionOracle: String =
-      """WITH flagged AS (
+      s"""WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${graft.streaming.Sessionize.GapUs}
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -97,7 +100,7 @@ object TimeWindowQueries {
         |)
         |SELECT user_id,
         |  min(epoch_us(ts)) AS start_us,
-        |  max(epoch_us(ts)) + 600000000 AS end_us,
+        |  max(epoch_us(ts)) + ${graft.streaming.Sessionize.GapUs} AS end_us,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM numbered GROUP BY user_id, sid

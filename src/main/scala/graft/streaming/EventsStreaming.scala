@@ -20,26 +20,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object EventsStreaming {
 
-  /** events.parquet schema as read with nanosAsLong (ts: Long nanos). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming source over the static events parquet (file source; one
     * file = one micro-batch here). The file source requires a
     * directory, so we point at the sf dir and glob-filter to the
-    * events file.
+    * events file. The required schema is DERIVED from a batch read of
+    * the same file rather than hardcoded — a user-provided schema
+    * matches parquet columns by name, so a hardcoded copy would turn
+    * schema drift into silent all-null columns instead of a loud
+    * failure.
     */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream
-      .schema(eventsSchema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-hour counts per event type with a 30-minute watermark. */
   def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -49,7 +46,12 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
 
-  /** Sliding windows with distinct-ish user load, append-mode safe. */
+  /** Sliding-window counts. Note: the batch counterpart
+    * (q_win_sliding) also computes countDistinct(user_id), which is
+    * unsupported in streaming aggregations — this streaming variant
+    * covers the count only, and StreamingSpec compares against the
+    * matching projection.
+    */
   def slidingTotals(spark: SparkSession, sfDir: String): DataFrame =
     eventsStream(spark, sfDir)
       .withWatermark("ts", "30 minutes")
@@ -67,8 +69,10 @@ object EventsStreaming {
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // always stop: a failed processAllAvailable would otherwise leave
+    // the named query active and block any re-run under the same name
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(name)
   }
 }
