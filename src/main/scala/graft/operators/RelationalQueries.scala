@@ -286,6 +286,43 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Exact median (lower median for even counts) via window
+    // positioning — approx_percentile/quantile sketches differ between
+    // engines, but "the value at row ⌈n/2⌉ of the sorted partition" is
+    // exact and identical. Requires one sort per group — at corpus
+    // scale prefer the sketch unless exactness is contractual.
+    "q_agg_median" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+        .filter(col("rn") === expr("(cnt + 1) div 2")) // div, not `/`: Column `/` is double division
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"), col("cnt").as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Conditional-expression kitchen: CASE, coalesce, nullif, ifnull.
+    "q_scalar_conditional" -> ((s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("tier"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_coalesced"),
+          (col("c_acctbal") > 0 && col("c_nationkey") < 10).as("flag"))
+        .orderBy("c_custkey")),
+
+    // UNION ALL (bag semantics — the shuffle-free concat, unlike
+    // distinct-deduping UNION).
+    "q_union_all" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .union(orders(s, d).filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
     // Set ops (all distinct-semantics, matching SQL UNION/INTERSECT/EXCEPT).
     "q_union" -> ((s, d) =>
       orders(s, d).select(col("o_custkey").as("k"))
@@ -455,6 +492,31 @@ object RelationalQueries {
     "q_sort" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderstatus, median_price, n FROM (
+        |  SELECT o_orderstatus, o_totalprice AS median_price,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |WHERE rn = (n + 1) // 2 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scalar_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_coalesced,
+        |  (c_acctbal > 0 AND c_nationkey < 10) AS flag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n,
