@@ -68,6 +68,22 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Hive-style partitioned layout: write documents partitioned by
+    // lang, read back with a partition filter — the filter prunes
+    // entire directories (PartitionFilters in the scan, zero I/O for
+    // other languages), the layout pattern for any
+    // high-cardinality-scan corpus.
+    "q_source_partitioned" -> ((s, d) => {
+      val path = scratch(d, "part")
+      documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -99,6 +115,11 @@ object SourceQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_source_partitioned" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",

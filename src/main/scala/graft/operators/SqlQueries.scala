@@ -60,6 +60,20 @@ object SqlQueries {
            |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Explicit GROUPING SETS with grouping() markers — the general
+    // form behind rollup/cube.
+    "q_sql_grouping_sets" -> ((s, d) => {
+      val v = withViews(s, d)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           |  count(*) AS n
+           |FROM ${v("orders")}
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Scalar subquery threshold. The comparison is algebraically
     // rearranged to avoid avg(double) (whose sum order differs between
     // engines): price·count > 1.5·exact_sum keeps everything on
@@ -96,6 +110,15 @@ object SqlQueries {
         |SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM big_orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
