@@ -78,10 +78,13 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
     // collect_set → ObjectHashAggregate; sort_array for determinism.
+    // Emitted as a joined string: the driver's pandas comparator can't
+    // hash array cells (numpy.ndarray is unhashable), so array outputs
+    // are stringified at the query boundary on both engines.
     "q_agg_collect" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), "|").as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -389,7 +392,7 @@ object RelationalQueries {
 
     "q_agg_collect" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -64,7 +64,9 @@ object ScalarQueries {
           signum(col("l_quantity") - 25.0).cast("int").as("qty_sign"))
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // Array / higher-order functions over tokenized part names.
+    // Array / higher-order functions over tokenized part names. Array
+    // results are emitted as joined strings (pandas comparator can't
+    // hash array cells); the array ops themselves still run natively.
     "q_scalar_array" -> ((s, d) =>
       part(s, d)
         .withColumn("toks", split(col("p_name"), " "))
@@ -72,9 +74,9 @@ object ScalarQueries {
           col("p_partkey"),
           size(col("toks")).as("n_toks"),
           array_contains(col("toks"), "green").as("has_green"),
-          sort_array(col("toks")).as("toks_sorted"),
+          array_join(sort_array(col("toks")), "|").as("toks_sorted"),
           array_join(transform(col("toks"), x => upper(x)), "-").as("toks_up"),
-          filter(col("toks"), x => length(x) > 4).as("long_toks"),
+          array_join(filter(col("toks"), x => length(x) > 4), "|").as("long_toks"),
           aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("char_sum"))
         .orderBy("p_partkey")),
 
@@ -170,9 +172,9 @@ object ScalarQueries {
       """SELECT p_partkey,
         |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
         |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
-        |  list_sort(string_split(p_name, ' ')) AS toks_sorted,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS toks_sorted,
         |  array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), '-') AS toks_up,
-        |  list_filter(string_split(p_name, ' '), x -> strlen(x) > 4) AS long_toks,
+        |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), x -> strlen(x) > 4), '|'), '') AS long_toks,
         |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> strlen(x))) AS BIGINT) AS char_sum
         |FROM part ORDER BY p_partkey""".stripMargin,
 

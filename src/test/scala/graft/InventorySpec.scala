@@ -28,6 +28,24 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query output has array/map/struct columns after Verify.sanitize") {
+    // The driver's pandas comparator crashes on array cells (unhashable
+    // numpy.ndarray) and renders decimals differently from DuckDB floats.
+    // Verify.sanitize casts decimals; nested types must be stringified
+    // at the query level (array_join / array_to_string on both engines).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, DecimalType}
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      f <- Verify.sanitize(fn(spark, sf)).schema.fields
+      bad = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | _: DecimalType => true
+        case _ => false
+      }
+      if bad
+    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
+    assert(offenders.isEmpty, s"comparator-unsafe output columns: ${offenders.mkString(", ")}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and is re-run deterministic") {
       import org.apache.spark.sql.functions._

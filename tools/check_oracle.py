@@ -3,47 +3,84 @@
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
-Reads <verify_out_dir>/oracle_sql.json, registers every testdata table as a
-DuckDB view over <sf_dir>/<table>.parquet, runs each oracle SQL, and compares
-against the Spark result parquet at <verify_out_dir>/<name>/ — columns sorted
-by name, rows sorted by all columns, values stringified then hashed.
-Prints per-query PASS/FAIL with first-diff details on mismatch.
+Mirrors the driver's comparator asymmetry (the round-2 lesson): the
+SPARK side is read from the result parquet via pandas/pyarrow — decimal
+columns surface as Decimal objects, arrays as numpy.ndarray — while the
+ORACLE side runs through DuckDB's .df() conversion, where decimals
+become float64. Reading both sides through DuckDB (the old version of
+this tool) normalized those representations and hid 13 real failures.
+
+Rules enforced here, matching the driver:
+  * columns sorted by name, rows sorted after stringification;
+  * Decimal vs float renders differently → FAIL (queries must cast
+    decimals to DOUBLE at the output boundary — Verify.sanitize);
+  * ndarray/list/dict cells → loud FAIL (they crash the driver's
+    pandas sort with "unhashable type: numpy.ndarray").
 
 Dev-loop tool only (duckdb/pandas are driver-side deps, not library deps).
 """
-import json, sys, hashlib
+import datetime
+import glob
+import json
+import hashlib
+import os
+import sys
+from decimal import Decimal
+
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class Unhashable(Exception):
+    pass
+
+
 def norm_cell(v):
-    if v is None:
+    # numpy scalar -> python scalar first so isinstance checks fire
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # normalize -0.0 and integral floats
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
+    if isinstance(v, Decimal):
+        # Deliberately NOT normalized to float: the driver's comparator
+        # sees the textual Decimal repr, so a decimal reaching this point
+        # must fail against the oracle's float rendering.
+        return "Decimal(" + str(v) + ")"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise Unhashable(type(v).__name__)
+    if isinstance(v, pd.Timestamp):
+        s = v.isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(v, datetime.datetime):
+        s = v.isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 
-def canon(rel):
-    """DuckDB relation -> (sorted col names, sorted row tuples of strings)."""
-    cols = list(rel.columns)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(norm_cell(r[i]) for i in order) for r in rel.fetchall()]
+def canon(df):
+    """pandas DataFrame -> (sorted col names, sorted row tuples of strings)."""
+    cols = sorted(df.columns)
+    sub = df[cols]
+    rows = [tuple(norm_cell(x) for x in tup)
+            for tup in sub.itertuples(index=False, name=None)]
     rows.sort()
-    return [cols[i] for i in order], rows
+    return cols, rows
 
 
 def table_hash(cols, rows):
@@ -52,6 +89,14 @@ def table_hash(cols, rows):
     for r in rows:
         h.update(("\x1f".join(r) + "\x1e").encode())
     return h.hexdigest()[:16]
+
+
+def read_spark(result_dir):
+    files = sorted(glob.glob(os.path.join(result_dir, "*.parquet")))
+    if not files:
+        raise RuntimeError(f"no parquet files under {result_dir}")
+    return pd.concat([pd.read_parquet(f, engine="pyarrow") for f in files],
+                     ignore_index=True)
 
 
 def main():
@@ -63,19 +108,27 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     npass = nfail = nskip = 0
-    import os
     declared = sorted(d for d in os.listdir(out_dir)
                       if os.path.isdir(os.path.join(out_dir, d)))
     for name in declared:
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        scols, srows = canon(spark_rel)
+        try:
+            scols, srows = canon(read_spark(os.path.join(out_dir, name)))
+        except Unhashable as e:
+            print(f"FAIL {name}: spark output has array/map cell ({e}) — "
+                  f"would crash the driver comparator; emit array_join strings")
+            nfail += 1
+            continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
             nskip += 1
             continue
         try:
-            ocols, orows = canon(con.sql(oracle[name]))
+            ocols, orows = canon(con.sql(oracle[name]).df())
+        except Unhashable as e:
+            print(f"FAIL {name}: oracle output has array/map cell ({e}) — "
+                  f"would crash the driver comparator; emit array_to_string")
+            nfail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             nfail += 1
