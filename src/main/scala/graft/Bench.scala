@@ -27,10 +27,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: run the whole inventory once at the smallest SF.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // Warm-up: run the whole inventory once at the smallest SF; fall
+    // back to the bench dir itself when sf0.001 is absent. Failures are
+    // logged, not swallowed — a silent no-op warm-up would push JIT and
+    // codegen cost into whichever timed query runs first.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
     }
 
     // failed queries report -1.0, never a fake duration — a regression

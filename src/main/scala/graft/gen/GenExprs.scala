@@ -169,14 +169,24 @@ object GenExprs {
         // non-negative only (:141-147). Exponents capped to stay in Long —
         // the reference's static_cast<int>(pow(...)) overflow UB is NOT
         // replicated.
-        val ipDigits = math.min(math.max(spec.precision - spec.scale, 1), 18)
-        val sc = math.min(spec.scale, 18)
-        val ip = pmod(draw(1), lit(math.pow(10, ipDigits).toLong))
-        if (sc == 0) ip.cast(DecimalType(math.min(spec.precision, 38), 0))
+        // scale >= precision is legal in a spec (reference: int part
+        // always 0 since 10^(p-s)-1 = 0) — clamp ipDigits to 0, not 1,
+        // or the cast overflows under ANSI; and clamp the Spark type's
+        // scale to <= its precision or DecimalType throws at plan time.
+        val prec = math.min(spec.precision, 38)
+        val scale = math.min(math.min(spec.scale, prec), 37)
+        val ipDigits = math.min(math.max(spec.precision - spec.scale, 0), 18)
+        // emit no more fraction digits than the type's clamped scale —
+        // an extra digit could round 0.99999… up past the precision.
+        val sc = math.min(math.min(spec.scale, 18), scale)
+        val ip =
+          if (ipDigits == 0) lit(0L)
+          else pmod(draw(1), lit(math.pow(10, ipDigits).toLong))
+        if (sc == 0) ip.cast(DecimalType(prec, 0))
         else {
           val fr = pmod(draw(2), lit(math.pow(10, sc).toLong))
           format_string(s"%d.%0${sc}d", ip, fr)
-            .cast(DecimalType(math.min(spec.precision, 38), math.min(spec.scale, 37)))
+            .cast(DecimalType(prec, scale))
         }
       case _ => lit("")                                   // unknown → empty column (:239-241)
     }

@@ -38,11 +38,15 @@ object LshBanding {
 
   // ---- DuckDB oracle fragments (same constants) ----
 
-  /** `hs` (hashed shingles) list from a `text` column. */
+  /** `hs` (hashed shingles) list from a `text` column. Uses length()
+    * (characters), NOT strlen() (bytes) — substr is character-based, and
+    * the Spark expression shingles codepoints, so the two agree on
+    * non-ASCII corpora too.
+    */
   def shinglesHashSql: String =
     s"""list_transform(
        |      list_distinct(list_transform(
-       |        generate_series(1, greatest(strlen(text) - ${ShingleLen - 1}, 1)),
+       |        generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1)),
        |        i -> substr(text, i, $ShingleLen))),
        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${MinHashImpl.P}::BIGINT)""".stripMargin
 

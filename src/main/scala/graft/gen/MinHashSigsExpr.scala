@@ -22,9 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda transforms of the shingle array) evaluated ~36M lambdas at
   * sf0.1 (~8 s); this loop runs the same corpus in tens of ms.
   *
-  * Note: shingling is over BYTES of the UTF-8 text, which equals
-  * character shingles for ASCII corpora (the testdata); the md5s then
-  * match DuckDB's substr() semantics exactly.
+  * Shingling is over CODEPOINTS (matching DuckDB's character-based
+  * substr): non-ASCII input walks UTF-8 char boundaries; pure-ASCII
+  * input (byte count == char count) takes the straight byte path.
   */
 case class MinHashSigsExpr(child: Expression, shingleLen: Int, numHashes: Int)
     extends UnaryExpression {
@@ -70,14 +70,31 @@ object MinHashImpl {
 
   def sigs(text: UTF8String, shingleLen: Int, numHashes: Int): ArrayData = {
     val bytes = text.getBytes
+    // Char-start byte offsets, with a sentinel at the end. For ASCII
+    // (the common corpus) every byte is a char start and offs(i) == i.
+    val nChars = text.numChars()
+    val offs = new Array[Int](nChars + 1)
+    if (nChars == bytes.length) {
+      var i = 0
+      while (i <= nChars) { offs(i) = i; i += 1 }
+    } else {
+      var i = 0; var c = 0
+      while (i < bytes.length) {
+        if ((bytes(i) & 0xc0) != 0x80) { offs(c) = i; c += 1 }
+        i += 1
+      }
+      offs(nChars) = bytes.length
+    }
     val md = digests.get()
     val (as, bs) = params(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val nSh = math.max(bytes.length - (shingleLen - 1), 1)
+    val nSh = math.max(nChars - (shingleLen - 1), 1)
     var s = 0
     while (s < nSh) {
+      val from = offs(s)
+      val until = offs(math.min(s + shingleLen, nChars))
       md.reset()
-      md.update(bytes, s, math.min(shingleLen, bytes.length - s))
+      md.update(bytes, from, until - from)
       val d = md.digest()
       // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
       var h = 0L

@@ -132,7 +132,15 @@ object DedupQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
-      val all = e.collect().sortBy(_._1) // 2k×64 floats at bench SF; block at scale
+      // Broadcast bound: all-pairs needs the candidate side resident on
+      // every executor. Past ~500k×64f (~130 MB) that design is wrong —
+      // switch to block-partitioned all-pairs or LSH (q_sim_ann) — so
+      // degrade loudly instead of OOMing the driver.
+      val nCand = e.count()
+      require(nCand <= 500000L,
+        s"q_dedup_embedding: $nCand candidate vectors exceed the 500k broadcast " +
+          "bound; use blocked all-pairs or the LSH path (q_sim_ann) at this scale")
+      val all = e.collect().sortBy(_._1)
       val norms = all.map { case (_, v) =>
         var i = 0; var sum = 0.0
         while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -44,4 +44,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.filter("n_sigs != 16").count() == 0)
     assert(r.filter("n_grams <= 0").count() == 0)
   }
+
+  test("minhash shingles codepoints, not bytes — DuckDB substr parity on non-ASCII") {
+    // Expected values computed with the exact oracle SQL fragment
+    // (LshBanding.shinglesHashSql/sigsSql) in DuckDB over this string.
+    val text = "héllo wörld ümlaut …∆ końcówka"
+    val expected = Array(144169204L, 32448726L, 2663736L, 23280006L, 83597681L,
+      52999208L, 32867097L, 32682212L, 15937328L, 6761940L, 27530122L, 3088801L,
+      38734737L, 94100172L, 135365337L, 49319380L)
+    val got = gen.MinHashImpl
+      .sigs(org.apache.spark.unsafe.types.UTF8String.fromString(text), 5, 16)
+      .toLongArray()
+    assert(got.toSeq == expected.toSeq)
+  }
 }

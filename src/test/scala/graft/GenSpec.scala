@@ -96,6 +96,21 @@ class GenSpec extends AnyFunSuite {
     assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(10, 2))
   }
 
+  test("decimal(5,5): scale == precision generates 0.xxxxx without ANSI overflow") {
+    val df = SqloadGen.table(spark, "decimal(5,5)", N)
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(5, 5))
+    val r = df.agg(min("c0"), max("c0")).head()
+    assert(r.getDecimal(0).signum() >= 0)
+    assert(r.getDecimal(1).doubleValue() < 1.0) // int part is always 0
+  }
+
+  test("decimal(2,5): parser bumps precision to scale (reference fixup), generates 0.xxxxx") {
+    val df = SqloadGen.table(spark, "decimal(2,5)", N)
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(5, 5))
+    val mx = df.agg(max("c0")).head().getDecimal(0)
+    assert(mx.doubleValue() < 1.0)
+  }
+
   test("decimal(10) quirk: keeps default (16,6)") {
     val df = SqloadGen.table(spark, "decimal(10)", 10)
     assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(16, 6))
