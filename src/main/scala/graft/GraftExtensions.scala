@@ -21,11 +21,13 @@ import graft.gen.{MinHashSigsExpr, NgramHashesExpr, RandStringExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -246,6 +246,57 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Custom whole-operator path: top-3 orders per customer through the
+    // native TopKPerGroup logical plan + strategy (graft.plans) —
+    // per-partition bounded heaps, shuffle of ≤ k·groups pre-filtered
+    // rows, heap merge; no full window sort. Same semantics (and
+    // oracle) as the row_number() formulation in q_window_rank.
+    "q_topk_group" -> ((s, d) => {
+      graft.plans.TopKPerGroupStrategy.register(s)
+      graft.plans.TopKPerGroup(
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        groupCols = Seq("o_custkey"),
+        orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Value-range frame (30 days of micros) + first/last/nth_value over
+    // an explicit full frame. The range-sum is a set aggregate over the
+    // peer range — order-independent — and decimal-exact; the
+    // positional values take a unique tie-broken order.
+    "q_window_frames" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val wRange = Window.partitionBy("o_custkey").orderBy("order_us")
+        .rangeBetween(-30 * dayUs, 0)
+      val wFull = Window.partitionBy("o_custkey")
+        .orderBy(col("order_us"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .withColumn("order_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_us"),
+          sum(col("o_totalprice").cast(Dec2)).over(wRange).cast(Dec382).as("sum_30d"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Deterministic hash sampling: a 10% sample whose membership is a
+    // pure function of the row key (md5-based, engine-portable) — the
+    // scalable alternative to rand()-sampling when results must be
+    // reproducible across runs/engines; the sample is then aggregated.
+    "q_sample_hash" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("hkey",
+          conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+            .cast("long"))
+        .filter(pmod(col("hkey"), lit(100)) < 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     // lag/lead over the event stream per user.
     "q_window_lead_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -478,6 +529,33 @@ object RelationalQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS sum_30d,
+        |  first_value(o_totalprice) OVER w2 AS first_price,
+        |  last_value(o_totalprice) OVER w2 AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w2 AS second_price
+        |FROM orders
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE (('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15))::BIGINT) % 100 < 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_lead_lag" ->
       """SELECT event_id, user_id,

@@ -80,6 +80,17 @@ object ScalarQueries {
           aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("char_sum"))
         .orderBy("p_partkey")),
 
+    // Generator/UDTF surface: posexplode over tokenized documents —
+    // each doc emits its first 3 tokens with a 1-based position. The
+    // generate stays inside whole-stage codegen; at scale this is the
+    // flatMap shape used for shingling/token explosion everywhere else.
+    "q_explode_pos" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(slice(split(col("text"), " "), 1, 3)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"),
+          length(col("col")).as("tok_len"))
+        .orderBy("doc_id", "pos")),
+
     // Map construction + extraction. DuckDB map extract yields a LIST,
     // so the oracle indexes [1]; Spark's element_at is already scalar.
     "q_scalar_map" -> ((s, d) =>
@@ -177,6 +188,14 @@ object ScalarQueries {
         |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), x -> strlen(x) > 4), '|'), '') AS long_toks,
         |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> strlen(x))) AS BIGINT) AS char_sum
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_explode_pos" ->
+      """SELECT doc_id, CAST(u.s.i AS INT) AS pos, u.s.tok AS tok,
+        |  CAST(length(u.s.tok) AS INT) AS tok_len
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+        |     UNNEST(list_transform(range(1, least(len(l), 3) + 1),
+        |            i -> {'i': i, 'tok': l[i]})) AS u(s)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_scalar_map" ->
       """SELECT r_regionkey,

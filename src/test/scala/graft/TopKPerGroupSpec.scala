@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom TopKPerGroup operator: equivalence with the window
+  * formulation, plan shape (partial heap below the exchange, final heap
+  * above), and edge cases (small groups, k=1, duplicate order values).
+  */
+class TopKPerGroupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("matches row_number window formulation on orders") {
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    val base = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val viaOp = graft.plans.TopKPerGroup(base,
+      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(viaOp.count() == viaWindow.count())
+    assert(viaOp.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaOp).count() == 0)
+  }
+
+  test("plan shape: partial heap below the exchange, final heap above") {
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    val df = graft.plans.TopKPerGroup(
+      Tables.orders(spark, sf).select(col("o_custkey"), col("o_orderkey")),
+      Seq("o_custkey"), Seq("o_orderkey" -> true), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    val iFinal = plan.indexOf("TopKPerGroupFinal")
+    val iEx = plan.indexOf("Exchange", iFinal)
+    val iPartial = plan.indexOf("TopKPerGroupPartial", iFinal)
+    assert(iEx >= 0 && iPartial > iEx,
+      s"expected final -> Exchange -> partial ordering in:\n$plan")
+  }
+
+  test("edge cases: k=1, groups smaller than k, duplicate order values") {
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0),
+      ("b", 4L, 1.0),
+      ("c", 5L, 7.0), ("c", 6L, 9.0), ("c", 7L, 9.0), ("c", 8L, 2.0))
+      .toDF("g", "id", "v").repartition(3)
+    val top2 = graft.plans.TopKPerGroup(df,
+      Seq("g"), Seq("v" -> false, "id" -> true), 2)
+      .select("g", "id", "v", "rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(top2.toSeq == Seq(
+      ("a", 1L, 10.0, 1), ("a", 2L, 10.0, 2),
+      ("b", 4L, 1.0, 1),
+      ("c", 6L, 9.0, 1), ("c", 7L, 9.0, 2)))
+    val top1 = graft.plans.TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> true), 1)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(top1.toSeq == Seq(("a", 3L), ("b", 4L), ("c", 8L)))
+  }
+}
