@@ -356,6 +356,24 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Quantile sketch: percentile_approx (GK-style, mergeable — the
+    // 100 TB path where exact medians need a full sort per group). The
+    // estimate itself is engine-specific, so (q_agg_approx pattern) the
+    // gated output is the rank-error bound of the sketch: the true rank
+    // of each estimate must sit within ±1% of its target percentile
+    // (sketch guarantee is 1/accuracy = 0.01%).
+    "q_agg_quantiles" -> ((s, d) => {
+      val t = orders(s, d).select(col("o_totalprice").as("v"))
+      val appr = t.agg(percentile_approx(col("v"), typedLit(Seq(0.5, 0.9)), lit(10000)).as("qs"))
+        .select(element_at(col("qs"), 1).as("q50"), element_at(col("qs"), 2).as("q90"))
+      t.crossJoin(broadcast(appr))
+        .agg(
+          (sum(when(col("v") <= col("q50"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+            .between(0.49, 0.51).as("q50_ok"),
+          (sum(when(col("v") <= col("q90"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+            .between(0.89, 0.91).as("q90_ok"))
+    }),
+
     // Conditional-expression kitchen: CASE, coalesce, nullif, ifnull.
     "q_scalar_conditional" -> ((s, d) =>
       customer(s, d)
@@ -581,6 +599,9 @@ object RelationalQueries {
         |    count(*) OVER (PARTITION BY o_orderstatus) AS n
         |  FROM orders)
         |WHERE rn = (n + 1) // 2 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_quantiles" ->
+      "SELECT true AS q50_ok, true AS q90_ok",
 
     "q_scalar_conditional" ->
       """SELECT c_custkey,

@@ -40,6 +40,9 @@ object SimilarityQueries {
   // when real duplicates exist (θ→0 ⇒ P→1). Multi-probe below widens
   // recall; tune further per corpus at deployment.
   private val NBits = 4
+  // IVF: 8 coarse cells (centroids = corpus vectors 10..17), 2 probes.
+  private val NCentroids = 8
+  private val NProbe = 2
 
   /** Deterministic pseudo-random numerator for hyperplane h, dim j. */
   private def planeNum(h: Int, j: Int): Long =
@@ -114,6 +117,44 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVF-style ANN: the other classic scale path (inverted file over
+    // coarse cells). Cell assignment = argmax-cosine centroid (rank-1
+    // under a deterministic tie-break); queries probe their NProbe
+    // nearest cells and rank only those cells' members by true cosine.
+    // Corpus cost: one pass × NCentroids (broadcast) for assignment,
+    // then bucket-local compares — sub-linear per query like LSH, but
+    // with data-adaptive cells. Here centroids are 8 fixed corpus
+    // vectors (vec_id 10..17); at 100 TB they'd come from an offline
+    // k-means fit — the pipeline shape (assign → invert → probe) is
+    // identical and that's what this query pins down.
+    "q_sim_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0) // see q_sim_topk
+      val cents = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+        .select((col("vec_id") - NumQueries).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val byCent = Window.partitionBy("vec_id")
+        .orderBy(col("cscore").desc, col("cid"))
+      val ranked = e.join(broadcast(cents))
+        .withColumn("cscore", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("cr", row_number().over(byCent))
+      val cands = ranked.filter(col("cr") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cid").as("cell"))
+      val probes = ranked.filter(col("vec_id") < NumQueries && col("cr") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cid").as("pcell"))
+      val byScore = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(probes).join(cands, col("pcell") === col("cell") && col("q_id") =!= col("cand_id"))
+        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rnk", row_number().over(byScore))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Bucket histogram — the observability query for LSH tuning
     // (bucket skew is what kills ANN at scale).
     "q_sim_buckets" -> ((s, d) =>
@@ -177,6 +218,37 @@ object SimilarityQueries {
            |  SELECT q.q_id, c.cand_id,
            |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
            |  FROM q JOIN c ON q.qb = c.cb AND q.q_id <> c.cand_id)
+           |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
+           |ORDER BY q_id, rnk""".stripMargin,
+
+      "q_sim_ivf" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), cents AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}
+           |), ranked AS (
+           |  SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
+           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> en.embedding[i]::DOUBLE * cents.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (en.nrm * cents.cnrm) DESC, cents.cid) AS cr
+           |  FROM en CROSS JOIN cents
+           |), c AS (
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cid AS cell
+           |  FROM ranked WHERE cr = 1
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cid AS pcell
+           |  FROM ranked WHERE vec_id < $NumQueries AND cr <= $NProbe
+           |), scored AS (
+           |  SELECT q.q_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM q JOIN c ON q.pcell = c.cell AND q.q_id <> c.cand_id)
            |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
            |ORDER BY q_id, rnk""".stripMargin,
 
