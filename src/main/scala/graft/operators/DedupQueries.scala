@@ -170,6 +170,59 @@ object DedupQueries {
         }
       }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+
+    // Blocked all-pairs: the 100 TB form of q_dedup_embedding, made
+    // concrete. Vectors are split into B blocks by id; every unordered
+    // block pair (bi ≤ bj) is one reduce group and each vector is
+    // replicated to the B groups containing its block. Per-task memory
+    // is 2·N/B vectors (tuned by B), shuffle volume is B·N rows, no
+    // driver collect and no whole-table broadcast — same result set,
+    // same oracle, identical double arithmetic (dot in index order,
+    // lower-id norm first) as the broadcast form.
+    "q_dedup_embedding_blocked" -> ((s, d) => {
+      import s.implicits._
+      val B = 4
+      val pairs = for { bi <- 0 until B; bj <- bi until B } yield (bi, bj)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val replicated = e.flatMap { case (id, v) =>
+        val b = (id % B).toInt
+        pairs.iterator.zipWithIndex.collect {
+          case ((bi, bj), pid) if bi == b || bj == b => (pid, id, v)
+        }
+      }
+      replicated.groupByKey(_._1).flatMapGroups { (pid: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val (bi, bj) = pairs(pid)
+        val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        val norms = rows.map { case (_, v) =>
+          var i = 0; var sum = 0.0
+          while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(sum)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < rows.length) {
+          val (aId, av) = rows(i)
+          var j = i + 1
+          while (j < rows.length) {
+            val (bId, bv) = rows(j)
+            // in a cross-block group, only cross pairs belong here —
+            // intra-block pairs are owned by that block's (b, b) group
+            if (bi == bj || (aId % B) != (bId % B)) {
+              var dot = 0.0
+              var k = 0
+              while (k < av.length) { dot += av(k).toDouble * bv(k).toDouble; k += 1 }
+              if (norms(i) > 0 && norms(j) > 0
+                && dot / (norms(i) * norms(j)) >= 0.45) out += ((aId, bId))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -239,6 +292,23 @@ object DedupQueries {
           // side never materializes such pairs (no postings to join).
 
       "q_dedup_embedding" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+          |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+          |  FROM embeddings
+          |)
+          |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE a.nrm > 0 AND b.nrm > 0
+          |  AND list_reduce(list_transform(generate_series(1, 64),
+          |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+          |      / (a.nrm * b.nrm) >= 0.45
+          |ORDER BY a_id, b_id""".stripMargin,
+
+      // same semantics and arithmetic as q_dedup_embedding, different
+      // physical strategy — one oracle text, two gated plans
+      "q_dedup_embedding_blocked" ->
         """WITH e AS (
           |  SELECT vec_id, embedding,
           |    sqrt(list_reduce(list_transform(generate_series(1, 64),

@@ -59,6 +59,43 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("n"))
 
+  /** Stream-stream interval self-join: each purchase joined to the same
+    * user's views in the preceding hour — the streaming form of the
+    * q_join_range batch query. Both sides carry watermarks, so the join
+    * state for a view is dropped once the purchase-side watermark
+    * passes vts + 1 hour: state is bounded by (watermark + interval) ×
+    * arrival rate, not by history. Inner join (streaming outer joins
+    * only emit unmatched rows when the watermark passes them, which
+    * never happens for the tail of a finite replay).
+    */
+  def viewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = eventsStream(spark, sfDir)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "30 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    purchases.join(views,
+      expr("v_user = p_user AND vts >= pts - INTERVAL 1 HOUR AND vts <= pts"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        unix_micros(col("pts")).as("pts_us"), unix_micros(col("vts")).as("vts_us"))
+  }
+
+  /** Run an append-mode streaming query (e.g. a stream-stream join)
+    * over the static input to completion in a memory sink.
+    */
+  def runAppendToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming aggregate over the static input to completion,
     * materialized in a memory sink (complete mode), and return the
     * final table.

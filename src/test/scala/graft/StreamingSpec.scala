@@ -30,6 +30,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      EventsStreaming.viewPurchaseJoin(spark, sf), "t_ssjoin")
+    val e = Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts_us"))
+    val batch = purchases.join(views,
+        col("v_user") === col("user_id")
+          && col("vts_us") >= col("pts_us") - 3600000000L
+          && col("vts_us") <= col("pts_us"))
+      .select(col("event_id"), col("user_id"), col("pts_us"), col("vts_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming sliding counts == batch sliding counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.slidingTotals(spark, sf), "t_sliding")
