@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over a vector column — the offline
+  * training step that produces the coarse centroids an IVF index
+  * (SimilarityQueries.q_sim_ivf) probes at query time.
+  *
+  * Scale shape per iteration: the k×dim centroid matrix rides into the
+  * assignment expression as literals (no second table, no join); the
+  * mean recomputation shuffles (cluster, dim) partial aggregates, never
+  * vectors; the corpus is never collected. Driver state is the k×dim
+  * matrix only.
+  *
+  * Determinism: init is the k vectors with the smallest id (no RNG);
+  * assignment ties break toward the lower cluster index. Centroid
+  * means are floating-point aggregates, so exact bits can vary with
+  * partitioning (as with any double sum) — callers needing cross-run
+  * stability fix the partitioning, as KMeansSpec does.
+  * Algorithm: Lloyd (1957/1982), "Least squares quantization in PCM".
+  */
+object KMeans {
+
+  /** Squared L2 distance between a vector column and a centroid literal. */
+  private def dist2(vec: Column, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(cent), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** struct(d2, cid) of the nearest centroid (ties → lower index, via
+    * lexicographic struct ordering).
+    */
+  private def nearest(vec: Column, cents: Seq[Seq[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c).as("d2"), lit(i).as("cid"))
+    }: _*))
+
+  /** Index of the nearest centroid — the IVF cell-assignment expression. */
+  def assignment(vec: Column, cents: Seq[Seq[Double]]): Column =
+    nearest(vec, cents).getField("cid")
+
+  /** Run `iters` Lloyd iterations; returns (centroids, per-iteration
+    * WCSS measured under the centroids that iteration started from).
+    *
+    * @param df     input with a unique id column and an array<float|double> column
+    * @param idCol  unique id (initialization takes the k smallest)
+    * @param vecCol vector column name
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
+    : (Array[Array[Double]], Array[Double]) = {
+    require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
+    var cents: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(cents.length == k, s"need at least $k input vectors")
+    val wcss = new Array[Double](iters)
+    for (it <- 0 until iters) {
+      val centSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+      val assigned = df.select(
+        nearest(col(vecCol), centSeq).getField("cid").as("cid"),
+        nearest(col(vecCol), centSeq).getField("d2").as("d2"),
+        col(vecCol).as("v"))
+      // (cluster, dim) partial means in one shuffle; WCSS rides along on
+      // dim 0 so the iteration is a single pass over the corpus
+      val stats = assigned
+        .select(col("cid"), col("d2"), posexplode(col("v")).as(Seq("dimIdx", "x")))
+        .groupBy("cid", "dimIdx")
+        .agg(avg(col("x").cast("double")).as("m"),
+          sum(when(col("dimIdx") === 0, col("d2"))).as("d2sum"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i).clone()) // empty cluster keeps its centroid
+      var sse = 0.0
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        if (!r.isNullAt(3)) sse += r.getDouble(3)
+      }
+      wcss(it) = sse
+      cents = next
+    }
+    (cents, wcss)
+  }
+}

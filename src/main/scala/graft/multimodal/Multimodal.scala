@@ -69,4 +69,40 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_ms: Long,
+                      ffeatures: Array[Double])
+
+  val NFrames = 4
+  val FrameDim = 4
+
+  /** Frame sampling over video payloads: the 1→N flatMap shape of a
+    * real frame extractor (decode container → seek to N uniformly
+    * spaced timestamps → per-frame features), with the same stub
+    * substitution — frame "timestamp" is a deterministic function of
+    * payload size, frame features are md5-derived from (payload, frame
+    * index). One decoder handle per partition; output is fixed-width
+    * rows so the parquet schema is stable regardless of media length.
+    */
+  def sampleFrames(spark: SparkSession, sfDir: String): Dataset[FrameRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow]
+      .filter(_.media_type == "video")
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          // stub duration: 1 ms per payload byte
+          (0 until NFrames).iterator.map { i =>
+            val feats = Array.tabulate(FrameDim) { j =>
+              md.reset()
+              md.update(r.payload)
+              md.update(s"#$i:$j".getBytes("UTF-8"))
+              val hex = md.digest().map("%02x".format(_)).mkString
+              (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000L).toDouble / 1000.0
+            }
+            FrameRow(r.doc_id, i, i.toLong * r.payload.length / NFrames, feats)
+          }
+        }
+      }
+  }
 }

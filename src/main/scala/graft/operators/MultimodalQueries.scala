@@ -21,11 +21,22 @@ object MultimodalQueries {
       feats.select(Seq(col("doc_id"), col("media_type"), col("n_bytes")) ++ cols: _*)
         .orderBy("doc_id")
     }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      val frames = Multimodal.sampleFrames(s, d).toDF()
+      val cols = (0 until Multimodal.FrameDim)
+        .map(j => element_at(col("ffeatures"), j + 1).as(s"ff$j"))
+      frames.select(Seq(col("doc_id"), col("frame_idx"), col("frame_ms")) ++ cols: _*)
+        .orderBy("doc_id", "frame_idx")
+    }),
   )
 
   def oracles: Map[String, String] = {
     val featSql = (0 until Multimodal.FeatureDim).map { i =>
       s"(('0x' || substr(md5(text || '$i'), 1, 15))::BIGINT % 1000) / 1000.0 AS f$i"
+    }.mkString(",\n  ")
+    val frameSql = (0 until Multimodal.FrameDim).map { j =>
+      s"(('0x' || substr(md5(text || '#' || g.i || ':' || $j), 1, 15))::BIGINT % 1000) / 1000.0 AS ff$j"
     }.mkString(",\n  ")
     Map(
       "q_multimodal_features" ->
@@ -34,6 +45,14 @@ object MultimodalQueries {
            |  CAST(strlen(text) AS INT) AS n_bytes,
            |  $featSql
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal_frames" ->
+        s"""SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
+           |  CAST((g.i * strlen(text)) // ${Multimodal.NFrames} AS BIGINT) AS frame_ms,
+           |  $frameSql
+           |FROM documents, generate_series(0, ${Multimodal.NFrames - 1}) g(i)
+           |WHERE doc_id % 3 = 2
+           |ORDER BY doc_id, frame_idx""".stripMargin,
     )
   }
 }
