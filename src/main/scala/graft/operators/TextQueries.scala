@@ -64,6 +64,24 @@ object TextQueries {
     size(filter(toks, t => t.isInCollection(words)))
 
   def queries: Map[String, Q] = Map(
+    // Per-language top words through the native TopKPerGroup operator
+    // (graft.plans) — the vocabulary-summary query composed from
+    // explode → count → bounded per-group heaps. The word-count
+    // aggregate shrinks the heap input; the operator then shuffles only
+    // ≤ k·langs·partitions candidate rows instead of window-sorting
+    // every distinct word.
+    "q_text_topwords" -> ((s, d) => {
+      graft.plans.TopKPerGroupStrategy.register(s)
+      val counts = documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerGroup(counts,
+        groupCols = Seq("lang"),
+        orderCols = Seq("n" -> false, "w" -> true),
+        k = 5)
+        .orderBy("lang", "rn")
+    }),
+
     // Token statistics: counts via split (whitespace tokenizer) and a
     // BPE-ish sub-token estimate via a regex pass.
     "q_text_tokens" -> ((s, d) =>
@@ -152,6 +170,18 @@ object TextQueries {
       }
 
     Map(
+      "q_text_topwords" ->
+        """WITH words AS (
+          |  SELECT lang, u.w AS w, count(*) AS n
+          |  FROM (SELECT lang, string_split(text, ' ') AS l FROM documents) t,
+          |       UNNEST(t.l) AS u(w)
+          |  GROUP BY lang, u.w)
+          |SELECT lang, w, n, rn FROM (
+          |  SELECT lang, w, n,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn
+          |  FROM words)
+          |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
       "q_text_tokens" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

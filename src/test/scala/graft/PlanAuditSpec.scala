@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits for the claims SCALE.md makes: predicates and
+  * projections reach the parquet scan, small dims broadcast, top-k is
+  * TakeOrderedAndProject (not a global sort), and the generator plan is
+  * shuffle-free. Failures here mean a plan silently regressed even
+  * though results still match the oracle.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // formatted mode prints PushedFilters/ReadSchema untruncated
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val plan = planOf("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // projection pruning: the untouched wide columns never leave parquet
+    assert(!plan.contains("l_comment"), plan)
+    assert(!plan.contains("l_partkey"), plan)
+  }
+
+  test("q_scan_parquet reads only the 5 projected columns") {
+    val plan = planOf("q_scan_parquet")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    val plan = planOf("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("generator plan is shuffle-free (Range -> Project)") {
+    val plan = gen.SqloadGen.table(spark, "key,bigint,varchar(10)", 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Range"), plan)
+  }
+
+  test("q_text_topwords runs through the native TopKPerGroup operator") {
+    val plan = planOf("q_text_topwords")
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+  }
+}
