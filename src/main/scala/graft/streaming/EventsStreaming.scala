@@ -82,6 +82,20 @@ object EventsStreaming {
         unix_micros(col("pts")).as("pts_us"), unix_micros(col("vts")).as("vts_us"))
   }
 
+  /** Streaming exact dedup: first-seen (user_id, event_type) pairs —
+    * the streaming form of keep-first dedup. dropDuplicates keeps all
+    * seen keys in state (exact global dedup); production pipelines that
+    * can tolerate a horizon switch to dropDuplicatesWithinWatermark so
+    * state is bounded by the watermark window. Output columns are just
+    * the key pair, so the surviving SET is deterministic even though
+    * which duplicate row wins depends on arrival order.
+    */
+  def dedupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Run an append-mode streaming query (e.g. a stream-stream join)
     * over the static input to completion in a memory sink.
     */

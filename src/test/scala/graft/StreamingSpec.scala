@@ -49,6 +49,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming exact dedup == batch distinct key pairs") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      EventsStreaming.dedupPairs(spark, sf), "t_dedup")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming sliding counts == batch sliding counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.slidingTotals(spark, sf), "t_sliding")

@@ -52,6 +52,29 @@ class TopKPerGroupSpec extends AnyFunSuite {
       s"expected final -> Exchange -> partial ordering in:\n$plan")
   }
 
+  test("randomized differential: operator == pure-Scala model over seeded datasets") {
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(800)
+      val nGroups = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(4)
+      // small value domain forces ties; unique id breaks them
+      val rows = (0 until n).map(i =>
+        (s"g${rnd.nextInt(nGroups)}", i.toLong, rnd.nextInt(10).toDouble))
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(5))
+      val got = graft.plans.TopKPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), k)
+        .select("g", "id", "v", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+          .map { case ((_, id, v), i) => (g, id, v, i + 1) }
+      }.toSet
+      assert(got == want, s"seed=$seed n=$n groups=$nGroups k=$k")
+    }
+  }
+
   test("edge cases: k=1, groups smaller than k, duplicate order values") {
     graft.plans.TopKPerGroupStrategy.register(spark)
     import spark.implicits._
