@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.gen.{MinHashSigsExpr, NgramHashesExpr, RandStringExpr}
+import graft.gen.{MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenExpr}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql` users can call them without the Scala API:
@@ -55,6 +55,9 @@ object GraftExtensions {
     },
     "graft_ngram_hashes" -> { exprs =>
       NgramHashesExpr(exprs(0), if (exprs.length > 1) litInt(exprs(1)) else 3)
+    },
+    "graft_shingles" -> { exprs =>
+      ShingleGenExpr(exprs(0), if (exprs.length > 1) litInt(exprs(1)) else 5)
     },
   )
 

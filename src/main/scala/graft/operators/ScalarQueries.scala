@@ -91,6 +91,18 @@ object ScalarQueries {
           length(col("col")).as("tok_len"))
         .orderBy("doc_id", "pos")),
 
+    // Custom Generator (UDTF) surface: graft_shingles streams one row
+    // per character shingle without materializing an intermediate
+    // array per document (contrast q_explode_pos, the built-in
+    // array+posexplode route). Registered via GraftExtensions.
+    "q_shingle_gen" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      documents(s, d)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id"), expr("graft_shingles(text, 5)").as(Seq("pos", "shingle")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Map construction + extraction. DuckDB map extract yields a LIST,
     // so the oracle indexes [1]; Spark's element_at is already scalar.
     "q_scalar_map" -> ((s, d) =>
@@ -195,6 +207,13 @@ object ScalarQueries {
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
         |     UNNEST(list_transform(range(1, least(len(l), 3) + 1),
         |            i -> {'i': i, 'tok': l[i]})) AS u(s)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_shingle_gen" ->
+      """SELECT doc_id, CAST(u.s.i AS INT) AS pos, u.s.sh AS shingle
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 5) t,
+        |     UNNEST(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+        |            i -> {'i': i, 'sh': substr(text, i, 5)})) AS u(s)
         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_scalar_map" ->
