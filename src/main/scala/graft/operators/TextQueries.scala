@@ -82,6 +82,20 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Corpus normalization pass: the cleaning stage every training
+    // pipeline runs before dedup/tokenization — lowercase, strip
+    // non-alphanumerics, collapse runs of spaces, trim. Regexes stay in
+    // the Java∩RE2 common subset (DuckDB is RE2) so both engines agree.
+    "q_text_normalize" -> ((s, d) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      documents(s, d)
+        .select(col("doc_id"), cleaned.as("clean"),
+          length(cleaned).as("clean_len"),
+          (length(col("text")) - length(cleaned)).as("removed"))
+        .orderBy("doc_id")
+    }),
+
     // Token statistics: counts via split (whitespace tokenizer) and a
     // BPE-ish sub-token estimate via a regex pass.
     "q_text_tokens" -> ((s, d) =>
@@ -170,6 +184,13 @@ object TextQueries {
       }
 
     Map(
+      "q_text_normalize" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean,
+          |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS clean_len,
+          |  CAST(length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS removed
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       "q_text_topwords" ->
         """WITH words AS (
           |  SELECT lang, u.w AS w, count(*) AS n
