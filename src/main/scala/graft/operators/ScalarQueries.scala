@@ -91,6 +91,22 @@ object ScalarQueries {
           length(col("col")).as("tok_len"))
         .orderBy("doc_id", "pos")),
 
+    // Bitwise kitchen: and/or/xor/shifts/not over key columns — exact
+    // integer ops, identical in any engine. (The generator's rkey bit
+    // permutation is built from exactly these primitives.)
+    "q_scalar_bitwise" -> ((s, d) =>
+      nation(s, d)
+        .select(
+          col("n_nationkey"),
+          (col("n_nationkey").bitwiseAND(col("n_regionkey"))).as("b_and"),
+          (col("n_nationkey").bitwiseOR(col("n_regionkey"))).as("b_or"),
+          (col("n_nationkey").bitwiseXOR(col("n_regionkey"))).as("b_xor"),
+          shiftleft(col("n_nationkey"), 3).as("b_shl"),
+          shiftright(col("n_nationkey"), 1).as("b_shr"),
+          bitwise_not(col("n_nationkey")).as("b_not"),
+          bit_count(col("n_nationkey")).as("b_pop"))
+        .orderBy("n_nationkey")),
+
     // Custom Generator (UDTF) surface: graft_shingles streams one row
     // per character shingle without materializing an intermediate
     // array per document (contrast q_explode_pos, the built-in
@@ -208,6 +224,17 @@ object ScalarQueries {
         |     UNNEST(list_transform(range(1, least(len(l), 3) + 1),
         |            i -> {'i': i, 'tok': l[i]})) AS u(s)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_scalar_bitwise" ->
+      """SELECT n_nationkey,
+        |  n_nationkey & n_regionkey AS b_and,
+        |  n_nationkey | n_regionkey AS b_or,
+        |  xor(n_nationkey, n_regionkey) AS b_xor,
+        |  n_nationkey << 3 AS b_shl,
+        |  n_nationkey >> 1 AS b_shr,
+        |  ~n_nationkey AS b_not,
+        |  CAST(bit_count(n_nationkey) AS INT) AS b_pop
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_shingle_gen" ->
       """SELECT doc_id, CAST(u.s.i AS INT) AS pos, u.s.sh AS shingle

@@ -86,6 +86,19 @@ object SqlQueries {
            |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM ${v("orders")})
            |ORDER BY o_orderkey""".stripMargin)
     }),
+
+    // IN-subquery under a disjunction: Catalyst can't rewrite this to a
+    // plain semi join (the OR keeps non-members), so it plans the
+    // ExistenceJoin variant — the one join form the DataFrame inventory
+    // can't reach, since only the analyzer produces it.
+    "q_sql_existence" -> ((s, d) => {
+      val v = withViews(s, d)
+      s.sql(
+        s"""SELECT c_custkey, c_acctbal FROM ${v("customer")}
+           |WHERE c_custkey IN (SELECT o_custkey FROM ${v("orders")} WHERE o_totalprice > 300000)
+           |   OR c_acctbal > 9500
+           |ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -119,6 +132,12 @@ object SqlQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_sql_existence" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |   OR c_acctbal > 9500
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
