@@ -48,13 +48,19 @@ object SimilarityQueries {
   private def planeNum(h: Int, j: Int): Long =
     ((h.toLong * 64 + j) * 2654435761L) % 1000003L
 
-  private def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  // Codegen dot/norm (graft.gen.VecExprs): same ascending-index fold as
+  // the HOF form and the DuckDB list_reduce oracle — identical double
+  // bits, ~none of the interpreted-lambda cost.
+  private def dotD(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.DotProductExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  }
 
-  private def normD(x: Column): Column =
-    sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def normD(x: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(x)))
+  }
 
   /** LSH bucket id: bit h set iff dot(v, plane_h) > 0. */
   private def bucket(v: Column): Column =
