@@ -40,6 +40,17 @@ object VecMath {
     }
     math.sqrt(acc)
   }
+
+  def proj(a: ArrayData, plane: Array[Double]): Double = {
+    val n = math.min(a.numElements(), plane.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * plane(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** dot(a, b) over two array<float> columns — codegen static call. */
@@ -57,6 +68,30 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Projection of an array<float> column onto a constant double plane —
+  * the LSH hyperplane-sign hot path. The plane rides into generated
+  * code as a reference object; the per-element values must be
+  * precomputed EXACTLY as the oracle derives them (k/1000003.0 - 0.5
+  * per component) so the fold stays bit-identical.
+  */
+case class PlaneProjExpr(child: Expression, plane: Array[Double])
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_plane_proj"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecMath.proj(a.asInstanceOf[ArrayData], plane)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.gen.VecMath.proj($a, $planeRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneProjExpr =
+    copy(child = newChild)
 }
 
 /** L2 norm of an array<float> column — codegen static call. */

@@ -62,13 +62,17 @@ object SimilarityQueries {
     ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(x)))
   }
 
-  /** LSH bucket id: bit h set iff dot(v, plane_h) > 0. */
+  /** LSH bucket id: bit h set iff dot(v, plane_h) > 0. Projection runs
+    * through the codegen PlaneProjExpr; the plane components are
+    * precomputed with the exact per-element arithmetic the DuckDB
+    * oracle uses (k/1000003.0 - 0.5), so the fold is bit-identical.
+    */
   private def bucket(v: Column): Column =
     (0 until NBits).map { h =>
-      val plane = typedLit((1 to 64).map(j => planeNum(h, j)))
-      val proj = aggregate(
-        zip_with(v, plane, (p, k) => p.cast("double") * (k.cast("double") / 1000003.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
+      import org.apache.spark.sql.graft.ColumnBridge
+      val plane = (1 to 64).map(j => planeNum(h, j).toDouble / 1000003.0 - 0.5).toArray
+      val proj = ColumnBridge.column(
+        graft.gen.PlaneProjExpr(ColumnBridge.expression(v), plane))
       when(proj > 0, lit(1L << h)).otherwise(0L)
     }.reduce(_ + _)
 
