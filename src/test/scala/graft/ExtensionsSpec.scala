@@ -45,6 +45,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.filter("n_grams <= 0").count() == 0)
   }
 
+  test("graft_shingles edge cases: empty text, short text, non-ASCII codepoints") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, ""), (2L, "ab"), (3L, "héllo wörld"))
+      .toDF("id", "t").createOrReplaceTempView("shingle_edge")
+    val rows = spark.sql(
+      "SELECT id, s.pos, s.shingle FROM shingle_edge LATERAL VIEW graft_shingles(t, 5) s AS pos, shingle ORDER BY id, pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // empty text and shorter-than-shingle text emit ONE row (the whole
+    // text) — matching DuckDB's greatest(length-4, 1) loop bound;
+    // non-ASCII shingles advance by codepoint, not byte
+    assert(rows.toSeq == Seq(
+      (1L, 1, ""), (2L, 1, "ab"),
+      (3L, 1, "héllo"), (3L, 2, "éllo "), (3L, 3, "llo w"),
+      (3L, 4, "lo wö"), (3L, 5, "o wör"), (3L, 6, " wörl"), (3L, 7, "wörld")))
+  }
+
   test("minhash shingles codepoints, not bytes — DuckDB substr parity on non-ASCII") {
     // Expected values computed with the exact oracle SQL fragment
     // (LshBanding.shinglesHashSql/sigsSql) in DuckDB over this string.
