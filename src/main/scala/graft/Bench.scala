@@ -60,10 +60,59 @@ object Bench {
     val genSec = (System.nanoTime() - g0) / 1e9
     val genRate = (genRows / genSec).toLong
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate}""")
-    spark.stop()
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+
+    // The driver captures only the LAST 2000 chars of combined output and
+    // parses the JSON line out of that window; sbt appends ~80 chars of
+    // "[success] Total time: ..." after us. Full-precision per-query values
+    // for 80 queries overflow the window (r01/r02 both came back
+    // parsed=null), so the stdout line uses 2-significant-digit seconds and
+    // the full-precision copy goes to BENCH_FULL.json for the judge.
+    val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate)
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+
+    spark.stop() // stop FIRST: any shutdown warnings must land before the JSON line
+    println(line)
+    System.out.flush()
+  }
+
+  /** One-line JSON under the driver's 2000-char tail window (minus sbt's
+    * epilogue): 2-significant-digit seconds per query, numeric sf.
+    * BenchLineSpec pins the budget as the inventory grows.
+    */
+  def renderLine(results: Seq[(String, Double)], total: Double, sfNum: String,
+                 genRows: Long, genSec: Double, genRate: Long): String = {
+    import java.util.Locale.ROOT
+    val budget = 1870 // 2000-char driver tail minus sbt epilogue + slack
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + "%.2g".formatLocal(ROOT, v) }
+        .mkString("{", ",", "}")
+      val omitField = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${"%.4g".formatLocal(ROOT, total)},"unit":"sec","queries":$qs$omitField,"sf":$sfNum,"gen_rows":$genRows,"gen_sec":${"%.3g".formatLocal(ROOT, genSec)},"gen_rows_per_sec":$genRate}"""
+    }
+    val full = render(results, 0)
+    if (full.length <= budget) full
+    else {
+      // keep the slowest (and any failed=-1) entries that fit; the full
+      // map is always in BENCH_FULL.json
+      // failures (-1) rank first so a regression never drops out of the line
+      val ranked = results.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
+      var keep = ranked
+      var out = render(keep.sortBy(_._1), results.size - keep.size)
+      while (out.length > budget && keep.nonEmpty) {
+        keep = keep.dropRight(1)
+        out = render(keep.sortBy(_._1), results.size - keep.size)
+      }
+      out
+    }
   }
 }

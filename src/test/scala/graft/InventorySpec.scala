@@ -46,6 +46,24 @@ class InventorySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"comparator-unsafe output columns: ${offenders.mkString(", ")}")
   }
 
+  test("bench JSON line fits the driver's 2000-char tail window") {
+    // The driver keeps only the last 2000 chars of combined output and sbt
+    // appends ~80 chars after our line; worst-case per-query value under
+    // %.2g is 7 chars ("9.8e-04" / "-1.0"). Budget 1850 leaves slack for
+    // sbt epilogue drift. If this fails, shrink renderLine — do NOT let the
+    // driver's parse go back to null (BENCH_r01/r02 both lost their runs).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst realistic case: every value renders at max width (7 chars) —
+    // renderLine must degrade to the slowest-N subset, never overflow
+    for (vals <- Seq(names.map(_ -> 0.28), names.map(_ -> 0.00098),
+                     names.map(_ -> -1.0))) {
+      val line = Bench.renderLine(vals, 123.4567, "0.1", 10000000L, 0.323, 30925774L)
+      assert(line.length <= 1870, s"bench line ${line.length} chars > 1870 budget")
+      assert(line.count(_ == '{') == line.count(_ == '}'))
+      assert(line.contains("\"metric\":\"total\"") && line.contains("\"gen_rows_per_sec\""))
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and is re-run deterministic") {
       import org.apache.spark.sql.functions._
