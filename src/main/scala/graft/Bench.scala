@@ -80,7 +80,10 @@ object Bench {
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
 
-    spark.stop() // stop FIRST: any shutdown warnings must land before the JSON line
+    // stop FIRST: any shutdown warnings must land before the JSON line —
+    // but never let a teardown failure discard the run's measurements
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
     System.out.flush()
   }

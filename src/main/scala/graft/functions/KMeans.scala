@@ -64,10 +64,13 @@ object KMeans {
     val wcss = new Array[Double](iters)
     for (it <- 0 until iters) {
       val centSeq: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
-      val assigned = df.select(
-        nearest(col(vecCol), centSeq).getField("cid").as("cid"),
-        nearest(col(vecCol), centSeq).getField("d2").as("d2"),
-        col(vecCol).as("v"))
+      // materialize the k-way distance scan ONCE per row: two separate
+      // nearest(...) trees would rely on codegen CSE to dedupe, and the
+      // oversized HOF expression can fall back to interpreted projection
+      // where no CSE happens — doubling the dominant per-iteration cost
+      val assigned = df
+        .select(nearest(col(vecCol), centSeq).as("nr"), col(vecCol).as("v"))
+        .select(col("nr.cid").as("cid"), col("nr.d2").as("d2"), col("v"))
       // (cluster, dim) partial means in one shuffle; WCSS rides along on
       // dim 0 so the iteration is a single pass over the corpus
       val stats = assigned

@@ -175,7 +175,11 @@ object GenExprs {
         // scale to <= its precision or DecimalType throws at plan time.
         val prec = math.min(spec.precision, 38)
         val scale = math.min(math.min(spec.scale, prec), 37)
-        val ipDigits = math.min(math.max(spec.precision - spec.scale, 0), 18)
+        // bound by the CLAMPED type's integer-digit room too: for e.g.
+        // decimal(45,40) the spec allows 5 integer digits but the clamped
+        // DecimalType(38,37) only 1 — the wider draw would overflow the cast
+        val ipDigits = math.min(
+          math.min(math.max(spec.precision - spec.scale, 0), prec - scale), 18)
         // emit no more fraction digits than the type's clamped scale —
         // an extra digit could round 0.99999… up past the precision.
         val sc = math.min(math.min(spec.scale, 18), scale)

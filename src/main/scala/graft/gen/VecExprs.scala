@@ -1,9 +1,30 @@
 package graft.gen
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Analysis-time check shared by the vector expressions: every child
+  * must be array<float> (the embeddings schema). AbstractDataType /
+  * ExpectsInputTypes are private[sql] in Spark 4, so the check is
+  * hand-rolled; it fails analysis instead of letting getFloat
+  * reinterpret e.g. array<double> bits as floats at runtime.
+  */
+private[gen] trait FloatArrayInputs { self: Expression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = self.children.zipWithIndex.collect {
+      case (c, i) if (c.dataType match {
+        case ArrayType(FloatType, _) => false
+        case _                       => true
+      }) => s"arg $i is ${c.dataType.sql}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires ARRAY<FLOAT> inputs: ${bad.mkString(", ")}")
+  }
+}
 
 /** Codegen vector math over float-array embedding columns.
   *
@@ -14,7 +35,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * index, left fold), so the resulting doubles are bit-identical to
   * both the HOF form and DuckDB's list_reduce/list_transform oracle.
   *
-  * Float-array inputs only (the embeddings schema); elements are
+  * Float-array inputs only (the embeddings schema) — enforced by
+  * FloatArrayInputs at analysis time so an array<double> column can't
+  * silently have its bits reinterpreted as floats; elements are
   * widened to double before multiply, like the HOF form's casts.
   */
 object VecMath {
@@ -55,7 +78,7 @@ object VecMath {
 
 /** dot(a, b) over two array<float> columns — codegen static call. */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with FloatArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -75,18 +98,24 @@ case class DotProductExpr(left: Expression, right: Expression)
   * code as a reference object; the per-element values must be
   * precomputed EXACTLY as the oracle derives them (k/1000003.0 - 0.5
   * per component) so the fold stays bit-identical.
+  *
+  * The plane is a Seq (structural equality), not an Array: Array's
+  * referential equality would make two identical expressions compare
+  * unequal, defeating canonicalization and subexpression elimination.
   */
-case class PlaneProjExpr(child: Expression, plane: Array[Double])
-  extends UnaryExpression {
+case class PlaneProjExpr(child: Expression, plane: Seq[Double])
+  extends UnaryExpression with FloatArrayInputs {
+
+  private lazy val planeArr: Array[Double] = plane.toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_plane_proj"
 
   override protected def nullSafeEval(a: Any): Any =
-    VecMath.proj(a.asInstanceOf[ArrayData], plane)
+    VecMath.proj(a.asInstanceOf[ArrayData], planeArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
+    val planeRef = ctx.addReferenceObj("plane", planeArr, "double[]")
     defineCodeGen(ctx, ev, a => s"graft.gen.VecMath.proj($a, $planeRef)")
   }
 
@@ -95,7 +124,8 @@ case class PlaneProjExpr(child: Expression, plane: Array[Double])
 }
 
 /** L2 norm of an array<float> column — codegen static call. */
-case class VecNormExpr(child: Expression) extends UnaryExpression {
+case class VecNormExpr(child: Expression)
+  extends UnaryExpression with FloatArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm"

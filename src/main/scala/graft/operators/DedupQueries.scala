@@ -136,11 +136,14 @@ object DedupQueries {
       // every executor. Past ~500k×64f (~130 MB) that design is wrong —
       // switch to block-partitioned all-pairs or LSH (q_sim_ann) — so
       // degrade loudly instead of OOMing the driver.
-      val nCand = e.count()
-      require(nCand <= 500000L,
-        s"q_dedup_embedding: $nCand candidate vectors exceed the 500k broadcast " +
+      // The bound check rides the same collect (take bound+1, no separate
+      // count job — an extra full scan per run would also skew the
+      // MicroBench broadcast-vs-blocked comparison).
+      val limited = e.limit(500001).collect()
+      require(limited.length <= 500000,
+        "q_dedup_embedding: >500k candidate vectors exceed the broadcast " +
           "bound; use blocked all-pairs or the LSH path (q_sim_ann) at this scale")
-      val all = e.collect().sortBy(_._1)
+      val all = limited.sortBy(_._1)
       val norms = all.map { case (_, v) =>
         var i = 0; var sum = 0.0
         while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }

@@ -70,7 +70,7 @@ object SimilarityQueries {
   private def bucket(v: Column): Column =
     (0 until NBits).map { h =>
       import org.apache.spark.sql.graft.ColumnBridge
-      val plane = (1 to 64).map(j => planeNum(h, j).toDouble / 1000003.0 - 0.5).toArray
+      val plane = (1 to 64).map(j => planeNum(h, j).toDouble / 1000003.0 - 0.5)
       val proj = ColumnBridge.column(
         graft.gen.PlaneProjExpr(ColumnBridge.expression(v), plane))
       when(proj > 0, lit(1L << h)).otherwise(0L)

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Shared bounded-heap builder for both physical stages: one k-row
@@ -93,7 +93,10 @@ case class TopKPerGroupFinalExec(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    // empty grouping = one global group: like grouped aggregation's final
+    // stage, all (pre-filtered, ≤k-per-partition) rows must meet on a
+    // single partition or each partition would emit its own "global" top-k
+    if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {

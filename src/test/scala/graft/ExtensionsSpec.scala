@@ -45,6 +45,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.filter("n_grams <= 0").count() == 0)
   }
 
+  test("vector expressions reject non-float-array inputs at analysis time") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dbl = Seq((1L, Array(1.0, 2.0))).toDF("id", "v") // array<double>
+    val flt = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(ColumnBridge.column(
+        graft.gen.VecNormExpr(ColumnBridge.expression(df.col("v")))))
+    // float side analyzes and evaluates; double side must fail analysis
+    // (not reinterpret double bits as floats at runtime)
+    assert(math.abs(norm(flt).head().getDouble(0) - math.sqrt(5.0)) < 1e-12)
+    val e = intercept[Exception] { norm(dbl).head() }
+    assert(e.getMessage.toLowerCase.contains("array<float>")
+      || e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
+  }
+
   test("graft_shingles edge cases: empty text, short text, non-ASCII codepoints") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -104,6 +104,17 @@ class GenSpec extends AnyFunSuite {
     assert(r.getDecimal(1).doubleValue() < 1.0) // int part is always 0
   }
 
+  test("decimal(45,40): precision above 38 clamps int digits to the clamped type's room") {
+    // spec allows 5 integer digits but the clamped DecimalType(38,37)
+    // only 1 — the draw must respect the CLAMPED room or the cast
+    // overflows under ANSI
+    val df = SqloadGen.table(spark, "decimal(45,40)", N)
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(38, 37))
+    val r = df.agg(min("c0"), max("c0")).head()
+    assert(r.getDecimal(0).signum() >= 0)
+    assert(r.getDecimal(1).doubleValue() < 10.0) // 1 integer digit max
+  }
+
   test("decimal(2,5): parser bumps precision to scale (reference fixup), generates 0.xxxxx") {
     val df = SqloadGen.table(spark, "decimal(2,5)", N)
     assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(5, 5))

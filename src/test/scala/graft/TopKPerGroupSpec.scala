@@ -96,4 +96,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
       .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(top1.toSeq == Seq(("a", 3L), ("b", 4L), ("c", 8L)))
   }
+
+  test("empty groupCols = one global group, merged across partitions") {
+    // regression: the final exec must demand AllTuples for the global
+    // case — with UnspecifiedDistribution each partition emitted its own
+    // "global" top-k (up to partitions*k rows, k of them rn=1)
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("id", "v").repartition(4)
+    val got = graft.plans.TopKPerGroup(df, Seq(), Seq("v" -> false, "id" -> true), 3)
+      .select("id", "v", "rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3)
+    val want = (1L to 100L).map(i => (i, (i * 37 % 101).toDouble))
+      .sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
+      .map { case ((id, v), i) => (id, v, i + 1) }
+    assert(got.toSeq == want.toSeq)
+  }
 }
