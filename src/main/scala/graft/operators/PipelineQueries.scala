@@ -30,10 +30,13 @@ object PipelineQueries {
       val toks = split(col("text"), " ")
 
       // stage 1: quality filter (shared QualityRule — same thresholds
-      // as q_text_quality by construction)
+      // as q_text_quality by construction). char_sum via the exact
+      // identity sum(len(tok)) == length(text) - (n_toks - 1): split on
+      // a single space partitions the string, so total chars = token
+      // chars + (n_toks - 1) separators — no interpreted HOF lambda.
       val kept = documents(s, d)
         .withColumn("n_toks", size(toks))
-        .withColumn("char_sum", aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
+        .withColumn("char_sum", length(col("text")).cast("long") - col("n_toks") + 1L)
         .filter(QualityRule.keep(col("n_toks"),
           col("char_sum").cast("double") / col("n_toks"),
           size(array_distinct(toks)).cast("double") / col("n_toks")))
@@ -46,19 +49,26 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .drop("rn")
 
-      // stage 3: near-dup candidates via MinHash banding; drop the
-      // higher doc_id of every candidate pair
+      // stage 3: near-dup removal via MinHash banding. The standalone
+      // q_dedup_minhash must OUTPUT the candidate pairs, so it joins
+      // band-to-band; here only the drop-set matters, so the pair join
+      // collapses to a window-min per band bucket: doc d is dropped iff
+      // some bucket it lands in contains a lower doc_id. One pass over
+      // the corpus, no self-join, no anti-join, and the quality+exact
+      // subtree is computed once instead of twice. Bucket sizes are
+      // LSH-bounded, so the window shuffle has no skewed key at scale.
+      val carry = Seq(col("doc_id"), col("lang"), col("source"), col("n_toks"))
       val sigs = exact
         .withColumn("sigs", LshBanding.minhashSigs(col("text")))
-        .select(col("doc_id") +: LshBanding.sigCols: _*)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
-      val drops = bands.as("a")
-        .join(bands.as("b"),
-          col("a.bidx") === col("b.bidx") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("b.doc_id").as("doc_id")).distinct()
-      val fin = exact.join(drops, Seq("doc_id"), "left_anti")
+        .select(carry ++ LshBanding.sigCols: _*)
+      val bands = sigs.select(
+        carry :+ posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")): _*)
+      val fin = bands
+        .withColumn("minid",
+          min(col("doc_id")).over(Window.partitionBy(col("bidx"), col("bkey"))))
+        .groupBy("doc_id", "lang", "source", "n_toks")
+        .agg(min(col("minid")).as("m"))
+        .filter(col("m") === col("doc_id")) // own the min of EVERY bucket ⇔ no lower partner anywhere
 
       // stage 4: corpus stats
       fin.groupBy("lang")

@@ -117,7 +117,9 @@ object TextQueries {
     "q_text_quality" -> ((s, d) =>
       documents(s, d)
         .withColumn("n_toks", size(toks))
-        .withColumn("char_sum", aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
+        // exact identity, no interpreted HOF: splitting on a single space
+        // partitions the string, so sum(len(tok)) = length - (n_toks - 1)
+        .withColumn("char_sum", length(col("text")).cast("long") - col("n_toks") + 1L)
         .select(
           col("doc_id"),
           col("n_toks"),
