@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.gen.{MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenExpr}
+import graft.gen.{Md5Hash60Expr, MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenExpr}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql` users can call them without the Scala API:
@@ -11,6 +11,7 @@ import graft.gen.{MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenEx
   *   graft_rand_string(id, seedMix, len, alphabet, lenDraw)
   *   graft_minhash_sigs(text, shingleLen, numHashes)
   *   graft_ngram_hashes(text, n)
+  *   graft_md5_60(str)
   *
   * Two registration paths:
   *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
@@ -56,6 +57,7 @@ object GraftExtensions {
     "graft_ngram_hashes" -> { exprs =>
       NgramHashesExpr(exprs(0), if (exprs.length > 1) litInt(exprs(1)) else 3)
     },
+    "graft_md5_60" -> { exprs => Md5Hash60Expr(exprs(0)) },
     "graft_shingles" -> { exprs =>
       ShingleGenExpr(exprs(0), if (exprs.length > 1) litInt(exprs(1)) else 5)
     },

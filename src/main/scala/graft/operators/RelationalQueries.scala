@@ -288,9 +288,15 @@ object RelationalQueries {
     // reproducible across runs/engines; the sample is then aggregated.
     "q_sample_hash" -> ((s, d) =>
       lineitem(s, d)
-        .withColumn("hkey",
-          conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
-            .cast("long"))
+        .withColumn("hkey", {
+          // 60-bit md5 key straight from digest bytes — same value as
+          // conv(substr(md5(x),1,15),16,10) and the oracle's
+          // ('0x'||substr(md5(x),1,15))::BIGINT, minus the per-row hex
+          // string + radix parse
+          import org.apache.spark.sql.graft.ColumnBridge
+          ColumnBridge.column(graft.gen.Md5Hash60Expr(ColumnBridge.expression(
+            concat_ws("|", col("l_orderkey"), col("l_linenumber")))))
+        })
         .filter(pmod(col("hkey"), lit(100)) < 10)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

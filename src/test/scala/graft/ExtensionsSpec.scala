@@ -45,6 +45,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.filter("n_grams <= 0").count() == 0)
   }
 
+  test("graft_md5_60 equals the conv(substr(md5)) formulation") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (Seq("", "a", "hello|42", "héllo", "x" * 300) ++
+      (1 to 200).map(i => s"k$i")).toDF("s")
+    df.createOrReplaceTempView("md5_parity")
+    val bad = spark.sql(
+      """SELECT s, graft_md5_60(s) AS fast,
+        |  CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS ref
+        |FROM md5_parity WHERE graft_md5_60(s) != CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+        |""".stripMargin).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+  }
+
   test("vector expressions reject non-float-array inputs at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
