@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }
 

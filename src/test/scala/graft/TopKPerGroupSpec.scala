@@ -97,6 +97,49 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(top1.toSeq == Seq(("a", 3L), ("b", 4L), ("c", 8L)))
   }
 
+  test("rewrite rule: row_number window filter plans as the native operator") {
+    graft.plans.TopKRewriteRule.register(spark)
+    val base = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val q = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window "), s"window operator survived the rewrite:\n$plan")
+    // results identical to the un-rewritten window form
+    val noRewrite = graft.plans.TopKPerGroup(base,
+      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    assert(q.count() == noRewrite.count())
+    assert(q.exceptAll(noRewrite).count() == 0)
+  }
+
+  test("rewrite rule: keep-first dedup (rn = 1) and residual conjuncts") {
+    graft.plans.TopKRewriteRule.register(spark)
+    import spark.implicits._
+    val df = Seq(("x", 3L, 9.0), ("x", 1L, 9.0), ("y", 2L, 4.0), ("y", 5L, 1.0))
+      .toDF("g", "id", "v").repartition(2)
+    val w = Window.partitionBy("g").orderBy("id")
+    val dedup = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("v") > 2.0)
+    val plan = dedup.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    val got = dedup.select("g", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == Seq(("x", 1L, 9.0), ("y", 2L, 4.0)))
+  }
+
+  test("rewrite rule: rank/dense_rank windows are NOT rewritten") {
+    graft.plans.TopKRewriteRule.register(spark)
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("g", "id")
+    val w = Window.partitionBy("g").orderBy("id")
+    val q = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+    assert(q.count() == 2)
+  }
+
   test("empty groupCols = one global group, merged across partitions") {
     // regression: the final exec must demand AllTuples for the global
     // case — with UnspecifiedDistribution each partition emitted its own
