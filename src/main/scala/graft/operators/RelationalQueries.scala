@@ -246,18 +246,22 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // Custom whole-operator path: top-3 orders per customer through the
-    // native TopKPerGroup logical plan + strategy (graft.plans) —
-    // per-partition bounded heaps, shuffle of ≤ k·groups pre-filtered
-    // rows, heap merge; no full window sort. Same semantics (and
-    // oracle) as the row_number() formulation in q_window_rank.
+    // Custom whole-operator path, driven end-to-end through the
+    // OPTIMIZER: the query is the idiomatic row_number() formulation,
+    // and TopKRewriteRule plans it as the native TopKPerGroup operator
+    // (graft.plans) — per-partition bounded heaps, shuffle of
+    // ≤ k·groups pre-filtered rows, heap merge; no full window sort.
+    // PlanAuditSpec asserts the rewrite actually fired here; the
+    // direct DataFrame API is exercised by q_text_topwords. Same
+    // semantics (and oracle) as q_window_rank, which deliberately
+    // stays on Spark's window exec for coverage.
     "q_topk_group" -> ((s, d) => {
-      graft.plans.TopKPerGroupStrategy.register(s)
-      graft.plans.TopKPerGroup(
-        orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
-        groupCols = Seq("o_custkey"),
-        orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
-        k = 3)
+      graft.plans.TopKRewriteRule.register(s)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     }),
 

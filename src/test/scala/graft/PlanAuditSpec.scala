@@ -66,4 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroupFinal"), plan)
     assert(plan.contains("TopKPerGroupPartial"), plan)
   }
+
+  test("q_topk_group: the optimizer rewrite replaces the window with the operator") {
+    val plan = planOf("q_topk_group")
+    assert(plan.contains("TopKPerGroupFinal"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window "), s"window exec survived:\n$plan")
+  }
 }
