@@ -167,6 +167,24 @@ object ScalarQueries {
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k_struct"))
         .orderBy("event_id")),
+
+    // Spark 4 VariantType: parse the JSON ONCE into a binary variant,
+    // extract typed paths from it many times — at scale the parse is
+    // the expensive step and the variant column amortizes it across
+    // every downstream extraction (vs get_json_object re-parsing per
+    // path). Extractions feed a grouped aggregate so the variant work
+    // stays inside whole-stage codegen.
+    "q_json_variant" -> ((s, d) =>
+      events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k_val"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k_val")).as("k_sum"),
+          min(col("k_val")).as("k_min"),
+          max(col("k_val")).as("k_max"))
+        .orderBy("event_type")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -265,5 +283,12 @@ object ScalarQueries {
         |  json_extract_string(props, '$.k')::BIGINT AS k_val,
         |  json_extract_string(props, '$.k')::INT AS k_struct
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
