@@ -42,10 +42,12 @@ object Md5Hash60Impl {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  def hash60(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = hash60(s.getBytes)
+
+  def hash60(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

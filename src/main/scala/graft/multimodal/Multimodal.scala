@@ -84,6 +84,36 @@ object Multimodal {
     * index). One decoder handle per partition; output is fixed-width
     * rows so the parquet schema is stable regardless of media length.
     */
+  case class ResizedRow(doc_id: Long, in_bytes: Int, out_w: Int, out_h: Int,
+                        resized: Array[Byte])
+
+  /** Image resize plumbing: the binary→binary MAP shape of a real
+    * resize pass (decode → resample → re-encode), with the same stub
+    * substitution — target dims come from the payload digest (standing
+    * in for reading the image header), and the "resampled" payload is
+    * the source bytes cycled to one out_w RGB row. What's real and
+    * load-bearing: per-partition handle reuse, a binary output column
+    * the next stage can consume, and metadata updated in the same row.
+    */
+  def resizeImages(spark: SparkSession, sfDir: String): Dataset[ResizedRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow]
+      .filter(_.media_type == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val h60 = graft.gen.Md5Hash60Impl.hash60(r.payload)
+          val outW = 16 + (h60 % 241L).toInt
+          val outH = 16 + ((h60 / 241L) % 241L).toInt
+          val out = new Array[Byte](outW * 3)
+          if (r.payload.nonEmpty) {
+            var j = 0
+            while (j < out.length) { out(j) = r.payload(j % r.payload.length); j += 1 }
+          }
+          ResizedRow(r.doc_id, r.payload.length, outW, outH, out)
+        }
+      }
+  }
+
   def sampleFrames(spark: SparkSession, sfDir: String): Dataset[FrameRow] = {
     import spark.implicits._
     mediaTable(spark, sfDir).as[MediaRow]

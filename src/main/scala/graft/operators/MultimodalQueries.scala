@@ -22,6 +22,12 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeImages(s, d).toDF()
+        .select(col("doc_id"), col("in_bytes"), col("out_w"), col("out_h"),
+          length(col("resized")).as("out_bytes"))
+        .orderBy("doc_id")),
+
     "q_multimodal_frames" -> ((s, d) => {
       val frames = Multimodal.sampleFrames(s, d).toDF()
       val cols = (0 until Multimodal.FrameDim)
@@ -45,6 +51,16 @@ object MultimodalQueries {
            |  CAST(strlen(text) AS INT) AS n_bytes,
            |  $featSql
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal_resize" ->
+        s"""SELECT doc_id, CAST(strlen(text) AS INT) AS in_bytes,
+           |  CAST(16 + (h60 % 241) AS INT) AS out_w,
+           |  CAST(16 + ((h60 // 241) % 241) AS INT) AS out_h,
+           |  CAST((16 + (h60 % 241)) * 3 AS INT) AS out_bytes
+           |FROM (SELECT doc_id, text,
+           |        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h60
+           |      FROM documents WHERE doc_id % 3 = 0)
+           |ORDER BY doc_id""".stripMargin,
 
       "q_multimodal_frames" ->
         s"""SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
