@@ -59,6 +59,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).mkString(", "))
   }
 
+  test("codegen dot/norm are bit-identical to the HOF formulation on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def hofDot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val dot = ColumnBridge.column(graft.gen.DotProductExpr(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    val nrm = ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(col("a"))))
+    val bad = df.select(
+      dot.as("fast"), hofDot(col("a"), col("b")).as("ref"),
+      nrm.as("nfast"), sqrt(hofDot(col("a"), col("a"))).as("nref"))
+      // bitwise identity, not epsilon: the claim is same association order
+      .filter(col("fast") =!= col("ref") || col("nfast") =!= col("nref"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("vector expressions reject non-float-array inputs at analysis time") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ColumnBridge
