@@ -45,6 +45,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.filter("n_grams <= 0").count() == 0)
   }
 
+  test("config-path injection registers functions, strategy, and optimizer rule") {
+    // the spark.sql.extensions path can't be exercised on the shared
+    // test session (builder configs after the first getOrCreate are
+    // ignored), so drive the extension object directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    import org.apache.spark.sql.graft.ExtensionsBridge
+    assert(ExtensionsBridge.plannerStrategies(ext, spark)
+      .contains(graft.plans.TopKPerGroupStrategy))
+    assert(ExtensionsBridge.optimizerRules(ext, spark)
+      .contains(graft.plans.TopKRewriteRule))
+  }
+
   test("graft_md5_60 equals the conv(substr(md5)) formulation") {
     GraftExtensions.register(spark)
     import spark.implicits._
