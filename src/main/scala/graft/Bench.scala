@@ -26,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform engine posture for every query in the run: the TopK
+    // rewrite is registered up front (not leaked mid-run by whichever
+    // query happens to register it first), so measured plans don't
+    // depend on execution order
+    graft.plans.TopKRewriteRule.register(spark)
 
     // Warm-up: run the whole inventory once at the smallest SF; fall
     // back to the bench dir itself when sf0.001 is absent. Failures are

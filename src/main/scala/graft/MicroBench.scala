@@ -49,11 +49,15 @@ object MicroBench {
     def viaOp: DataFrame = graft.plans.TopKPerGroup(base,
       Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
 
+    // the window case measures Spark's REAL window plan — pin the
+    // rewrite off in case it's ever registered on this session
+    spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
     val nW = viaWindow.count()
     val nO = viaOp.count()
     require(nW == nO, s"result mismatch: window=$nW op=$nO")
     time("topk_window", 5) { viaWindow.count() }
     time("topk_operator", 5) { viaOp.count() }
+    spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "true")
 
     val qs = SparkEntry.queries
     time("embed_broadcast", 3) { qs("q_dedup_embedding")(spark, sfDir).count() }

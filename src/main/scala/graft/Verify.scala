@@ -44,6 +44,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform engine posture for every query in the run: the TopK
+    // rewrite is registered up front (not leaked mid-run by whichever
+    // query happens to register it first), so measured plans don't
+    // depend on execution order
+    graft.plans.TopKRewriteRule.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try sanitize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")

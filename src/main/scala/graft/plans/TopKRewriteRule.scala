@@ -62,7 +62,18 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  /** Conf kill-switch (default on): lets a session measure the pure
+    * window plan (MicroBench's baseline case, differential tests)
+    * without unregistering the rule — registration is session-global
+    * and queries are optimized lazily, so a flag read at optimization
+    * time is the only reliable scoping.
+    */
+  val EnabledKey = "spark.graft.topk.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "true") != "true") plan else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, w @ RowNumberWindow(rnAlias, part, order, child)) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val rnId = rnAlias.exprId

@@ -72,4 +72,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroupFinal"), s"rewrite did not fire:\n$plan")
     assert(!plan.contains("Window "), s"window exec survived:\n$plan")
   }
+
+  test("engine posture under the registered rewrite: lone rn filters rewrite, other windows keep Window exec") {
+    // Verify/Bench register TopKRewriteRule up front. With it on:
+    //  - the pipeline's keep-first exact-dedup stage (lone row_number,
+    //    rn = 1) plans as the operator in production,
+    //  - q_window_rank / q_dedup_exact carry a SECOND window function
+    //    (rank / count) so the rule correctly declines — they keep
+    //    exercising Spark's window exec,
+    //  - non-rank windows are untouched.
+    graft.plans.TopKRewriteRule.register(spark)
+    assert(planOf("q_pipeline_e2e").contains("TopKPerGroupFinal"),
+      "pipeline keep-first stage should plan as the operator")
+    for (q <- Seq("q_window_rank", "q_dedup_exact", "q_window_running",
+                  "q_window_lead_lag", "q_window_frames"))
+      assert(planOf(q).contains("Window"), s"$q lost its window exec")
+  }
 }

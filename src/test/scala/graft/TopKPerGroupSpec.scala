@@ -23,18 +23,26 @@ class TopKPerGroupSpec extends AnyFunSuite {
 
   test("matches row_number window formulation on orders") {
     graft.plans.TopKPerGroupStrategy.register(spark)
-    val base = Tables.orders(spark, sf)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-    val viaOp = graft.plans.TopKPerGroup(base,
-      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val viaWindow = base
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-    assert(viaOp.count() == viaWindow.count())
-    assert(viaOp.exceptAll(viaWindow).count() == 0)
-    assert(viaWindow.exceptAll(viaOp).count() == 0)
+    // another suite may have session-registered TopKRewriteRule; the
+    // differential needs the REAL window plan on one side, so disable
+    // the rewrite while the window formulation executes
+    spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
+    try {
+      val base = Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val viaOp = graft.plans.TopKPerGroup(base,
+        Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val viaWindow = base
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      assert(viaWindow.queryExecution.executedPlan.toString.contains("Window"),
+        "differential baseline must be the real window plan")
+      assert(viaOp.count() == viaWindow.count())
+      assert(viaOp.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaOp).count() == 0)
+    } finally spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "true")
   }
 
   test("plan shape: partial heap below the exchange, final heap above") {
