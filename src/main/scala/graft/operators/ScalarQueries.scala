@@ -231,8 +231,8 @@ object ScalarQueries {
         |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
         |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS toks_sorted,
         |  array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), '-') AS toks_up,
-        |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), x -> strlen(x) > 4), '|'), '') AS long_toks,
-        |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> strlen(x))) AS BIGINT) AS char_sum
+        |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), x -> length(x) > 4), '|'), '') AS long_toks,
+        |  CAST(list_sum(list_transform(string_split(p_name, ' '), x -> length(x))) AS BIGINT) AS char_sum
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_explode_pos" ->

@@ -34,7 +34,7 @@ object QualityRule {
   /** DuckDB WHERE fragment over the raw `text` column. */
   def keepSqlOverText: String =
     s"""len(string_split(text, ' ')) BETWEEN $MinToks AND $MaxToks
-       |    AND (list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))::DOUBLE
+       |    AND (list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
        |         / len(string_split(text, ' '))) BETWEEN $MinMeanLen AND $MaxMeanLen
        |    AND (len(list_distinct(string_split(text, ' ')))::DOUBLE
        |         / len(string_split(text, ' '))) > $MinDistinctRatio""".stripMargin
@@ -209,9 +209,9 @@ object TextQueries {
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
           |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-          |  CAST(len(list_filter(string_split(text, ' '), t -> strlen(t) >= 5)) AS INT) AS n_long,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 5)) AS INT) AS n_long,
           |  CAST(list_sum(list_transform(string_split(text, ' '),
-          |    t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtoks,
+          |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtoks,
           |  n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -220,7 +220,7 @@ object TextQueries {
            |  SELECT doc_id,
            |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
            |    len(list_distinct(string_split(text, ' '))) AS nd,
-           |    list_sum(list_transform(string_split(text, ' '), x -> strlen(x))) AS char_sum
+           |    list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS char_sum
            |  FROM documents)
            |SELECT doc_id, n_toks,
            |  nd::DOUBLE / n_toks AS distinct_ratio,
