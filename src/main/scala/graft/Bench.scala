@@ -95,7 +95,7 @@ object Bench {
 
   /** One-line JSON under the driver's 2000-char tail window (minus sbt's
     * epilogue): 2-significant-digit seconds per query, numeric sf.
-    * BenchLineSpec pins the budget as the inventory grows.
+    * InventorySpec's bench-line test pins the budget as the inventory grows.
     */
   def renderLine(results: Seq[(String, Double)], total: Double, sfNum: String,
                  genRows: Long, genSec: Double, genRate: Long): String = {

@@ -286,7 +286,7 @@ object ScalarQueries {
 
     "q_json_variant" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+        |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
         |  min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

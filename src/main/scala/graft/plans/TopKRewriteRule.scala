@@ -35,7 +35,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * dense_rank (different tie semantics than row_number), empty order
   * specs, non-integer or non-positive k.
   */
-object TopKRewriteRule extends Rule[LogicalPlan] {
+object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def limitFromConjunct(e: Expression, rn: ExprId): Option[Int] = e match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.exprId == rn => Some(k)
@@ -94,11 +94,6 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       }
   }
 
-  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
-    condition match {
-      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
 
   /** Runtime registration on an existing session; the config path is
     * `spark.sql.extensions=graft.GraftExtensions`.

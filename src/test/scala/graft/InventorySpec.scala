@@ -49,7 +49,7 @@ class InventorySpec extends AnyFunSuite {
   test("bench JSON line fits the driver's 2000-char tail window") {
     // The driver keeps only the last 2000 chars of combined output and sbt
     // appends ~80 chars after our line; worst-case per-query value under
-    // %.2g is 7 chars ("9.8e-04" / "-1.0"). Budget 1850 leaves slack for
+    // %.2g is 7 chars ("9.8e-04" / "-1.0"). Budget 1870 leaves slack for
     // sbt epilogue drift. If this fails, shrink renderLine — do NOT let the
     // driver's parse go back to null (BENCH_r01/r02 both lost their runs).
     val names = SparkEntry.queries.keys.toSeq.sorted
