@@ -60,7 +60,10 @@ object DedupQueries {
           posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
       val a = bands.select(col("doc_id").as("a_id"), col("bidx"), col("bkey"))
       val b = bands.select(col("doc_id").as("b_id"), col("bidx").as("bidx2"), col("bkey").as("bkey2"))
-      a.join(b, col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
+      // shuffle-hash for the same reason as q_dedup_ngram: the band
+      // rows are the ×Bands-amplified corpus — never broadcast-able at
+      // scale, and shuffling both sides lets the exchange be reused
+      a.join(b.hint("shuffle_hash"), col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
           && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
         .orderBy("a_id", "b_id")
@@ -105,7 +108,13 @@ object DedupQueries {
         col("ng").as("na"), col("gram"))
       val b = postings.select(col("doc_id").as("b_id"), col("lang").as("lang2"),
         col("bkt").as("bkt2"), col("ng").as("nb"), col("gram").as("gram2"))
-      a.join(b, col("gram") === col("gram2") && col("lang") === col("lang2")
+      // shuffle-hash, not broadcast: the posting list is the EXPLODED
+      // corpus (docs × grams) — broadcasting it builds a giant hash map
+      // on one thread and computes the posting subtree twice, and at
+      // 100 TB it cannot be broadcast at all. With both sides shuffled
+      // on the same keys, ReuseExchange computes the postings once and
+      // reads the exchange twice.
+      a.join(b.hint("shuffle_hash"), col("gram") === col("gram2") && col("lang") === col("lang2")
           && col("bkt") === col("bkt2") && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id", "na", "nb")
         .agg(count(lit(1)).as("inter"))
