@@ -137,6 +137,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("x", 1L, 9.0), ("y", 2L, 4.0)))
   }
 
+  test("rewrite rule: non-positive k and disjunctive filters are NOT rewritten") {
+    graft.plans.TopKRewriteRule.register(spark)
+    import spark.implicits._
+    val df = Seq(("x", 1L, 5.0), ("x", 2L, 3.0), ("y", 3L, 8.0)).toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy("id")
+    // rn < 1 is always false — k would be 0; must not plan the operator
+    val empty = df.withColumn("rn", row_number().over(w)).filter(col("rn") < 1)
+    assert(!empty.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(empty.count() == 0)
+    // a disjunction can't be split — no rewrite, results unchanged
+    val or = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1 || col("v") > 7.0)
+    assert(!or.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(or.count() == 2) // (x,1) via rn=1; (y,3) via both disjuncts
+  }
+
   test("rewrite rule: rank/dense_rank windows are NOT rewritten") {
     graft.plans.TopKRewriteRule.register(spark)
     import spark.implicits._
