@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   *
   * The generator benchmark mirrors the reference's published run
   * (10M rows of the 7-column flagship spec ≈ 529k rows/s on one core,
-  * BASELINE.md): output is forced through the noop sink so every
-  * column is actually computed.
+  * BASELINE.md) twice: once through the noop sink (compute-only
+  * throughput, gen_rows_per_sec) and once through the real CSV sink
+  * (format + write, gen_csv_rps — the apples-to-apples number, since
+  * the reference's measurement includes CSV formatting).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,6 +67,26 @@ object Bench {
     val genSec = (System.nanoTime() - g0) / 1e9
     val genRate = (genRows / genSec).toLong
 
+    // End-to-end CSV sink (the reference's actual operation: format +
+    // write). The noop number above is compute-only; this one is the
+    // apples-to-apples single-node throughput claim vs BASELINE.md.
+    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
+    val csvRate = try {
+      val c0 = System.nanoTime()
+      gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
+        .write.mode("overwrite").option("header", "false").option("emptyValue", "")
+        .csv(csvDir.getAbsolutePath)
+      (genRows / ((System.nanoTime() - c0) / 1e9)).toLong
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] csv sink failed: ${e.getMessage}"); -1L
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (csvDir.exists()) rm(csvDir)
+    }
+
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
 
@@ -74,11 +96,11 @@ object Bench {
     // for 80 queries overflow the window (r01/r02 both came back
     // parsed=null), so the stdout line uses 2-significant-digit seconds and
     // the full-precision copy goes to BENCH_FULL.json for the judge.
-    val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate)
+    val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -98,14 +120,15 @@ object Bench {
     * InventorySpec's bench-line test pins the budget as the inventory grows.
     */
   def renderLine(results: Seq[(String, Double)], total: Double, sfNum: String,
-                 genRows: Long, genSec: Double, genRate: Long): String = {
+                 genRows: Long, genSec: Double, genRate: Long,
+                 csvRate: Long = -1L): String = {
     import java.util.Locale.ROOT
     val budget = 1870 // 2000-char driver tail minus sbt epilogue + slack
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + "%.2g".formatLocal(ROOT, v) }
         .mkString("{", ",", "}")
       val omitField = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${"%.4g".formatLocal(ROOT, total)},"unit":"sec","queries":$qs$omitField,"sf":$sfNum,"gen_rows":$genRows,"gen_sec":${"%.3g".formatLocal(ROOT, genSec)},"gen_rows_per_sec":$genRate}"""
+      s"""{"metric":"total","value":${"%.4g".formatLocal(ROOT, total)},"unit":"sec","queries":$qs$omitField,"sf":$sfNum,"gen_rows":$genRows,"gen_sec":${"%.3g".formatLocal(ROOT, genSec)},"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
     }
     val full = render(results, 0)
     if (full.length <= budget) full
