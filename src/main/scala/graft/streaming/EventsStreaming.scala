@@ -59,6 +59,22 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("n"))
 
+  /** Native session windows (shared 10-min gap) per user — the
+    * streaming form of q_win_session's built-in operator, completing
+    * the pair with Sessionize's flatMapGroupsWithState form: same
+    * semantics, merged-session state managed by Spark instead of
+    * custom code. Watermark bounds the mergeable-session state.
+    */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"),
+        s"${Sessionize.GapUs / 60000000L} minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n"))
+
   /** Stream-stream interval self-join: each purchase joined to the same
     * user's views in the preceding hour — the streaming form of the
     * q_join_range batch query. Both sides carry watermarks, so the join

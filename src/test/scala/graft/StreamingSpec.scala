@@ -30,6 +30,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming session windows == batch session windows") {
+    val streamed = EventsStreaming.runToCompletion(spark,
+      EventsStreaming.sessionCounts(spark, sf), "t_session")
+    val batch = operators.TimeWindowQueries.queries("q_win_session")(spark, sf)
+      .select("user_id", "start_us", "end_us", "n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = EventsStreaming.runAppendToCompletion(spark,
