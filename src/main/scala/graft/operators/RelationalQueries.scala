@@ -384,6 +384,29 @@ object RelationalQueries {
             .between(0.89, 0.91).as("q90_ok"))
     }),
 
+    // Mergeable distinct sketches (DataSketches HLL): per-(flag,status)
+    // sketches union-merged up to flag WITHOUT re-reading rows — the
+    // two-level rollup pattern that replaces countDistinct at 100 TB
+    // (sketches are tiny, associative, and re-aggregable across any
+    // grouping hierarchy; exact distinct needs a full shuffle of the
+    // keys each time). Estimate is engine-specific, so (q_agg_approx
+    // pattern) the gated output is the accuracy bound, plus the exact
+    // counts which BOTH engines compute.
+    "q_agg_hll_merge" -> ((s, d) => {
+      val fine = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val merged = fine.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.join(merged, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") / col("n_exact") < 0.05)
+            .as("within_5pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // Conditional-expression kitchen: CASE, coalesce, nullif, ifnull.
     "q_scalar_conditional" -> ((s, d) =>
       customer(s, d)
@@ -634,6 +657,11 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_union" ->
       """SELECT o_custkey AS k FROM orders
