@@ -29,6 +29,27 @@ object DedupQueries {
   // PipelineQueries so query and pipeline can't desynchronize).
   import graft.gen.LshBanding
 
+  /** MinHash+LSH candidate pairs (a_id < b_id), shared by
+    * q_dedup_minhash (which outputs them) and q_dedup_cluster (which
+    * connects them into components).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d)
+      .withColumn("sigs", LshBanding.minhashSigs(col("text")))
+      .select(col("doc_id") +: LshBanding.sigCols: _*)
+    val bands = sigs
+      .select(col("doc_id"),
+        posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
+    val a = bands.select(col("doc_id").as("a_id"), col("bidx"), col("bkey"))
+    val b = bands.select(col("doc_id").as("b_id"), col("bidx").as("bidx2"), col("bkey").as("bkey2"))
+    // shuffle-hash for the same reason as q_dedup_ngram: the band
+    // rows are the ×Bands-amplified corpus — never broadcast-able at
+    // scale, and shuffling both sides lets the exchange be reused
+    a.join(b.hint("shuffle_hash"), col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
+        && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact dedup, keep-first semantics: group on md5(text) (at 100 TB
     // you group on the 128-bit digest, never the raw text — constant-
@@ -51,22 +72,42 @@ object DedupQueries {
     // (band_idx, band_key) so pairs are enumerated only within buckets;
     // bucket skew (giant clusters of identical docs) is the thing to
     // monitor — cap bucket size or pre-collapse exact dups first.
-    "q_dedup_minhash" -> ((s, d) => {
-      val sigs = documents(s, d)
-        .withColumn("sigs", LshBanding.minhashSigs(col("text")))
-        .select(col("doc_id") +: LshBanding.sigCols: _*)
-      val bands = sigs
-        .select(col("doc_id"),
-          posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
-      val a = bands.select(col("doc_id").as("a_id"), col("bidx"), col("bkey"))
-      val b = bands.select(col("doc_id").as("b_id"), col("bidx").as("bidx2"), col("bkey").as("bkey2"))
-      // shuffle-hash for the same reason as q_dedup_ngram: the band
-      // rows are the ×Bands-amplified corpus — never broadcast-able at
-      // scale, and shuffling both sides lets the exchange be reused
-      a.join(b.hint("shuffle_hash"), col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
-          && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .orderBy("a_id", "b_id")
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("a_id", "b_id")),
+
+    // Connected-component clustering of the near-dup pairs — the final
+    // step of real corpus dedup (a≈b, b≈c ⇒ {a,b,c} is ONE cluster even
+    // though a,c never paired). Iterative min-label propagation: each
+    // round every doc takes the min label among itself and its
+    // neighbors; converges in O(component diameter) rounds, each round
+    // one shuffle — the standard large-graph connected-components shape
+    // (GraphX/Pregel does the same exchange). localCheckpoint truncates
+    // the per-iteration lineage so the plan stays flat. The DuckDB
+    // oracle recomputes components with a recursive CTE (transitive
+    // closure + min), so the iterative and recursive forms gate each
+    // other. The 25-round cap fails LOUDLY (oracle mismatch) rather
+    // than silently shipping unconverged labels.
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 25) {
+        val prop = labels.join(edges, labels("id") === edges("src"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = labels.select("id", "lbl").union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.lbl") < col("o.lbl")).count()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // SimHash: 32-bit fingerprint from per-token md5s — bit b is set
@@ -247,7 +288,44 @@ object DedupQueries {
          |  THEN ${1L << b}::BIGINT ELSE 0::BIGINT END""".stripMargin
     }.mkString(" + ")
 
+    // MinHash candidate pairs as a reusable CTE prefix (shared between
+    // the pair oracle and the cluster oracle)
+    val pairCtes =
+      s"""sh AS (
+         |  SELECT doc_id,
+         |    ${LshBanding.shinglesHashSql} AS hs
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |    ${LshBanding.sigsSql}
+         |  FROM sh
+         |), band AS (
+         |  SELECT doc_id, k.j AS bidx,
+         |    CASE k.j ${LshBanding.bandCaseSql} END AS bkey
+         |  FROM sig CROSS JOIN (VALUES ${LshBanding.bandIdxValuesSql}) k(j)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM band a JOIN band b
+         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)""".stripMargin
+
     Map(
+      "q_dedup_cluster" ->
+        s"""WITH RECURSIVE $pairCtes,
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT b_id AS src, a_id AS dst FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+           |)
+           |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
       "q_dedup_exact" ->
         """SELECT doc_id, h, n_dups, lang FROM (
           |  SELECT doc_id, md5(text) AS h, lang,
@@ -257,23 +335,8 @@ object DedupQueries {
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "q_dedup_minhash" ->
-        s"""WITH sh AS (
-           |  SELECT doc_id,
-           |    ${LshBanding.shinglesHashSql} AS hs
-           |  FROM documents
-           |), sig AS (
-           |  SELECT doc_id,
-           |    ${LshBanding.sigsSql}
-           |  FROM sh
-           |), band AS (
-           |  SELECT doc_id, k.j AS bidx,
-           |    CASE k.j ${LshBanding.bandCaseSql} END AS bkey
-           |  FROM sig CROSS JOIN (VALUES ${LshBanding.bandIdxValuesSql}) k(j)
-           |)
-           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |FROM band a JOIN band b
-           |  ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |ORDER BY a_id, b_id""".stripMargin,
+        s"""WITH $pairCtes
+           |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
       "q_dedup_simhash" ->
         s"""SELECT doc_id, $simhashTerms AS simhash, lang
