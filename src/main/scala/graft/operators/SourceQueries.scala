@@ -84,6 +84,67 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // XML sink → XML source (Spark 4 built-in XML datasource; explicit
+    // schema-on-read). Doubles survive the text round-trip because the
+    // writer emits shortest-repr and the reader parses it back exactly
+    // (same invariant as the CSV/JSON round-trips).
+    "q_source_xml" -> ((s, d) => {
+      val path = scratch(d, "xml")
+      part(s, d)
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .write.mode("overwrite")
+        .option("rootTag", "parts").option("rowTag", "part")
+        .format("xml").save(path)
+      val schema = StructType.fromDDL(
+        "p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE")
+      s.read.schema(schema).option("rowTag", "part").format("xml").load(path)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("sum_size"),
+          sum(col("p_retailprice").cast(Dec2)).cast(Dec382).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
+    // Bucketed bulk-load layout under the oracle gate: customer and
+    // orders are written hash-bucketed (8 buckets) on the join key, then
+    // joined via the catalog tables. Both sides expose the same
+    // HashPartitioning, so the sort-merge join runs with NO shuffle
+    // exchange on either input (asserted in BucketingSpec /
+    // PlanAuditSpec) — the co-location contract that makes a repeated
+    // 100 TB fact⋈fact join affordable: pay the partitioning once at
+    // load time, never again per query. The merge hint keeps the plan
+    // on the bucket-aware SMJ path even at small SF where the
+    // broadcast threshold would otherwise hide the property.
+    "q_source_bucketed" -> ((s, d) => {
+      val sfx = d.replaceAll("[^0-9A-Za-z]", "_")
+      val custT = s"graft_bkt_customer_$sfx"
+      val ordT = s"graft_bkt_orders_$sfx"
+      def reset(name: String): Unit = {
+        // fresh JVM = fresh in-memory catalog, but warehouse dirs
+        // persist → clear both or saveAsTable hits LOCATION_ALREADY_EXISTS
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val dir = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        if (dir.exists()) rm(dir)
+      }
+      reset(custT); reset(ordT)
+      graft.gen.SqloadGen.writeBucketed(
+        customer(s, d).select("c_custkey", "c_mktsegment"), custT, "c_custkey", 8)
+      graft.gen.SqloadGen.writeBucketed(
+        orders(s, d).select("o_custkey", "o_totalprice"), ordT, "o_custkey", 8)
+      s.table(custT)
+        .join(s.table(ordT).hint("merge"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec2)).cast(Dec382).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -120,6 +181,18 @@ object SourceQueries {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IN ('en', 'zh')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_xml" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_source_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",

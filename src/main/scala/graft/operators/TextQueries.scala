@@ -82,6 +82,34 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // tf-idf term weighting: tf per (doc, word), document frequency per
+    // word, score = tf * N / df (log-free idf — Math.log and std::log
+    // are not bit-identical across engines, while IEEE mul/div in this
+    // exact association order are; ranking order is preserved for fixed
+    // tf since x ↦ N/x is monotone). Top-3 terms per doc, word as the
+    // deterministic tie-break. Scale posture: tf and the doc-frequency
+    // table both shuffle on the word — the vocabulary is corpus-sized,
+    // NOT broadcast-able at 100 TB; the doc count joins in as a
+    // broadcast scalar. The rn<=3 filter is the TopKRewriteRule shape,
+    // so under GraftExtensions it plans as TopKPerGroup (bounded heaps,
+    // no full per-doc sort).
+    "q_text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "w", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
     // Corpus normalization pass: the cleaning stage every training
     // pipeline runs before dedup/tokenization — lowercase, strip
     // non-alphanumerics, collapse runs of spaces, trim. Regexes stay in
@@ -204,6 +232,24 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn
           |  FROM words)
           |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+      "q_text_tfidf" ->
+        """WITH words AS (
+          |  SELECT doc_id, u.w AS w
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+          |       UNNEST(t.l) AS u(w)
+          |), tf AS (
+          |  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+          |), dfreq AS (
+          |  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+          |), nd AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT doc_id, w, tf, df, score, rn FROM (
+          |  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+          |    CAST(tf.tf AS DOUBLE) * nd.n_docs / dfreq.df AS score,
+          |    row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY CAST(tf.tf AS DOUBLE) * nd.n_docs / dfreq.df DESC, tf.w) AS rn
+          |  FROM tf JOIN dfreq USING (w) CROSS JOIN nd)
+          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
       "q_text_tokens" ->
         """SELECT doc_id,

@@ -54,6 +54,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("q_source_bucketed joins the bucketed tables without shuffling either side") {
+    val plan = planOf("q_source_bucketed")
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the only hash exchange is the post-join groupBy; the join inputs
+    // read the bucket layout directly (that's the whole point of the query)
+    // formatted mode prints the Exchange node and its partitioning
+    // argument on separate lines — count the hashpartitioning args
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange (agg), got $hashExchanges:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("generator plan is shuffle-free (Range -> Project)") {
     val plan = gen.SqloadGen.table(spark, "key,bigint,varchar(10)", 1000)
       .queryExecution.executedPlan.toString
