@@ -92,17 +92,31 @@ object DedupQueries {
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint(true)
-      var changed = 1L
+      // init fuses the first propagation round: label = min(id, min
+      // neighbor) is one groupBy — the same shuffle a bare distinct
+      // would cost, but it starts the loop one round ahead
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl"))
+        .localCheckpoint(true)
+      // convergence = the label sum stopped shrinking (labels only ever
+      // decrease, so sum is strictly monotone until fixpoint). Exact
+      // DECIMAL(38,0) sum: overflow-free at any id scale, and a
+      // single-stage reduce over the checkpointed labels — cheaper per
+      // round than a join-based changed count (which shuffles twice).
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = lblSum(labels)
+      var changed = true
       var iters = 0
-      while (changed > 0 && iters < 25) {
+      while (changed && iters < 25) {
         val prop = labels.join(edges, labels("id") === edges("src"))
           .select(col("dst").as("id"), col("lbl"))
         val next = labels.select("id", "lbl").union(prop)
           .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.lbl") < col("o.lbl")).count()
+        val s = lblSum(next)
+        changed = s.compareTo(prevSum) != 0
+        prevSum = s
         labels = next
         iters += 1
       }

@@ -98,7 +98,10 @@ object TextQueries {
       val words = documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfreq = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      // document frequency falls out of tf for free: tf already has one
+      // row per distinct (doc, word), so df = row count per word — no
+      // second explode over the raw token stream
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "w")
         .crossJoin(broadcast(n))
