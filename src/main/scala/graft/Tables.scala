@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.DecimalType
   *  5. Cross-engine hashing uses md5 (same bytes in, same hex out):
   *     a 60-bit integer hash is conv(substr(md5(x),1,15),16,10) in
   *     Spark ≡ ('0x'||substr(md5(x),1,15))::BIGINT in DuckDB.
+  *  6. Wide-decimal → double casts in oracle SQL go through VARCHAR:
+  *     DuckDB's direct DECIMAL→DOUBLE conversion is not correctly
+  *     rounded once the decimal exceeds ~15 significant digits (it can
+  *     be 1 ulp off), while Spark's BigDecimal.doubleValue is exact.
+  *     CAST(CAST(x AS VARCHAR) AS DOUBLE) re-parses via strtod, which
+  *     rounds correctly and matches Spark (see q_agg_stats).
   */
 object Tables {
   val Dec2: DecimalType  = DecimalType(18, 2)

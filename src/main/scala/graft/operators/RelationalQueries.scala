@@ -445,6 +445,61 @@ object RelationalQueries {
       customer(s, d).select(col("c_custkey").as("k"))
         .except(orders(s, d).select(col("o_custkey").as("k")))
         .orderBy("k")),
+
+    // Explicit Cartesian product — the grid-construction shape (every
+    // region × every nation). Only sane when both sides are tiny
+    // dimensions; Spark requires the explicit crossJoin call precisely
+    // so an accidental unbounded product can't slip through as a join
+    // with a dropped condition.
+    "q_join_cross" -> ((s, d) =>
+      region(s, d).select(col("r_name"))
+        .crossJoin(nation(s, d).select(col("n_name")))
+        .orderBy("r_name", "n_name")),
+
+    // argmax/argmin surface: max_by/min_by pick the value column at the
+    // row where the ordering column is extreme — one-pass, map-side
+    // partial (vs the window row_number formulation, which shuffles all
+    // rows). Ordering key c_custkey is unique, so the pick is
+    // deterministic in both engines (ties on a non-unique key would be
+    // engine-defined — never gate on that).
+    "q_agg_argmax" -> ((s, d) =>
+      customer(s, d).groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_name"), col("c_custkey")).as("last_name"),
+          min_by(col("c_name"), col("c_custkey")).as("first_name"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy("c_nationkey")),
+
+    // Statistical aggregates (mean/stddev/correlation) computed the
+    // cross-engine-deterministic way: accumulate the co-moments as
+    // EXACT decimal sums (order-independent integer arithmetic), then
+    // derive the statistics with one identical double expression on
+    // both sides — IEEE +,-,*,/,sqrt are exactly rounded, so identical
+    // operands give identical bits. Built-in corr()/stddev() stream
+    // double partials whose merge order differs across engines; this
+    // two-phase form is also the 100 TB shape (one map-side-combined
+    // aggregation, constant-size state per group).
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast(Dec2)
+      val y = col("l_extendedprice").cast(Dec2)
+      def d2(c: String) = col(c).cast("double")
+      val nd = col("n0").cast("double")
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n0"),
+          sum(x).as("sx0"), sum(y).as("sy0"),
+          sum((x * y).cast(Dec384)).as("sxy0"),
+          sum((x * x).cast(Dec384)).as("sxx0"),
+          sum((y * y).cast(Dec384)).as("syy0"))
+        .select(col("l_returnflag"), col("n0").as("n"),
+          (d2("sx0") / col("n0")).as("mean_qty"),
+          (d2("sy0") / col("n0")).as("mean_price"),
+          sqrt((nd * d2("syy0") - d2("sy0") * d2("sy0")) / (nd * (nd - lit(1.0))))
+            .as("std_price"),
+          ((nd * d2("sxy0") - d2("sx0") * d2("sy0")) /
+            (sqrt(nd * d2("sxx0") - d2("sx0") * d2("sx0")) *
+              sqrt(nd * d2("syy0") - d2("sy0") * d2("sy0")))).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -680,5 +735,37 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS k FROM orders
         |ORDER BY k""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_agg_argmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, c_custkey) AS last_name,
+        |  arg_min(c_name, c_custkey) AS first_name,
+        |  max(c_custkey) AS max_key
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // co-moment decimal sums + ONE identical double expression (see the
+    // Spark side): operand order must match it token for token
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n0,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx0,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy0,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy0,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx0,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy0
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n0 AS n,
+        |  CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) / n0 AS mean_qty,
+        |  CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) / n0 AS mean_price,
+        |  sqrt((CAST(n0 AS DOUBLE) * CAST(CAST(syy0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE))
+        |       / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))) AS std_price,
+        |  (CAST(n0 AS DOUBLE) * CAST(CAST(sxy0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE))
+        |    / (sqrt(CAST(n0 AS DOUBLE) * CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sx0 AS VARCHAR) AS DOUBLE))
+        |       * sqrt(CAST(n0 AS DOUBLE) * CAST(CAST(syy0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE))) AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }

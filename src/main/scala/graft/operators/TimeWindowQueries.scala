@@ -64,6 +64,34 @@ object TimeWindowQueries {
           unix_micros(col("w.end")).as("end_us"),
           col("n"), col("total"))
         .orderBy("user_id", "start_us")),
+
+    // Gap-filled daily time series: a calendar spine (sequence over the
+    // observed [min, max] day range) × the event-type dimension, left
+    // join of the daily aggregate, missing cells filled with zeros —
+    // the standard dashboard/training-curve densification. Scale: the
+    // heavy side (the daily aggregate) is map-side combined down to
+    // days × types rows; the spine is bounded by the calendar, so the
+    // final left join is trivially broadcastable no matter the corpus
+    // size. Days are emitted as 'yyyy-MM-dd' strings (a raw DATE column
+    // surfaces as python date objects on the Spark side of the driver's
+    // comparator but datetime64 on the DuckDB side).
+    "q_win_gapfill" -> ((s, d) => {
+      val e = events(s, d).select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value"))
+      val daily = e.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
+      val spine = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = e.select("event_type").distinct()
+      spine.crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0).cast(Dec382)).as("total"))
+        .orderBy("day", "event_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -83,6 +111,26 @@ object TimeWindowQueries {
 
     "q_session_state" -> sessionOracle,
     "q_win_session" -> sessionOracle,
+
+    "q_win_gapfill" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+        |), b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |spine AS (
+        |  -- list form: the table-function form only takes constants
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b
+        |), types AS (SELECT DISTINCT event_type FROM e),
+        |daily AS (
+        |  SELECT day, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  FROM e GROUP BY day, event_type)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+        |  coalesce(d.n, 0::BIGINT) AS n,
+        |  CAST(coalesce(d.total, 0) AS DECIMAL(38,2)) AS total
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+        |ORDER BY day, t.event_type""".stripMargin,
   )
 
   private val sessionOracle: String =
