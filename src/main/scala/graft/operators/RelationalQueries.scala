@@ -446,6 +446,33 @@ object RelationalQueries {
         .except(orders(s, d).select(col("o_custkey").as("k")))
         .orderBy("k")),
 
+    // Null-safe equality join (<=>): null keys MATCH each other instead
+    // of dropping — the semantics for joining on a nullable natural key
+    // (here regionkey 0 is nullified on both sides to manufacture the
+    // case). Same hash-join physical shape as ===; null keys hash like
+    // any other value, so they also shuffle like any other (a heavily
+    // null key column is a skew key at scale — salt it like any hot key).
+    "q_join_nullsafe" -> ((s, d) => {
+      val a = nation(s, d).select(col("n_nationkey"), col("n_name"),
+        nullif(col("n_regionkey"), lit(0)).as("rk"))
+      val b = region(s, d).select(nullif(col("r_regionkey"), lit(0)).as("rk2"),
+        col("r_name"))
+      a.join(broadcast(b), col("rk") <=> col("rk2"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Boolean aggregates (bool_and/bool_or = SQL EVERY/ANY): constant-
+    // size state, fully map-side-combinable — the cheap data-quality
+    // assertion shape (e.g. "every row in this partition passed
+    // validation").
+    "q_agg_bool" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_gt_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_gt_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Explicit Cartesian product — the grid-construction shape (every
     // region × every nation). Only sane when both sides are tiny
     // dimensions; Spark requires the explicit crossJoin call precisely
@@ -739,6 +766,20 @@ object RelationalQueries {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 0) AS rk FROM nation) a
+        |JOIN (SELECT nullif(r_regionkey, 0) AS rk2, r_name FROM region) b
+        |  ON a.rk IS NOT DISTINCT FROM b.rk2
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_gt_1k,
+        |  bool_or(o_totalprice > 400000) AS any_gt_400k,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_argmax" ->
       """SELECT c_nationkey,
