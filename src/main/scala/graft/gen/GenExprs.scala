@@ -106,7 +106,10 @@ object GenExprs {
     case "date"                                     => DateType
     case "datetime" | "timestamp"                   => TimestampType
     case "decimal" | "number" =>
-      DecimalType(math.min(spec.precision, 38), math.min(spec.scale, 37))
+      // scale may legally exceed precision in a spec; DecimalType throws
+      // on scale > precision, so clamp the same way exprFor does.
+      val prec = math.min(spec.precision, 38)
+      DecimalType(prec, math.min(math.min(spec.scale, prec), 37))
     case _                                          => StringType // unknown → empty
   }
 
