@@ -20,7 +20,7 @@ object SqlQueries {
     */
   private def withViews(s: SparkSession, d: String): Map[String, String] = {
     val sfx = d.replaceAll("[^0-9A-Za-z]", "_")
-    Seq("customer", "orders", "lineitem").map { t =>
+    Seq("customer", "orders", "lineitem", "nation").map { t =>
       val v = s"graft_${t}_$sfx"
       Tables.t(s, d, t).createOrReplaceTempView(v)
       t -> v
@@ -87,6 +87,43 @@ object SqlQueries {
            |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop iterative
+    // execution): walk each nation key down its `k >> 1` ancestor chain
+    // to the root — a bounded graph traversal the optimizer unrolls as
+    // repeated self-union jobs. Depth is data-derived (≤ log2(maxkey)),
+    // so the iteration count stays O(log n) no matter the row count —
+    // the scale hazard with recursive CTEs is DEPTH, not width: each
+    // level is a fully parallel distributed step.
+    "q_sql_recursive" -> ((s, d) => {
+      val v = withViews(s, d)
+      s.sql(
+        s"""WITH RECURSIVE chain(root, cur, depth) AS (
+           |  SELECT n_nationkey, n_nationkey, 0 FROM ${v("nation")}
+           |  UNION ALL
+           |  SELECT root, cur >> 1, depth + 1 FROM chain WHERE cur > 0
+           |)
+           |SELECT root, max(depth) AS height, count(*) AS chain_len,
+           |       sum(cur) AS key_sum
+           |FROM chain GROUP BY root ORDER BY root""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+    // customers by balance per nation — the "top-k per group" shape
+    // expressed as a lateral join instead of a window. Catalyst
+    // decorrelates it; on a big corpus prefer the window/TopKPerGroup
+    // form (one shuffle) — LATERAL is the expressive fallback for
+    // correlations windows can't state.
+    "q_sql_lateral" -> ((s, d) => {
+      val v = withViews(s, d)
+      s.sql(
+        s"""SELECT n.n_name, x.c_custkey, x.c_acctbal
+           |FROM ${v("nation")} n,
+           |LATERAL (SELECT c_custkey, c_acctbal FROM ${v("customer")} c
+           |         WHERE c.c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x
+           |ORDER BY n_name, c_custkey""".stripMargin)
+    }),
+
     // IN-subquery under a disjunction: Catalyst can't rewrite this to a
     // plain semi join (the OR keeps non-members), so it plans the
     // ExistenceJoin variant — the one join form the DataFrame inventory
@@ -132,6 +169,24 @@ object SqlQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE chain(root, cur, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+        |  UNION ALL
+        |  SELECT root, cur >> 1, depth + 1 FROM chain WHERE cur > 0
+        |)
+        |SELECT root, max(depth) AS height, count(*) AS chain_len,
+        |       sum(cur) AS key_sum
+        |FROM chain GROUP BY root ORDER BY root""".stripMargin,
+
+    "q_sql_lateral" ->
+      """SELECT n.n_name, x.c_custkey, x.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) x
+        |ORDER BY n_name, c_custkey""".stripMargin,
 
     "q_sql_existence" ->
       """SELECT c_custkey, c_acctbal FROM customer
