@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON out of sbt's combined
+// output. r03 came back parsed=null even though the line was present and
+// valid — sbt's "[info] " logger prefix and "[success] Total time" epilogue
+// were in the way. Pass forked stdout through verbatim and drop the
+// epilogue so the JSON line is the literal last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

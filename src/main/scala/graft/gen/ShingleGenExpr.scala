@@ -1,6 +1,7 @@
 package graft.gen
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
@@ -32,6 +33,11 @@ case class ShingleGenExpr(child: Expression, shingleLen: Int)
     StructField("shingle", StringType, nullable = false)))
 
   override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input).asInstanceOf[UTF8String]

@@ -41,8 +41,26 @@ private[gen] trait FloatArrayInputs { self: Expression =>
   * widened to double before multiply, like the HOF form's casts.
   */
 object VecMath {
+  // getFloat on a null slot reads garbage bits; parquet-read arrays are
+  // containsNull=true even when no element ever is, so the guard is a
+  // runtime check, not an analysis-time rejection.
+  private def checkNoNulls(a: ArrayData, n: Int, fn: String): Unit = {
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null element at index $i — vector math requires dense float arrays")
+      i += 1
+    }
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: length mismatch ($n vs ${b.numElements()}) — " +
+          "truncating would silently corrupt similarity scores")
+    checkNoNulls(a, n, "graft_dot"); checkNoNulls(b, n, "graft_dot")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,6 +72,7 @@ object VecMath {
 
   def norm(a: ArrayData): Double = {
     val n = a.numElements()
+    checkNoNulls(a, n, "graft_norm")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -65,7 +84,11 @@ object VecMath {
   }
 
   def proj(a: ArrayData, plane: Array[Double]): Double = {
-    val n = math.min(a.numElements(), plane.length)
+    val n = a.numElements()
+    if (plane.length != n)
+      throw new IllegalArgumentException(
+        s"graft_plane_proj: vector length $n != plane length ${plane.length}")
+    checkNoNulls(a, n, "graft_plane_proj")
     var acc = 0.0
     var i = 0
     while (i < n) {

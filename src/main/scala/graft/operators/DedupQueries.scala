@@ -254,7 +254,10 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
       val replicated = e.flatMap { case (id, v) =>
-        val b = (id % B).toInt
+        // floorMod: a negative id must land in a real block, not a
+        // negative one that matches no (bi,bj) pair and silently drops
+        // the vector from the comparison
+        val b = Math.floorMod(id, B.toLong).toInt
         pairs.iterator.zipWithIndex.collect {
           case ((bi, bj), pid) if bi == b || bj == b => (pid, id, v)
         }
@@ -276,7 +279,7 @@ object DedupQueries {
             val (bId, bv) = rows(j)
             // in a cross-block group, only cross pairs belong here —
             // intra-block pairs are owned by that block's (b, b) group
-            if (bi == bj || (aId % B) != (bId % B)) {
+            if (bi == bj || Math.floorMod(aId, B.toLong) != Math.floorMod(bId, B.toLong)) {
               var dot = 0.0
               var k = 0
               while (k < av.length) { dot += av(k).toDouble * bv(k).toDouble; k += 1 }

@@ -177,7 +177,7 @@ object SqlQueries {
         |  SELECT root, cur >> 1, depth + 1 FROM chain WHERE cur > 0
         |)
         |SELECT root, max(depth) AS height, count(*) AS chain_len,
-        |       sum(cur) AS key_sum
+        |       CAST(sum(cur) AS BIGINT) AS key_sum
         |FROM chain GROUP BY root ORDER BY root""".stripMargin,
 
     "q_sql_lateral" ->

@@ -34,7 +34,9 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[UnsafeRow](k, cmp)
+        // capacity grows on demand: a huge k ("effectively unlimited"
+        // top-k) must not eagerly allocate a k-slot array per group
+        heap = new java.util.PriorityQueue[UnsafeRow](math.min(k, 16), cmp)
         heaps.put(key.copy(), heap)
       }
       if (heap.size() < k) heap.add(rowProj(row).copy())

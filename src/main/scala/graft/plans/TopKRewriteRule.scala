@@ -70,6 +70,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   val EnabledKey = "spark.graft.topk.rewrite"
 
+  /** Above this k the rewrite declines: the heaps hold k rows per group
+    * per partition IN MEMORY and never spill, so an "effectively
+    * unlimited" top-k (rn <= 100_000_000) is safer on the stock window
+    * plan, which sorts and spills. Tunable per workload.
+    */
+  val MaxKKey = "spark.graft.topk.maxK"
+  val DefaultMaxK = 1000000
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "true") != "true") plan else rewrite(plan)
 
@@ -79,8 +87,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       val rnId = rnAlias.exprId
       val hit = conjuncts.iterator.map(c => c -> limitFromConjunct(c, rnId))
         .collectFirst { case (c, Some(k)) => (c, k) }
+      val maxK = try conf.getConfString(MaxKKey, DefaultMaxK.toString).toInt
+                 catch { case _: NumberFormatException => DefaultMaxK }
       hit match {
-        case Some((matched, k)) if k > 0 =>
+        case Some((matched, k)) if k > 0 && k <= maxK =>
           // InferWindowGroupLimit's bound is subsumed by the partial heaps
           val realChild = child match {
             case WindowGroupLimit(_, _, _, limit, gchild) if limit >= k => gchild

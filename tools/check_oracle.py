@@ -48,8 +48,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Deliberately NOT collapsed to int when integral: the r03 driver
+        # gate failed q_sql_recursive on int64 (Spark) vs float64 (DuckDB
+        # HUGEINT via .df()) with equal values — the old collapse here
+        # rendered both as "6" and hid it. An int-typed column vs a
+        # float-typed column must FAIL locally too (cast the oracle:
+        # CAST(sum(x) AS BIGINT)).
         return repr(v)
     if isinstance(v, Decimal):
         # Deliberately NOT normalized to float: the driver's comparator
