@@ -527,6 +527,41 @@ object RelationalQueries {
               sqrt(nd * d2("syy0") - d2("sy0") * d2("sy0")))).as("corr_qp"))
         .orderBy("l_returnflag")
     }),
+
+    // Wide→long unpivot (Dataset.unpivot / SQL UNPIVOT): the melt step
+    // that turns a metrics-per-column aggregate into (key, metric,
+    // value) rows. Runs AFTER aggregation, so the expand is over
+    // |groups|·|metrics| rows — at 100 TB the wide agg does the data
+    // reduction and the unpivot is a constant-size reshape (never
+    // unpivot the fact table itself: that k×'s the scan output).
+    // Value columns are decimal-exact sums cast to double at the
+    // boundary (one shared type is an unpivot requirement).
+    "q_unpivot" -> ((s, d) => {
+      val wide = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(Dec2)).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast(Dec2)).cast("double").as("price"),
+          count(lit(1)).cast("double").as("cnt"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("cnt")),
+        "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // Deterministic pagination: global sort on a unique key + OFFSET +
+    // LIMIT. Spark plans offset+limit together (GlobalLimit with skip),
+    // so only offset+limit rows ever reach the driver-side collect —
+    // but the skip still SCANS the first `offset` rows after the sort,
+    // so at scale deep pagination should be keyset-based (WHERE key >
+    // last_seen ORDER BY key LIMIT n) rather than ever-growing offsets.
+    "q_limit_offset" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -808,5 +843,24 @@ object RelationalQueries {
         |    / (sqrt(CAST(n0 AS DOUBLE) * CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sx0 AS VARCHAR) AS DOUBLE))
         |       * sqrt(CAST(n0 AS DOUBLE) * CAST(CAST(syy0 AS VARCHAR) AS DOUBLE) - CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE))) AS corr_qp
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // manual UNION ALL melt (portable everywhere); decimal sums go
+    // through the VARCHAR cast (Tables rule 6: DuckDB's direct
+    // DECIMAL→DOUBLE is 1 ulp off past ~15 sig digits)
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS price,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+        |UNION ALL SELECT l_returnflag, 'price' AS metric, price FROM wide
+        |UNION ALL SELECT l_returnflag, 'cnt' AS metric, cnt FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
   )
 }

@@ -130,6 +130,25 @@ object ScalarQueries {
             "name").as("from_map"))
         .orderBy("r_regionkey")),
 
+    // Struct (nested record) surface: build, filter through, and
+    // project out of a STRUCT column. Catalyst's SimplifyExtractValueOps
+    // collapses struct(...).field back to the source column, so the
+    // nested abstraction is zero-cost in the physical plan — structs
+    // only materialize when they reach a sink/shuffle, which is why the
+    // output re-flattens them (and why the comparator never sees one).
+    "q_scalar_struct" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("os", struct(
+          col("o_orderstatus").as("st"),
+          col("o_totalprice").as("tp"),
+          col("o_orderkey").as("k")))
+        .filter(col("os.st") =!= lit("P"))
+        .select(
+          col("os.k").as("o_orderkey"),
+          col("os.st").as("status"),
+          (col("os.tp") + col("os.tp")).as("tp2"))
+        .orderBy("o_orderkey")),
+
     // Typed Aggregator (UDAF): quantity-weighted average price per
     // return flag, exact-integer buffer (graft.functions.WeightedAvgPrice).
     "q_agg_typed" -> ((s, d) => {
@@ -265,6 +284,14 @@ object ScalarQueries {
       """SELECT r_regionkey,
         |  map(['name','key'], [r_name, CAST(r_regionkey AS VARCHAR)])['name'][1] AS from_map
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_scalar_struct" ->
+      """SELECT s.k AS o_orderkey, s.st AS status, s.tp + s.tp AS tp2
+        |FROM (SELECT struct_pack(st := o_orderstatus, tp := o_totalprice,
+        |                         k := o_orderkey) AS s
+        |      FROM orders)
+        |WHERE s.st <> 'P'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_typed" ->
       """SELECT l_returnflag,

@@ -204,6 +204,41 @@ object TextQueries {
           col("lang"))
         .orderBy("doc_id")
     }),
+
+    // Redaction pass (the PII-scrub shape): replace every whole-word
+    // occurrence of the target terms, count hits, report the new
+    // length. Pure per-row regex work — narrow, shuffle-free, and the
+    // regex stays in the Java∩RE2 subset (\b over ASCII word chars)
+    // so both engines tokenize identically. At corpus scale this is
+    // the same single-pass map as q_text_normalize.
+    "q_text_scrub" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("\\b(key|hash)\\b")).cast("int").as("n_hits"),
+          length(regexp_replace(col("text"), "\\b(key|hash)\\b", "<X>")).cast("int")
+            .as("scrub_len"))
+        .orderBy("doc_id")),
+
+    // Fixed-size overlapping chunking (LLM context-window prep):
+    // window 120 chars, stride 80 — each doc explodes into
+    // ceil(len/stride) chunks, consecutive chunks sharing a 40-char
+    // overlap. The 1→N expansion is sequence+explode (generator, no
+    // intermediate array bigger than the chunk starts); chunk text is
+    // substr in CHARACTER units on both engines. The empty-doc guard
+    // (greatest(len-1, 0)) pins one empty chunk, where DuckDB's
+    // generate_series(0,-1) would emit none.
+    "q_doc_chunk" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(80))))
+        .select(
+          col("doc_id"),
+          (col("start") / 80).cast("int").as("chunk_idx"),
+          col("text").substr(col("start") + 1, lit(120)).as("chunk"),
+          length(col("text").substr(col("start") + 1, lit(120))).cast("int").as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")),
   )
 
   def oracles: Map[String, String] = {
@@ -303,6 +338,22 @@ object TextQueries {
           |    i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS fp_min,
           |  lang
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_text_scrub" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '\b(key|hash)\b')) AS INT) AS n_hits,
+          |  CAST(length(regexp_replace(text, '\b(key|hash)\b', '<X>', 'g')) AS INT) AS scrub_len
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_doc_chunk" ->
+        """SELECT doc_id,
+          |  CAST(start / 80 AS INT) AS chunk_idx,
+          |  substr(text, start + 1, 120) AS chunk,
+          |  CAST(length(substr(text, start + 1, 120)) AS INT) AS chunk_len
+          |FROM (SELECT doc_id, text,
+          |        unnest(generate_series(0, greatest(length(text) - 1, 0), 80)) AS start
+          |      FROM documents)
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
     )
   }
 }
