@@ -562,6 +562,110 @@ object RelationalQueries {
         .orderBy("o_orderkey")
         .offset(100)
         .limit(20)),
+
+    // Deterministic mode: mode(col, true) resolves frequency ties to
+    // the LOWEST value — the only cross-engine-checkable form (default
+    // mode() returns an arbitrary tie member). Constant-size state per
+    // group key (an open-addressing map of distinct values), map-side
+    // combined like any hash aggregate.
+    "q_agg_mode" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("mode(o_orderpriority, true)").as("mode_prio"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Heavy hitters via approx_top_k. Gate-safety: maxItemsTracked
+    // (100) exceeds the column's distinct count (5 priorities), so the
+    // sketch degenerates to EXACT counts and the result is fully
+    // deterministic after the explicit (freq DESC, item) re-sort. At
+    // real cardinality the counts become estimates — then gate on
+    // error bounds (q_agg_approx pattern), not equality.
+    "q_agg_topk_freq" -> ((s, d) =>
+      orders(s, d)
+        .agg(expr("approx_top_k(o_orderpriority, 8, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))),
+
+    // Bloom-filter semi-join reduction — the explicit form of Spark's
+    // InjectRuntimeFilter: build a bloom over the selective build side
+    // (materialized driver-side exactly like the optimizer's scalar
+    // subquery broadcast), prune the probe side BEFORE its shuffle with
+    // the codegen'd might-contain predicate, then run the exact join.
+    // False positives are removed by the join, so the result is
+    // EXACTLY the plain join's — the bloom only cuts shuffle volume.
+    // At 100 TB this is the difference between shuffling the full fact
+    // table and shuffling the ~1% that can match.
+    "q_join_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val hot = orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("o_orderkey"))), 100000L)
+        .toAggregateExpression()
+      val bloomBytes = hot.select(ColumnBridge.column(bloomAgg).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val pruned = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .filter(ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ColumnBridge.expression(lit(bloomBytes)),
+            ColumnBridge.expression(xxhash64(col("l_orderkey"))))))
+      pruned.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(Dec2)).cast("double").as("qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Salted skew join: the big side's hot keys are spread over S
+    // sub-keys by a deterministic salt; the small side is replicated
+    // ×S so every (key, salt) pair still meets. Same exact result as
+    // the plain join — the salt only re-shapes the shuffle so one hot
+    // key becomes S tasks instead of one straggler. (AQE's skew-join
+    // split does this adaptively for sort-merge joins; salting is the
+    // explicit form that also works for hash joins and aggregations —
+    // see q_agg_salted for the agg variant.)
+    "q_join_skew" -> ((s, d) => {
+      val S = 8
+      val big = lineitem(s, d).select(col("l_suppkey"), col("l_quantity"))
+        .withColumn("salt_b",
+          pmod(xxhash64(col("l_suppkey"), col("l_quantity")), lit(S)).cast("int"))
+      val dim = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        .withColumn("salt_d", explode(sequence(lit(0), lit(S - 1))))
+      big.join(dim,
+        col("l_suppkey") === col("s_suppkey") && col("salt_b") === col("salt_d"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(Dec2)).cast("double").as("qty"))
+        .orderBy("s_name")
+    }),
+
+    // MERGE/upsert shape without a table format: full-outer join of
+    // base vs changes, COALESCE picking the change when present —
+    // updates overwrite, inserts append, untouched rows pass through.
+    // The change set is derived deterministically from the base so the
+    // oracle can re-derive it. At scale this is one co-partitioned
+    // full-outer shuffle on the key (or a rewrite of only the touched
+    // partitions when the base is partitioned — the poor man's Delta).
+    "q_upsert" -> ((s, d) => {
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val updates = base.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+        .union(base.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus")))
+      base.as("b").join(updates.as("u"),
+          col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("u.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"),
+          coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -862,5 +966,56 @@ object RelationalQueries {
     "q_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
+
+    // deterministic mode re-derived as count + (cnt DESC, value) window
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority AS p, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, p,
+        |    CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, p) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, p AS mode_prio, n FROM r WHERE rn = 1
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // maxItemsTracked > distinct(o_orderpriority) ⇒ the sketch is exact
+    "q_agg_topk_freq" ->
+      """SELECT o_orderpriority AS item, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin,
+
+    // bloom FPs are removed by the exact join ⇒ plain-join oracle
+    "q_join_bloom" ->
+      """SELECT o_orderkey, count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // the salt is pure shuffle re-shaping ⇒ plain-join oracle
+    "q_join_skew" ->
+      """SELECT s_name, count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |         'U' AS o_orderstatus
+        |  FROM base WHERE o_orderstatus = 'P'
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+        |         'N' AS o_orderstatus
+        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |SELECT
+        |  COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

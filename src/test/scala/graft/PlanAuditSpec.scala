@@ -100,4 +100,34 @@ class PlanAuditSpec extends AnyFunSuite {
                   "q_window_lead_lag", "q_window_frames"))
       assert(planOf(q).contains("Window"), s"$q lost its window exec")
   }
+
+  test("q_join_bloom prunes the probe side with might_contain below the join") {
+    // the bloom predicate must survive optimization as a probe-side
+    // Filter (child of the join), not get collapsed or hoisted above it
+    val opt = SparkEntry.queries("q_join_bloom")(spark, sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, opt.toString)
+    val probeSideBloom = joins.head.collect {
+      case f: Filter if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeSideBloom.nonEmpty,
+      s"might_contain filter not under the join:\n$opt")
+  }
+
+  test("q_unpivot expands AFTER the aggregate (constant-size reshape)") {
+    val df = SparkEntry.queries("q_unpivot")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString()
+    // Expand (the unpivot) must be a parent of Aggregate, never a child
+    val expandIdx = p.linesIterator.indexWhere(_.contains("Expand"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("Aggregate"))
+    assert(expandIdx >= 0 && aggIdx >= 0 && expandIdx < aggIdx,
+      s"Expand should sit above Aggregate in:\n$p")
+  }
+
+  test("q_limit_offset plans offset+limit as one limit node, no full collect") {
+    val plan = planOf("q_limit_offset")
+    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrdered"), plan)
+  }
 }
