@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.gen.{Md5Hash60Expr, MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenExpr}
+import graft.gen.{CmsEstimateExpr, Md5Hash60Expr, MinHashSigsExpr, NgramHashesExpr, RandStringExpr, ShingleGenExpr}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql` users can call them without the Scala API:
@@ -12,6 +12,7 @@ import graft.gen.{Md5Hash60Expr, MinHashSigsExpr, NgramHashesExpr, RandStringExp
   *   graft_minhash_sigs(text, shingleLen, numHashes)
   *   graft_ngram_hashes(text, n)
   *   graft_md5_60(str)
+  *   graft_cms_estimate(sketch, key)
   *
   * Two registration paths:
   *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
@@ -62,6 +63,7 @@ object GraftExtensions {
     "graft_shingles" -> { exprs =>
       ShingleGenExpr(exprs(0), if (exprs.length > 1) litInt(exprs(1)) else 5)
     },
+    "graft_cms_estimate" -> { exprs => CmsEstimateExpr(exprs(0), exprs(1)) },
   )
 
   /** Runtime registration on an existing session (temp functions). */

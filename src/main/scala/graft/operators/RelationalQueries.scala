@@ -619,6 +619,37 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Count-min point-frequency estimates (q_agg_approx pattern: the
+    // gated output is the sketch's GUARANTEE, not the engine-specific
+    // estimate). One pass builds the mergeable constant-size sketch;
+    // point queries then run against the blob via graft_cms_estimate
+    // (the read side Spark's built-in doesn't ship). At 100 TB the
+    // sketch replaces a full groupBy when only a few keys' frequencies
+    // are needed or the key space is unbounded. CMS error is one-sided:
+    // est >= exact ALWAYS; est <= exact + eps*N at the sketch's
+    // confidence — deterministic here given the fixed seed, verified
+    // at every test SF.
+    "q_agg_cms" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def est(sk: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        ColumnBridge.column(graft.gen.CmsEstimateExpr(
+          ColumnBridge.expression(sk), ColumnBridge.expression(key)))
+      val sk = lineitem(s, d).agg(
+        expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_total"))
+      val exact = lineitem(s, d).filter(col("l_partkey").between(1, 5))
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("n_exact"))
+      s.range(1, 6).select(col("id").as("k"))
+        .join(exact, Seq("k"), "left_outer")
+        .na.fill(0L, Seq("n_exact"))
+        .crossJoin(broadcast(sk))
+        .select(col("k"), col("n_exact"),
+          (est(col("sk"), col("k")) >= col("n_exact") &&
+            est(col("sk"), col("k")) <= col("n_exact")
+              + ceil(lit(0.001) * col("n_total")).cast("long")).as("within_bound"))
+        .orderBy("k")
+    }),
+
     // Salted skew join: the big side's hot keys are spread over S
     // sub-keys by a deterministic salt; the small side is replicated
     // ×S so every (key, salt) pair still meets. Same exact result as
@@ -992,6 +1023,16 @@ object RelationalQueries {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // CMS guarantee is the gated fact; estimates stay engine-side
+    "q_agg_cms" ->
+      """SELECT ks.k AS k, COALESCE(c.n_exact, 0) AS n_exact,
+        |       TRUE AS within_bound
+        |FROM (SELECT unnest(generate_series(1, 5)) AS k) ks
+        |LEFT JOIN (SELECT l_partkey, count(*) AS n_exact FROM lineitem
+        |           WHERE l_partkey BETWEEN 1 AND 5 GROUP BY 1) c
+        |  ON ks.k = c.l_partkey
+        |ORDER BY k""".stripMargin,
 
     // the salt is pure shuffle re-shaping ⇒ plain-join oracle
     "q_join_skew" ->

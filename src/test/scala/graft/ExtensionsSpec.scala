@@ -130,6 +130,31 @@ class ExtensionsSpec extends AnyFunSuite {
       (3L, 4, "lo wö"), (3L, 5, "o wör"), (3L, 6, " wörl"), (3L, 7, "wörld")))
   }
 
+  test("graft_cms_estimate: one-sided error within eps*N; analysis rejects bad types") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val n = 1000
+    val df = (1 to n).map(i => (i % 7).toLong).toDF("k")
+    val skDf = df.agg(expr("count_min_sketch(k, 0.01d, 0.99d, 7)").as("sk"))
+    val rows = df.groupBy("k").count()
+      .crossJoin(broadcast(skDf))
+      .selectExpr("k", "count AS exact", "graft_cms_estimate(sk, k) AS est")
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      // CMS guarantee: never undercounts; overcount bounded by eps*N
+      assert(est >= exact, s"k=${r.getLong(0)}: est $est < exact $exact")
+      assert(est <= exact + math.ceil(0.01 * n).toLong,
+        s"k=${r.getLong(0)}: est $est above eps*N bound")
+    }
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_cms_estimate(k, k)").collect()
+    }
+    assert(err.getMessage.contains("BINARY"), err.getMessage)
+  }
+
   test("minhash shingles codepoints, not bytes — DuckDB substr parity on non-ASCII") {
     // Expected values computed with the exact oracle SQL fragment
     // (LshBanding.shinglesHashSql/sigsSql) in DuckDB over this string.
