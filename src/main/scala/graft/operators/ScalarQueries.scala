@@ -49,6 +49,23 @@ object ScalarQueries {
           quarter(col("o_orderdate")).as("q"))
         .orderBy("o_orderkey")),
 
+    // Calendar-interval arithmetic: month addition (end-of-month
+    // clamped identically in both engines), month-end, day and
+    // sub-day interval shifts. Derived timestamps exit as epoch
+    // micros, dates as DATE (Tables rules) — interval values
+    // themselves never reach the output (no cross-engine interval
+    // rendering).
+    "q_scalar_interval" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("eom"),
+          to_date(col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("plus45d"),
+          unix_micros((col("o_orderdate") + expr("INTERVAL 90 MINUTES"))
+            .cast("timestamp")).as("plus90min_us"))
+        .orderBy("o_orderkey")),
+
     // Math kitchen over lineitem — IEEE-exact operations only.
     "q_scalar_math" -> ((s, d) =>
       lineitem(s, d)
@@ -284,6 +301,14 @@ object ScalarQueries {
       """SELECT r_regionkey,
         |  map(['name','key'], [r_name, CAST(r_regionkey AS VARCHAR)])['name'][1] AS from_map
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q_scalar_interval" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d,
+        |  epoch_us(o_orderdate + INTERVAL 90 MINUTE) AS plus90min_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_scalar_struct" ->
       """SELECT s.k AS o_orderkey, s.st AS status, s.tp + s.tp AS tp2

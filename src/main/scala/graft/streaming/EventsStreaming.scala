@@ -112,6 +112,21 @@ object EventsStreaming {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** Watermark-bounded dedup (dropDuplicatesWithinWatermark): the
+    * state-bounded production form of [[dedupPairs]] — duplicates are
+    * suppressed only while their key is inside the watermark horizon,
+    * so state is O(keys per horizon) instead of O(all keys ever): the
+    * 100 TB/continuous-ingest contract. Over the single-micro-batch
+    * file source every row sits inside the horizon, so the RESULT SET
+    * equals exact dedup (StreamingSpec asserts it) — what changes is
+    * the state-eviction guarantee, not this output.
+    */
+  def dedupPairsBounded(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Run an append-mode streaming query (e.g. a stream-stream join)
     * over the static input to completion in a memory sink.
     */

@@ -69,6 +69,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("watermark-bounded dedup == exact dedup over one micro-batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      EventsStreaming.dedupPairsBounded(spark, sf), "t_dedup_wm")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming sliding counts == batch sliding counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.slidingTotals(spark, sf), "t_sliding")
