@@ -153,6 +153,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(or.count() == 2) // (x,1) via rn=1; (y,3) via both disjuncts
   }
 
+  test("rewrite rule: k above spark.graft.topk.maxK declines to the window plan") {
+    graft.plans.TopKRewriteRule.register(spark)
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("g", "id")
+    val w = Window.partitionBy("g").orderBy("id")
+    def planned(k: Int): String = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).queryExecution.executedPlan.toString
+    // an "effectively unlimited" top-k must stay on the spilling window
+    // plan — the heaps hold k rows per group per partition in memory
+    assert(!planned(graft.plans.TopKRewriteRule.DefaultMaxK + 1).contains("TopKPerGroup"))
+    assert(planned(3).contains("TopKPerGroup"))
+    // the threshold is tunable per workload
+    spark.conf.set(graft.plans.TopKRewriteRule.MaxKKey, "2")
+    try {
+      assert(!planned(3).contains("TopKPerGroup"))
+      assert(planned(2).contains("TopKPerGroup"))
+    } finally spark.conf.unset(graft.plans.TopKRewriteRule.MaxKKey)
+  }
+
   test("rewrite rule: rank/dense_rank windows are NOT rewritten") {
     graft.plans.TopKRewriteRule.register(spark)
     import spark.implicits._
