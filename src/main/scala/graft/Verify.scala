@@ -50,7 +50,13 @@ object Verify {
     // depend on execution order
     graft.plans.TopKRewriteRule.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop subset: GRAFT_VERIFY_ONLY=q_a,q_b re-checks just the
+    // named queries; the driver never sets it, so its runs stay full
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try sanitize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -8,24 +8,40 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 /** Runtime support for [[CmsEstimateExpr]]: deserialize-once point
   * queries against a serialized count-min sketch.
   *
-  * The deserialized sketch is cached per thread keyed on the byte
-  * array's identity: the expression is evaluated over the tiny
-  * POST-aggregation row set (one sketch blob × a handful of keys from
-  * a broadcast), so all rows in a partition share one blob and the
-  * deserialization cost is paid once, not per row. Point queries over
-  * the raw corpus would be the wrong shape anyway — build the sketch
-  * with the aggregate, query it after reduction.
+  * The deserialized sketch is cached per thread keyed on the blob's
+  * CONTENT, not its identity: rows materialized from UnsafeRow /
+  * column vectors hand back a fresh byte-array copy per getBinary, so
+  * an `eq` key would re-deserialize every row. Identity is kept as a
+  * fast path; otherwise `Arrays.equals` confirms (short-circuits on
+  * length / first differing byte — orders of magnitude cheaper than
+  * `CountMinSketch.readFrom`). The expression is evaluated over the
+  * tiny POST-aggregation row set (one sketch blob × a handful of keys
+  * from a broadcast), so all rows in a partition share one logical
+  * blob and deserialization is paid once per task. The cache entry is
+  * dropped at task completion so long-lived executor threads don't
+  * pin the last blob+sketch.
   */
 object CmsOps {
   private val last =
     new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]
 
+  // observability for the cache-hit contract (incremented per
+  // deserialization, i.e. per cache miss — NOT per row)
+  private[graft] val deserializations = new java.util.concurrent.atomic.AtomicLong
+
   def estimate(bytes: Array[Byte], key: Long): Long = {
     val cached = last.get()
     val sk =
-      if (cached != null && (cached._1 eq bytes)) cached._2
+      if (cached != null &&
+          ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+        cached._2
       else {
+        deserializations.incrementAndGet()
         val s = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        if (last.get() == null) {
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => last.remove())
+        }
         last.set((bytes, s))
         s
       }

@@ -43,16 +43,12 @@ private[gen] trait FloatArrayInputs { self: Expression =>
 object VecMath {
   // getFloat on a null slot reads garbage bits; parquet-read arrays are
   // containsNull=true even when no element ever is, so the guard is a
-  // runtime check, not an analysis-time rejection.
-  private def checkNoNulls(a: ArrayData, n: Int, fn: String): Unit = {
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"$fn: null element at index $i — vector math requires dense float arrays")
-      i += 1
-    }
-  }
+  // runtime check, not an analysis-time rejection. The check is folded
+  // into the compute loop (isNullAt immediately before each getFloat)
+  // so the hot path stays single-pass over each array.
+  private def nullElement(fn: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: null element at index $i — vector math requires dense float arrays")
 
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -60,10 +56,10 @@ object VecMath {
       throw new IllegalArgumentException(
         s"graft_dot: length mismatch ($n vs ${b.numElements()}) — " +
           "truncating would silently corrupt similarity scores")
-    checkNoNulls(a, n, "graft_dot"); checkNoNulls(b, n, "graft_dot")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement("graft_dot", i)
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -72,10 +68,10 @@ object VecMath {
 
   def norm(a: ArrayData): Double = {
     val n = a.numElements()
-    checkNoNulls(a, n, "graft_norm")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) nullElement("graft_norm", i)
       val v = a.getFloat(i).toDouble
       acc += v * v
       i += 1
@@ -88,10 +84,10 @@ object VecMath {
     if (plane.length != n)
       throw new IllegalArgumentException(
         s"graft_plane_proj: vector length $n != plane length ${plane.length}")
-    checkNoNulls(a, n, "graft_plane_proj")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) nullElement("graft_plane_proj", i)
       acc += a.getFloat(i).toDouble * plane(i)
       i += 1
     }

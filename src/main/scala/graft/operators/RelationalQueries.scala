@@ -589,28 +589,35 @@ object RelationalQueries {
         .orderBy(desc("cnt"), asc("item"))),
 
     // Bloom-filter semi-join reduction — the explicit form of Spark's
-    // InjectRuntimeFilter: build a bloom over the selective build side
-    // (materialized driver-side exactly like the optimizer's scalar
-    // subquery broadcast), prune the probe side BEFORE its shuffle with
-    // the codegen'd might-contain predicate, then run the exact join.
-    // False positives are removed by the join, so the result is
-    // EXACTLY the plain join's — the bloom only cuts shuffle volume.
-    // At 100 TB this is the difference between shuffling the full fact
-    // table and shuffling the ~1% that can match.
+    // InjectRuntimeFilter: the bloom over the selective build side is
+    // a SCALAR SUBQUERY (planned as its own subquery stage at
+    // execution time — constructing this DataFrame runs no job), the
+    // probe side is pruned BEFORE its shuffle by the codegen'd
+    // might-contain predicate, then the exact join runs. False
+    // positives are removed by the join, so the result is EXACTLY the
+    // plain join's — the bloom only cuts shuffle volume. Sizing comes
+    // from Spark's own runtime-filter conf
+    // (spark.sql.optimizer.runtime.bloomFilter.expectedNumItems,
+    // default 1M) rather than a constant pinned to one SF, so FPP
+    // holds wherever the user tunes it — and a too-small bloom only
+    // weakens pruning, never correctness. At 100 TB this is the
+    // difference between shuffling the full fact table and shuffling
+    // the ~1% that can match.
     "q_join_bloom" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge
-      val hot = orders(s, d).filter(col("o_totalprice") > 400000)
+      def hot = orders(s, d).filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"))
+      val expectedItems = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000000").toLong
       val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("o_orderkey"))), 100000L)
+        ColumnBridge.expression(xxhash64(col("o_orderkey"))), expectedItems)
         .toAggregateExpression()
-      val bloomBytes = hot.select(ColumnBridge.column(bloomAgg).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      val bloomDf = hot.select(ColumnBridge.column(bloomAgg).as("bf"))
       val pruned = lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"))
         .filter(ColumnBridge.column(
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            ColumnBridge.expression(lit(bloomBytes)),
+            ColumnBridge.scalarSubquery(bloomDf),
             ColumnBridge.expression(xxhash64(col("l_orderkey"))))))
       pruned.join(hot, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
@@ -677,17 +684,26 @@ object RelationalQueries {
     // base vs changes, COALESCE picking the change when present —
     // updates overwrite, inserts append, untouched rows pass through.
     // The change set is derived deterministically from the base so the
-    // oracle can re-derive it. At scale this is one co-partitioned
-    // full-outer shuffle on the key (or a rewrite of only the touched
-    // partitions when the base is partitioned — the poor man's Delta).
+    // oracle can re-derive it. Insert keys are offset by the next
+    // multiple of 10^8 STRICTLY ABOVE max(o_orderkey) (integer
+    // arithmetic only — identical in both engines), so synthesized
+    // keys can never collide with real base keys at any SF; the
+    // 1-row max aggregate rides in as a broadcast cross join. At
+    // scale this is one co-partitioned full-outer shuffle on the key
+    // (or a rewrite of only the touched partitions when the base is
+    // partitioned — the poor man's Delta).
     "q_upsert" -> ((s, d) => {
       val base = orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val maxKey = base.agg(max(col("o_orderkey")).as("mk"))
+      val insertOffset =
+        col("mk") - (col("mk") % 100000000L) + 100000000L
       val updates = base.filter(col("o_orderstatus") === "P")
         .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
           lit("U").as("o_orderstatus"))
         .union(base.filter(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .crossJoin(broadcast(maxKey))
+          .select((col("o_orderkey") + insertOffset).as("o_orderkey"),
             col("o_totalprice"), lit("N").as("o_orderstatus")))
       base.as("b").join(updates.as("u"),
           col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
@@ -1044,14 +1060,15 @@ object RelationalQueries {
     "q_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |mk AS (SELECT max(o_orderkey) AS mk FROM base),
         |updates AS (
         |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
         |         'U' AS o_orderstatus
         |  FROM base WHERE o_orderstatus = 'P'
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
-        |         'N' AS o_orderstatus
-        |  FROM base WHERE o_orderkey % 1000 = 0)
+        |  SELECT o_orderkey + (mk - mk % 100000000 + 100000000) AS o_orderkey,
+        |         o_totalprice, 'N' AS o_orderstatus
+        |  FROM base, mk WHERE o_orderkey % 1000 = 0)
         |SELECT
         |  COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
         |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,

@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** An uncorrelated scalar subquery over `df`'s analyzed plan — the
+    * building block for runtime-filter shapes (a bloom/min-max built
+    * by a subquery stage at EXECUTION time rather than eagerly at
+    * DataFrame-construction time, mirroring Spark's own
+    * InjectRuntimeFilter). `df` must produce exactly one row/column.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed)
 }

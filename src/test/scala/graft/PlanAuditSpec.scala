@@ -116,6 +116,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"might_contain filter not under the join:\n$opt")
   }
 
+  test("q_join_bloom builds the bloom lazily as a scalar subquery, not an eager literal") {
+    // The pre-fix shape ran `.head()` at DataFrame-construction time and
+    // embedded the bloom as a BINARY literal. The fixed shape carries a
+    // ScalarSubquery (InjectRuntimeFilter-style): the build executes as
+    // a subquery stage of the ACTION, inside whatever the bench times.
+    // (Construction still runs parquet schema-inference jobs — those are
+    // metadata reads, not the bloom aggregation.)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+    val conds = SparkEntry.queries("q_join_bloom")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("might_contain") => f.condition
+      }
+    assert(conds.nonEmpty, "no might_contain filter in the optimized plan")
+    assert(conds.exists(_.exists(_.isInstanceOf[ScalarSubquery])),
+      "might_contain's bloom argument should be a scalar subquery")
+    assert(!conds.exists(_.exists {
+      case Literal(_, org.apache.spark.sql.types.BinaryType) => true
+      case _ => false
+    }), "bloom must not be materialized into a binary literal at construction")
+  }
+
+  test("CmsOps caches by blob content, not array identity") {
+    val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    (1L to 100L).foreach(k => sk.add(java.lang.Long.valueOf(k % 7)))
+    val out = new java.io.ByteArrayOutputStream()
+    sk.writeTo(out)
+    val blob = out.toByteArray
+    gen.CmsOps.estimate(blob, 3L) // prime this thread's cache
+    val before = gen.CmsOps.deserializations.get()
+    // fresh copies per call = what UnsafeRow.getBinary hands the expression
+    (1 to 50).foreach(_ => assert(gen.CmsOps.estimate(blob.clone(), 3L) >= 1L))
+    assert(gen.CmsOps.deserializations.get() == before,
+      "content-equal blobs must hit the cached sketch, not re-deserialize per row")
+  }
+
   test("q_unpivot expands AFTER the aggregate (constant-size reshape)") {
     val df = SparkEntry.queries("q_unpivot")(spark, sf)
     val p = df.queryExecution.optimizedPlan.toString()
