@@ -713,6 +713,74 @@ object RelationalQueries {
           coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"))
         .orderBy("o_orderkey")
     }),
+
+    // Fixed-width histogram: bucket index from integer-floor division,
+    // clamped into a final overflow bucket. Deliberately explicit
+    // arithmetic rather than width_bucket() so the oracle runs the
+    // bit-identical IEEE expression (both engines floor the same
+    // double quotient). One map-side-combined hash aggregate over a
+    // ~dozen-key space — the canonical constant-state full-scan shape:
+    // at 100 TB it reads every row once and shuffles a few dozen
+    // partial buffers, nothing else.
+    "q_agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 50000.0), lit(10L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec2)).cast("double").as("sum_price"))
+        .orderBy("bucket")),
+
+    // SCD2 (slowly-changing dimension, type 2) reconstruction: collapse
+    // each customer's order-status history to change points (status !=
+    // previous status), then derive [valid_from, valid_to) intervals
+    // with lead(); the open interval marks the current version. Both
+    // windows share one partitioning (o_custkey) ⇒ a single shuffle,
+    // and the per-customer state is bounded by history length. At
+    // 100 TB this is the standard dimension-versioning pass: one
+    // hash-partitioned sort per customer, no self-join. Timestamps are
+    // emitted as epoch micros (engine-portable — Tables.scala rules).
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev_status").isNull ||
+          col("prev_status") =!= col("o_orderstatus"))
+        // o_orderdate is parquet TIMESTAMP_NTZ; session TZ is pinned UTC
+        // so the cast to TIMESTAMP is value-preserving (unix_micros
+        // rejects NTZ directly)
+        .withColumn("valid_from_us",
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("valid_to_us",
+          lead(unix_micros(col("o_orderdate").cast("timestamp")), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("o_custkey", "o_orderkey", "o_orderstatus",
+          "valid_from_us", "valid_to_us", "is_current")
+        .orderBy("o_custkey", "valid_from_us", "o_orderkey")
+    }),
+
+    // Stratified (per-class rate) deterministic sampling — the corpus
+    // REBALANCING shape: keep 20% of the rare class, 5% of the rest,
+    // membership a pure function of the row key (md5-based, portable)
+    // so the sample is reproducible across runs, engines, and
+    // partitionings. Scales like q_sample_hash: a stateless map-side
+    // filter ahead of the aggregate — no shuffle until the (tiny)
+    // grouped result.
+    "q_sample_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val hkey = ColumnBridge.column(graft.gen.Md5Hash60Expr(ColumnBridge.expression(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))))
+      lineitem(s, d)
+        .withColumn("rate_pm",
+          when(col("l_returnflag") === "R", 200).otherwise(50))
+        .filter(pmod(hkey, lit(1000)) < col("rate_pm"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1075,5 +1143,37 @@ object RelationalQueries {
         |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same explicit IEEE floor-div arithmetic as the Spark side
+    "q_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 10) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_scd2" ->
+      """WITH hist AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)),
+        |scd AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    epoch_us(o_orderdate) AS valid_from_us,
+        |    lead(epoch_us(o_orderdate)) OVER w2 AS valid_to_us
+        |  FROM hist
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey))
+        |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from_us, valid_to_us,
+        |  (valid_to_us IS NULL) AS is_current
+        |FROM scd ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE (('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15))::BIGINT) % 1000
+        |      < CASE WHEN l_returnflag = 'R' THEN 200 ELSE 50 END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
