@@ -152,6 +152,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "content-equal blobs must hit the cached sketch, not re-deserialize per row")
   }
 
+  test("q_scd2: both windows share one partitioning — a single hash exchange") {
+    val plan = planOf("q_scd2")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange feeding both windows, got $hashExchanges:\n$plan")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 window nodes, got $windows:\n$plan")
+  }
+
   test("q_unpivot expands AFTER the aggregate (constant-size reshape)") {
     val df = SparkEntry.queries("q_unpivot")(spark, sf)
     val p = df.queryExecution.optimizedPlan.toString()
