@@ -239,6 +239,33 @@ object TextQueries {
           col("text").substr(col("start") + 1, lit(120)).as("chunk"),
           length(col("text").substr(col("start") + 1, lit(120))).cast("int").as("chunk_len"))
         .orderBy("doc_id", "chunk_idx")),
+
+    // Sequence packing (training-batch prep): concatenate documents in
+    // doc_id order per language until a 2048-token budget fills, then
+    // start the next pack — pack_id = prev_cum_tokens div budget, the
+    // streaming-concatenation rule every LLM data loader uses. Exact
+    // integer arithmetic end to end (cumulative window sum + integer
+    // div), so both engines agree bit-for-bit. The per-lang running
+    // sum forces one hash partition per language — fine when packing
+    // is per-source/per-shard (the real layout); for a single giant
+    // stratum the scale path is block-local packing (pack within
+    // partitions, renumber by partition id) which drops the global
+    // order constraint — documented, not silently swapped in, since
+    // the oracle pins the sequential semantics.
+    "q_doc_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tokens) div 2048"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_total"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "pack_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -354,6 +381,21 @@ object TextQueries {
           |        unnest(generate_series(0, greatest(length(text) - 1, 0), 80)) AS start
           |      FROM documents)
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_doc_pack" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+          |  FROM t)
+          |SELECT lang, (cum - n_tokens) // 2048 AS pack_id,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+          |  min(doc_id) AS first_doc
+          |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     )
   }
 }
