@@ -145,6 +145,36 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Range-partitioned bulk-load layout — the north-star shape for
+    // loading a partitioned database (OceanBase-style PARTITION BY
+    // RANGE): each target partition is an EXPLICIT key range
+    // (pid = key div 1000, deterministic — not repartitionByRange's
+    // sampled boundaries), rows are repartitioned so one task owns one
+    // target partition and writes ONE file, sorted by key within it.
+    // That layout is what a partitioned-DB loader wants: per-partition
+    // files it can ship independently, sorted input for fast index
+    // build, no small-file storm. The oracle recomputes the same
+    // per-partition stats straight from the base table, so directory
+    // routing, file splitting, and the parquet round-trip are all
+    // under the gate; BucketingSpec asserts the one-sorted-file-per-
+    // partition physical invariant.
+    "q_sink_rangeparts" -> ((s, d) => {
+      val path = scratch(d, "rangeparts")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("pid", expr("o_orderkey div 1000"))
+        .repartition(col("pid"))
+        .sortWithinPartitions("pid", "o_orderkey")
+        .write.mode("overwrite").partitionBy("pid").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("pid").cast("long").as("pid"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          sum(col("o_totalprice").cast(Dec2)).cast("double").as("sum_price"))
+        .orderBy("pid")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -193,6 +223,12 @@ object SourceQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sink_rangeparts" ->
+      """SELECT o_orderkey // 1000 AS pid, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY pid""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",

@@ -65,4 +65,22 @@ class BucketingSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q_sink_rangeparts writes one sorted file per target partition") {
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("q_sink_rangeparts")(spark, sf).collect() // runs the write
+    val root = new java.io.File(
+      s"/tmp/graft_q_source_rangeparts_${sf.replaceAll("[^0-9A-Za-z]", "_")}")
+    val pidDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pid="))
+    assert(pidDirs.nonEmpty, s"no pid= directories under $root")
+    pidDirs.foreach { dir =>
+      val dataFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1,
+        s"${dir.getName}: expected exactly 1 file for the bulk loader, got ${dataFiles.length}")
+      val keys = spark.read.parquet(dataFiles.head.getAbsolutePath)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted),
+        s"${dir.getName}: rows not sorted by o_orderkey within the file")
+    }
+  }
 }
