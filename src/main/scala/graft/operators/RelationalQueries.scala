@@ -761,6 +761,34 @@ object RelationalQueries {
         .orderBy("o_custkey", "valid_from_us", "o_orderkey")
     }),
 
+    // One-pass table profiling (SUMMARIZE/ANALYZE shape): null count,
+    // exact NDV, min/max for every numeric measure in ONE aggregate
+    // over the fact table, then a stack() reshape to (column, stats)
+    // rows — the reshape runs on the 1-row aggregate, never on the
+    // fact table. The 4 exact countDistincts expand the scan 4× —
+    // right for the gate; at 100 TB swap exact NDV for
+    // approx_count_distinct and the pass becomes plain map-side
+    // combinable (noted here because profiling is usually the FIRST
+    // query a pipeline runs on new data).
+    "q_profile" -> ((s, d) => {
+      val pcols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = pcols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+      }
+      val wide = lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = pcols
+        .map(c => s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+        .mkString(", ")
+      wide.selectExpr("n_rows",
+        s"stack(${pcols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+        .orderBy("col_name")
+    }),
+
     // Stratified (per-class rate) deterministic sampling — the corpus
     // REBALANCING shape: keep 20% of the rare class, 5% of the rest,
     // membership a pure function of the row key (md5-based, portable)
@@ -1167,6 +1195,27 @@ object RelationalQueries {
         |SELECT o_custkey, o_orderkey, o_orderstatus, valid_from_us, valid_to_us,
         |  (valid_to_us IS NULL) AS is_current
         |FROM scd ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin,
+
+    "q_profile" ->
+      """WITH w AS (SELECT count(*) AS n_rows,
+        |  count(*) - count(l_quantity) AS q_nulls, count(DISTINCT l_quantity) AS q_nd,
+        |    min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |  count(*) - count(l_extendedprice) AS p_nulls, count(DISTINCT l_extendedprice) AS p_nd,
+        |    min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+        |  count(*) - count(l_discount) AS d_nulls, count(DISTINCT l_discount) AS d_nd,
+        |    min(l_discount) AS d_min, max(l_discount) AS d_max,
+        |  count(*) - count(l_tax) AS t_nulls, count(DISTINCT l_tax) AS t_nd,
+        |    min(l_tax) AS t_min, max(l_tax) AS t_max
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n_rows, q_nulls AS n_nulls, q_nd AS n_distinct,
+        |       q_min AS min_val, q_max AS max_val FROM w
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, p_nulls, p_nd, p_min, p_max FROM w
+        |UNION ALL
+        |SELECT 'l_discount', n_rows, d_nulls, d_nd, d_min, d_max FROM w
+        |UNION ALL
+        |SELECT 'l_tax', n_rows, t_nulls, t_nd, t_min, t_max FROM w
+        |ORDER BY col_name""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT l_returnflag, count(*) AS n,
