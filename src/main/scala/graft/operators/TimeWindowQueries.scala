@@ -92,6 +92,31 @@ object TimeWindowQueries {
           coalesce(col("total"), lit(0).cast(Dec382)).as("total"))
         .orderBy("day", "event_type")
     }),
+
+    // Exponential smoothing (EWMA, alpha = 1/2) per user — the
+    // order-dependent recursive scan feature pipelines run on event
+    // streams. No window frame expresses s_i = (s_{i-1} + x_i)/2, so
+    // the sequence is assembled deterministically (sort_array over
+    // (ts, event_id) structs — event_id is the unique tie-break) and
+    // folded left-to-right with a HOF; DuckDB's list_reduce runs the
+    // SAME fold in the SAME order, so the IEEE doubles agree bitwise.
+    // Scale: per-key state = that key's history (bounded by per-user
+    // event counts); the unbounded-stream form of this recurrence is
+    // mapGroupsWithState carrying one double of state — the batch
+    // query pins the semantics the streaming operator must match.
+    "q_win_ewma" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          col("tus"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"),
+          size(col("seq")).as("n_events"),
+          expr("""aggregate(transform(seq, e -> e.value), CAST(NULL AS DOUBLE),
+                 (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                  ELSE 0.5D * acc + 0.5D * x END)""").as("ewma"))
+        .orderBy("user_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -131,6 +156,19 @@ object TimeWindowQueries {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
         |ORDER BY day, t.event_type""".stripMargin,
+
+    // list_reduce seeds with the first element — same fold as the
+    // Spark side's NULL-seeded CASE
+    "q_win_ewma" ->
+      """SELECT user_id, CAST(len(seq) AS INT) AS n_events,
+        |  list_reduce(list_transform(seq, e -> e.v),
+        |              (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+        |FROM (
+        |  SELECT user_id,
+        |    list_sort(list(struct_pack(tus := epoch_us(ts),
+        |                               eid := event_id, v := value))) AS seq
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
   )
 
   private val sessionOracle: String =
