@@ -141,6 +141,22 @@ object EventsStreaming {
     spark.table(name)
   }
 
+  /** Run an update-mode streaming query (e.g. mapGroupsWithState)
+    * over the static input to completion in a memory sink. The sink
+    * table accumulates one row per updated key per micro-batch; over
+    * a single-batch file source that's the final state per key.
+    */
+  def runUpdateToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming aggregate over the static input to completion,
     * materialized in a memory sink (complete mode), and return the
     * final table.

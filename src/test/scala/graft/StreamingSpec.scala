@@ -79,6 +79,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming EWMA (mapGroupsWithState) == batch EWMA fold, bitwise") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runUpdateToCompletion(spark,
+      streaming.EwmaStream.ewma(spark, sf), "t_ewma")
+      .select(col("user_id"), col("n_events").cast("int").as("n_events"),
+        col("ewma"))
+    val batch = operators.TimeWindowQueries.queries("q_win_ewma")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming sliding counts == batch sliding counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.slidingTotals(spark, sf), "t_sliding")
