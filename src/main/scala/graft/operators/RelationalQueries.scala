@@ -809,6 +809,77 @@ object RelationalQueries {
           sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+
+    // Exact distinct count via two-level bitmap rollup (Spark 3.5
+    // bitmap_* functions) — the roaring-bitmap shape: stage 1 ORs each
+    // key's bit into a fixed 4 KB bucket bitmap (32768 bits/bucket,
+    // partial-aggregated map-side, so the shuffle carries at most
+    // |buckets| × 4 KB per group instead of every raw key), stage 2
+    // sums per-bucket popcounts. At 100 TB this is THE way to keep
+    // exact NDV mergeable and re-aggregatable (bitmaps union across
+    // days/partitions); count(DISTINCT) reshuffles raw keys and cannot
+    // be rolled up incrementally.
+    "q_agg_bitmap" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"))
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("nd_parts"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("l_returnflag")),
+
+    // Deterministic per-group reservoir: a fixed-size uniform sample
+    // (k=20 per order priority) where membership is a pure function of
+    // the row key — rank by 60-bit md5 of the key inside each stratum.
+    // Reproducible across runs/engines/partitionings (the property
+    // rand()-based sampling lacks), and the row_number()<=k shape is
+    // planned by TopKRewriteRule as the native TopKPerGroup operator:
+    // bounded per-group heaps map-side, so at 100 TB the shuffle
+    // carries ≤ k rows per group per partition, never the full table.
+    "q_sample_group" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val hkey = ColumnBridge.column(graft.gen.Md5Hash60Expr(ColumnBridge.expression(
+        col("o_orderkey").cast("string"))))
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("hkey"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("hkey", hkey)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Z-score anomaly detection: per-event-type mean/std from EXACT
+    // decimal co-moments (population form), then a broadcast join back
+    // to flag rows with |value − mean| > 3σ. The stats side collapses
+    // to |event_types| rows map-side, so the whole pass is one scan +
+    // one broadcast — no shuffle of the fact table at any scale. Same
+    // cross-engine determinism contract as q_agg_stats: double math
+    // only on operands that are already bit-identical (exact decimal
+    // sums, counts), sqrt is IEEE-correctly-rounded in both engines.
+    "q_anomaly" -> ((s, d) => {
+      val st = events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("value").cast(Dec2)).as("sx0"),
+          sum((col("value").cast(Dec2) * col("value").cast(Dec2)).cast(Dec384)).as("sxx0"))
+        .select(col("event_type"),
+          (col("sx0").cast("double") / col("n0")).as("mean_v"),
+          sqrt(greatest(
+            (col("n0").cast("double") * col("sxx0").cast("double")
+              - col("sx0").cast("double") * col("sx0").cast("double"))
+              / (col("n0").cast("double") * col("n0").cast("double")),
+            lit(0d))).as("std_v"))
+      events(s, d)
+        .join(broadcast(st), Seq("event_type"))
+        .filter(abs(col("value") - col("mean_v")) > lit(3.0) * col("std_v"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean_v")) / col("std_v")).as("z"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1224,5 +1295,49 @@ object RelationalQueries {
         |WHERE (('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15))::BIGINT) % 1000
         |      < CASE WHEN l_returnflag = 'R' THEN 200 ELSE 50 END
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // n_buckets mirrors Spark's bitmap_bucket_number: 32768 bits per
+    // bucket, 1-based for positive keys, v div 32768 for v <= 0
+    // (l_partkey starts at 0 in the testdata, landing in bucket 0)
+    "q_agg_bitmap" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT CASE WHEN l_partkey > 0 THEN ((l_partkey - 1) // 32768) + 1
+        |                      ELSE l_partkey // 32768 END) AS n_buckets
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_sample_group" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY hkey, o_orderkey) AS rn
+        |  FROM h)
+        |SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    // same token-for-token double expression as the Spark side (see
+    // q_agg_stats for the VARCHAR-mediated decimal→double rationale)
+    "q_anomaly" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n0,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sx0,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx0
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) / n0 AS mean_v,
+        |    sqrt(greatest(
+        |      (CAST(n0 AS DOUBLE) * CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sx0 AS VARCHAR) AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)),
+        |      0.0)) AS std_v
+        |  FROM m)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.mean_v) / st.std_v AS z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs(e.value - st.mean_v) > 3.0 * st.std_v
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -173,6 +173,30 @@ object SimilarityQueries {
         .groupBy("bkt")
         .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("nd_labels"))
         .orderBy("bkt")),
+
+    // Symmetric int8 quantization of the embedding column — the
+    // storage/serving compression pass every large vector corpus runs
+    // (float32 → int8 is a 4× footprint cut before ANN indexing).
+    // Per-vector scale = max|x|/127; element q = floor(x/scale + 0.5)
+    // (explicit half-up, never engine round() — see Tables rule 2).
+    // Purely row-local higher-order functions: a stateless map with NO
+    // shuffle, embarrassingly parallel at any scale. Output is the
+    // quantization summary (bounds, checksum-style sum, sparsity), all
+    // integers except the scale — doubles derived from identical IEEE
+    // ops on exactly-cast float32 values, so bits agree cross-engine.
+    "q_embed_quantize" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("scale",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"))
+        .withColumn("qv",
+          expr("""transform(embedding, x -> CASE WHEN scale = 0.0D THEN 0L
+                 ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT) END)"""))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(qv)").as("q_min"),
+          expr("array_max(qv)").as("q_max"),
+          expr("CAST(size(filter(qv, x -> x = 0L)) AS INT)").as("n_zero"))
+        .orderBy("vec_id")),
   )
 
   def oracles: Map[String, String] = {
@@ -266,6 +290,23 @@ object SimilarityQueries {
         s"""SELECT bkt, count(*) AS n, count(DISTINCT label) AS nd_labels FROM (
            |  SELECT $bucketSql AS bkt, label FROM embeddings)
            |GROUP BY bkt ORDER BY bkt""".stripMargin,
+
+      "q_embed_quantize" ->
+        """WITH sc AS (
+          |  SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id, scale,
+          |    list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0::BIGINT
+          |      ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END) AS qv
+          |  FROM sc)
+          |SELECT vec_id, scale,
+          |  list_reduce(qv, (a, x) -> a + x) AS q_sum,
+          |  list_min(qv) AS q_min,
+          |  list_max(qv) AS q_max,
+          |  CAST(len(list_filter(qv, x -> x = 0)) AS INT) AS n_zero
+          |FROM q ORDER BY vec_id""".stripMargin,
     )
   }
 }

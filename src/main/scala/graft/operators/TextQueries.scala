@@ -266,6 +266,43 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy("lang", "pack_id")
     }),
+
+    // Bigram collocation mining: top-20 adjacent word pairs by LIFT
+    // (observed/expected co-occurrence) with min support 5 — the
+    // corpus-statistics pass behind tokenizer-merge candidates and
+    // stop-phrase lists. Lift is ranked instead of log-PMI so the
+    // score is ONE double division of exact integer products (log()
+    // is not correctly-rounded cross-engine; division is — Tables
+    // rule 2). Bigram/unigram counts shuffle once each on the token;
+    // the unigram side joins back twice via broadcast (vocabulary ≪
+    // corpus; at 100 TB vocab is still ~1e7 rows — if it outgrows the
+    // broadcast threshold this degrades gracefully to a shuffle join
+    // on the word key). Integer lift numerators stay under 2^63 up to
+    // ~1e9 tokens per corpus shard; beyond that promote the products
+    // to DOUBLE (noted, not needed at gate scale).
+    "q_text_colloc" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+      val uni = toks.select(explode(col("t")).as("w"))
+      val nUni = uni.agg(count(lit(1)).as("nu"))
+      val bg = toks.select(explode(
+        expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      val nBg = bg.agg(count(lit(1)).as("nb"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      bg.groupBy("bg").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(broadcast(uc.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+        .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+        .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+          ((col("c_xy") * col("nu") * col("nu")).cast("double")
+            / (col("nb") * col("c_x") * col("c_y")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("bg"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -396,6 +433,28 @@ object TextQueries {
           |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
           |  min(doc_id) AS first_doc
           |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+      "q_text_colloc" ->
+        """WITH toks AS (
+          |  SELECT string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 2),
+          |uni AS (SELECT unnest(t) AS w FROM toks),
+          |nu AS (SELECT count(*) AS nu FROM uni),
+          |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+          |bg AS (
+          |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+          |    i -> t[i] || ' ' || t[i + 1])) AS bg
+          |  FROM toks),
+          |nb AS (SELECT count(*) AS nb FROM bg),
+          |bc AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg HAVING count(*) >= 5)
+          |SELECT b.bg, b.c_xy, x.c AS c_x, y.c AS c_y,
+          |  CAST(b.c_xy * nu.nu * nu.nu AS DOUBLE)
+          |    / CAST(nb.nb * x.c * y.c AS DOUBLE) AS lift
+          |FROM bc b
+          |CROSS JOIN nu CROSS JOIN nb
+          |JOIN uc x ON x.w = string_split(b.bg, ' ')[1]
+          |JOIN uc y ON y.w = string_split(b.bg, ' ')[2]
+          |ORDER BY lift DESC, b.bg LIMIT 20""".stripMargin,
     )
   }
 }

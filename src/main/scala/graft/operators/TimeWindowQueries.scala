@@ -117,6 +117,33 @@ object TimeWindowQueries {
                  (acc, x) -> CASE WHEN acc IS NULL THEN x
                                   ELSE 0.5D * acc + 0.5D * x END)""").as("ewma"))
         .orderBy("user_id")),
+
+    // Ordered conversion funnel: view → first click strictly after the
+    // user's first view → first purchase strictly after that click;
+    // one row per stage with the surviving-user count. Every join and
+    // aggregate keys on user_id, so the whole funnel is ONE hash
+    // partitioning reused across stages (co-partitioned joins don't
+    // re-shuffle); per-stage state is a single timestamp per user. At
+    // 100 TB: the event scan is filtered to the three stage types
+    // before any shuffle, and stage tables shrink monotonically.
+    "q_win_funnel" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tus")).as("view_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("tus") > col("view_us"))
+        .groupBy("user_id").agg(min(col("tus")).as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("tus") > col("click_us"))
+        .groupBy("user_id").agg(min(col("tus")).as("purch_us"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -169,6 +196,25 @@ object TimeWindowQueries {
         |                               eid := event_id, v := value))) AS seq
         |  FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_win_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS purch_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
   )
 
   private val sessionOracle: String =
