@@ -880,6 +880,46 @@ object RelationalQueries {
           ((col("value") - col("mean_v")) / col("std_v")).as("z"))
         .orderBy("event_id")
     }),
+
+    // CDC change-log derivation: diff two snapshots into an I/U/D
+    // event stream (the inverse of q_upsert, which APPLIES changes).
+    // The "new" snapshot is synthesized deterministically from the
+    // base — deletes (key ≡ 0 mod 97), price updates (key ≡ 0 mod 13),
+    // inserts (key ≡ 0 mod 101, re-keyed above max via the same
+    // scale-safe power-of-10 offset as q_upsert) — so the oracle
+    // re-derives it exactly. One co-partitioned full-outer join on the
+    // key; at scale the practical form diffs only changed partitions
+    // (partition-level min/max or content hashes prune unchanged ones),
+    // but the per-partition compute is exactly this operator.
+    "q_cdc_diff" -> ((s, d) => {
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val maxKey = base.agg(max(col("o_orderkey")).as("mk"))
+      val insertOffset =
+        col("mk") - (col("mk") % 100000000L) + 100000000L
+      val next = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 500.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .union(base.filter(col("o_orderkey") % 101 === 0)
+          .crossJoin(broadcast(maxKey))
+          .select((col("o_orderkey") + insertOffset).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      base.as("o").join(next.as("n"),
+          col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+        .withColumn("op",
+          when(col("o.o_orderkey").isNull, "I")
+            .when(col("n.o_orderkey").isNull, "D")
+            .when(col("o.o_totalprice") =!= col("n.o_totalprice") ||
+              col("o.o_orderstatus") =!= col("n.o_orderstatus"), "U"))
+        .filter(col("op").isNotNull)
+        .select(coalesce(col("n.o_orderkey"), col("o.o_orderkey")).as("o_orderkey"),
+          col("op"),
+          col("o.o_totalprice").as("old_price"),
+          col("n.o_totalprice").as("new_price"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1339,5 +1379,30 @@ object RelationalQueries {
         |FROM events e JOIN st ON e.event_type = st.event_type
         |WHERE abs(e.value - st.mean_v) > 3.0 * st.std_v
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_cdc_diff" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |off AS (SELECT mk - (mk % 100000000) + 100000000 AS off FROM mk),
+        |old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |new_snap AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + off, o_totalprice, o_orderstatus
+        |  FROM orders CROSS JOIN off WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  o.o_totalprice AS old_price,
+        |  n.o_totalprice AS new_price
+        |FROM old o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice <> n.o_totalprice
+        |   OR o.o_orderstatus <> n.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

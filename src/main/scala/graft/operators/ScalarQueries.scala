@@ -221,6 +221,29 @@ object ScalarQueries {
           min(col("k_val")).as("k_min"),
           max(col("k_val")).as("k_max"))
         .orderBy("event_type")),
+
+    // URL parsing — web-corpus pipelines canonicalize/filter on URL
+    // components before dedup and quality scoring. The URL is
+    // synthesized deterministically from document fields, then pulled
+    // apart with parse_url (a codegen'd built-in backed by java.net.URI;
+    // the extraction is NOT string-reversal of the construction). The
+    // oracle reconstructs the expected components from the same fields —
+    // DuckDB has no parse_url, so the check is construct-vs-parse
+    // round-trip equality. Row-local, shuffle-free at any scale.
+    "q_scalar_url" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+            lit("?q="), col("n_chars").cast("string"),
+            lit("&src="), col("source")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'q')").as("q_param"))
+        .orderBy("doc_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -342,5 +365,16 @@ object ScalarQueries {
         |  min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // expected components reconstructed from the source fields (DuckDB
+    // has no parse_url) — the gate checks construct-vs-parse round-trip
+    "q_scalar_url" ->
+      """SELECT doc_id,
+        |  'https' AS proto,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+        |  'q=' || CAST(n_chars AS VARCHAR) || '&src=' || source AS query,
+        |  CAST(n_chars AS VARCHAR) AS q_param
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

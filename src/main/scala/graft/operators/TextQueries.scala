@@ -303,6 +303,35 @@ object TextQueries {
         .orderBy(col("lift").desc, col("bg"))
         .limit(20)
     }),
+
+    // Curriculum phase assignment: bin every document into 4 difficulty
+    // phases by token count (easy→hard training order). Deliberately
+    // NOT ntile() — a global ntile is a single-partition sort. Instead
+    // the exact score DISTRIBUTION is aggregated (bounded domain:
+    // distinct token counts ≪ corpus), quartile boundaries are read off
+    // the cumulative counts with integer arithmetic (4·cum ≥ k·N — no
+    // division, no ties ambiguity), and docs map to phases row-locally
+    // via a broadcast of the 1-row bounds. Scales as one map-side-
+    // combined aggregate + one broadcast join, any corpus size.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      val n = t.agg(count(lit(1)).as("total"))
+      val dist = t.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+      // window over the distinct-score table only (tiny), never the corpus
+      val cum = dist.withColumn("cum", sum(col("c")).over(Window.orderBy("n_tokens")))
+      val bounds = cum.crossJoin(broadcast(n)).agg(
+        min(when(col("cum") * 4 >= col("total") * 1, col("n_tokens"))).as("b1"),
+        min(when(col("cum") * 4 >= col("total") * 2, col("n_tokens"))).as("b2"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("n_tokens"))).as("b3"))
+      t.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (lit(1) + (col("n_tokens") > col("b1")).cast("int")
+            + (col("n_tokens") > col("b2")).cast("int")
+            + (col("n_tokens") > col("b3")).cast("int")).as("phase"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -455,6 +484,25 @@ object TextQueries {
           |JOIN uc x ON x.w = string_split(b.bg, ' ')[1]
           |JOIN uc y ON y.w = string_split(b.bg, ' ')[2]
           |ORDER BY lift DESC, b.bg LIMIT 20""".stripMargin,
+
+      "q_curriculum" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          |  FROM documents),
+          |n AS (SELECT count(*) AS total FROM t),
+          |d AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY n_tokens),
+          |cum AS (SELECT n_tokens, sum(c) OVER (ORDER BY n_tokens) AS cum FROM d),
+          |b AS (
+          |  SELECT
+          |    min(CASE WHEN cum * 4 >= total * 1 THEN n_tokens END) AS b1,
+          |    min(CASE WHEN cum * 4 >= total * 2 THEN n_tokens END) AS b2,
+          |    min(CASE WHEN cum * 4 >= total * 3 THEN n_tokens END) AS b3
+          |  FROM cum CROSS JOIN n)
+          |SELECT doc_id, lang, n_tokens,
+          |  1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
+          |    + CAST(n_tokens > b3 AS INT) AS phase
+          |FROM t CROSS JOIN b ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -144,6 +144,58 @@ object TimeWindowQueries {
           .select(lit("3_purchase").as("stage"), col("n_users")))
         .orderBy("stage")
     }),
+
+    // Cohort retention: users grouped by first-activity day, then the
+    // count of distinct users still active at each day offset — the
+    // engagement/retention triangle. The cohort aggregate and the
+    // join back both key on user_id (one hash partitioning, reused);
+    // the result is bounded by days², independent of corpus size.
+    "q_win_retention" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = e.groupBy("user_id").agg(min(col("day")).as("c_day"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("c_day"),
+          datediff(col("day"), col("c_day")).as("offset_d"))
+        .groupBy(col("c_day"), col("offset_d"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("offset_d"), col("n_users"))
+        .orderBy("cohort_day", "offset_d")
+    }),
+
+    // Interval-overlap join: per-user activity sessions (same
+    // session_window as q_win_session) vs a business-hours window
+    // grid (09:00–17:00 UTC per observed day) — "how many sessions
+    // touched each maintenance window". Implemented the scale way:
+    // sessions explode over the days they span (sessions are
+    // minutes-long, so ≤2 rows each), the join is an EQUI-join on day
+    // with the overlap condition as a residual — never a nested-loop
+    // over sessions × windows. The window spine is calendar-bounded,
+    // so at 100 TB the join cost is |sessions| regardless of grid size.
+    "q_join_overlap" -> ((s, d) => {
+      val sess = events(s, d)
+        .groupBy(session_window(col("ts"),
+          s"${graft.streaming.Sessionize.GapUs / 60000000L} minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("s_us"), unix_micros(col("w.end")).as("e_us"))
+      val wins = events(s, d)
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .select(col("day"),
+          (unix_micros(col("day").cast("timestamp")) + lit(32400000000L)).as("w_start_us"),
+          (unix_micros(col("day").cast("timestamp")) + lit(61200000000L)).as("w_end_us"))
+      sess
+        .withColumn("day", explode(expr(
+          "sequence(to_date(timestamp_micros(s_us)), to_date(timestamp_micros(e_us)))")))
+        .join(wins, Seq("day"))
+        .filter(col("s_us") < col("w_end_us") && col("w_start_us") < col("e_us"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("nd_users"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_sessions"), col("nd_users"))
+        .orderBy("day")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -215,7 +267,48 @@ object TimeWindowQueries {
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    "q_win_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c_day FROM e GROUP BY user_id)
+        |SELECT strftime(c.c_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(e.day - c.c_day AS INT) AS offset_d,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, offset_d""".stripMargin,
+
+    "q_join_overlap" -> overlapOracle,
   )
+
+  // sessions via the same gaps-and-islands as sessionOracle, then an
+  // overlap join (s_us < w_end AND w_start < e_us) against the daily
+  // 09:00–17:00 UTC grid
+  private val overlapOracle: String =
+    s"""WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${graft.streaming.Sessionize.GapUs}
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS s_us,
+      |    max(epoch_us(ts)) + ${graft.streaming.Sessionize.GapUs} AS e_us
+      |  FROM numbered GROUP BY user_id, sid
+      |), b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+      |w AS (
+      |  SELECT day,
+      |    epoch_us(CAST(day AS TIMESTAMP)) + 32400000000 AS w_start_us,
+      |    epoch_us(CAST(day AS TIMESTAMP)) + 61200000000 AS w_end_us
+      |  FROM (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b))
+      |SELECT strftime(w.day, '%Y-%m-%d') AS day,
+      |  count(*) AS n_sessions, count(DISTINCT s.user_id) AS nd_users
+      |FROM w JOIN sess s ON s.s_us < w.w_end_us AND w.w_start_us < s.e_us
+      |GROUP BY w.day ORDER BY day""".stripMargin
 
   private val sessionOracle: String =
       s"""WITH flagged AS (
