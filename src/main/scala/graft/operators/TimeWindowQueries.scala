@@ -196,6 +196,51 @@ object TimeWindowQueries {
           col("n_sessions"), col("nd_users"))
         .orderBy("day")
     }),
+
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRIOR touch event (view or click) — the standard
+    // marketing/conversion-credit pass. One window per user (ordered
+    // by ts with the unique event_id tie-break), last(ignoreNulls)
+    // over a frame that excludes the current row; purchases with no
+    // prior touch fall into 'none'. One hash partitioning on user_id;
+    // per-user state is bounded by history length.
+    "q_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total_value"))
+        .orderBy("touch_type")
+    }),
+
+    // Out-of-order / late-data accounting — the batch observability
+    // pass that sizes streaming watermarks: using event_id as the
+    // arrival-order proxy, an event is "late" when it is more than
+    // 10 minutes older than the per-user max event time already seen
+    // on arrival. Disorder is measured per user key (bounded window
+    // state, one shuffle) rather than globally — a global running max
+    // is inherently sequential and would not distribute; per-key
+    // disorder is also what actually drives keyed streaming state.
+    "q_win_late" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_max", max(col("tus")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("prev_max") - col("tus") > 600000000L, 1)).as("n_late"),
+          max(greatest(col("prev_max") - col("tus"), lit(0L))).as("max_disorder_us"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +323,31 @@ object TimeWindowQueries {
         |GROUP BY 1, 2 ORDER BY cohort_day, offset_d""".stripMargin,
 
     "q_join_overlap" -> overlapOracle,
+
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    "q_win_late" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS tus,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN prev_max - tus > 600000000 THEN 1 END) AS n_late,
+        |  max(greatest(prev_max - tus, 0)) AS max_disorder_us
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an
