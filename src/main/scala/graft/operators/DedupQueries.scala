@@ -293,6 +293,41 @@ object DedupQueries {
         out.iterator
       }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+
+    // Fuzzy entity-resolution join: match deterministically-corrupted
+    // supplier names (one character dropped at an md5-chosen position)
+    // back to the clean registry with edit distance ≤ 1 — the
+    // record-linkage shape. Scale form: NEVER a levenshtein nested
+    // loop; both sides explode to character 3-grams, candidates come
+    // from one equi-join on the gram (a shared 3-gram is necessary
+    // for edit distance 1 at these lengths), pairs dedup, and the
+    // exact levenshtein runs only on the bounded candidate set. At
+    // 100 TB gram frequency is Zipfian — cap or drop ubiquitous grams
+    // (stop-gram filtering) to bound bucket fan-out; names here are
+    // near-unique so the gate exercises the unfiltered form.
+    "q_join_fuzzy" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      val h = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(col("s_name"))))
+      // drop the character at 0-based position h mod len (1-based substr)
+      val dirty = sup
+        .withColumn("p", (h % length(col("s_name")).cast("long")).cast("int"))
+        .select(col("s_suppkey").as("d_key"),
+          concat(expr("substring(s_name, 1, p)"),
+            expr("substring(s_name, p + 2)")).as("d_name"))
+      def grams(name: String) = explode(expr(
+        s"transform(sequence(1, greatest(length($name) - 2, 1)), i -> substring($name, i, 3))"))
+      val cg = sup.select(col("s_suppkey"), col("s_name"), grams("s_name").as("g"))
+      val dg = dirty.select(col("d_key"), col("d_name"), grams("d_name").as("g"))
+      dg.join(cg, Seq("g"))
+        .select(col("d_key"), col("d_name"), col("s_suppkey"), col("s_name"))
+        .distinct()
+        .filter(levenshtein(col("d_name"), col("s_name")) <= 1)
+        .select(col("d_key"), col("d_name"), col("s_suppkey"), col("s_name"),
+          levenshtein(col("d_name"), col("s_name")).as("dist"))
+        .orderBy("d_key", "s_suppkey")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -414,6 +449,35 @@ object DedupQueries {
           |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
           |      / (a.nrm * b.nrm) >= 0.45
           |ORDER BY a_id, b_id""".stripMargin,
+
+      // same corruption (drop char at md5-hash mod length), same 3-gram
+      // blocking, same levenshtein residual
+      "q_join_fuzzy" ->
+        """WITH sup AS (SELECT s_suppkey, s_name FROM supplier),
+          |dirty AS (
+          |  SELECT s_suppkey AS d_key,
+          |    substr(s_name, 1, p) || substr(s_name, p + 2) AS d_name
+          |  FROM (
+          |    SELECT s_suppkey, s_name,
+          |      CAST(('0x' || substr(md5(s_name), 1, 15))::BIGINT % length(s_name) AS INT) AS p
+          |    FROM supplier)),
+          |cg AS (
+          |  SELECT s_suppkey, s_name,
+          |    unnest(list_transform(generate_series(1, greatest(length(s_name) - 2, 1)),
+          |      i -> substr(s_name, CAST(i AS INT), 3))) AS g
+          |  FROM sup),
+          |dg AS (
+          |  SELECT d_key, d_name,
+          |    unnest(list_transform(generate_series(1, greatest(length(d_name) - 2, 1)),
+          |      i -> substr(d_name, CAST(i AS INT), 3))) AS g
+          |  FROM dirty),
+          |pairs AS (
+          |  SELECT DISTINCT d.d_key, d.d_name, c.s_suppkey, c.s_name
+          |  FROM dg d JOIN cg c ON d.g = c.g)
+          |SELECT d_key, d_name, s_suppkey, s_name,
+          |  CAST(levenshtein(d_name, s_name) AS INT) AS dist
+          |FROM pairs WHERE levenshtein(d_name, s_name) <= 1
+          |ORDER BY d_key, s_suppkey""".stripMargin,
     )
   }
 }
