@@ -91,6 +91,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming funnel stages (mapGroupsWithState) == batch funnel counts") {
+    import org.apache.spark.sql.functions._
+    val perUser = EventsStreaming.runUpdateToCompletion(spark,
+      streaming.FunnelStream.stages(spark, sf), "t_funnel")
+    // fold per-user reached stages into the batch query's 3-row shape:
+    // n_users at stage k = users whose reached stage >= k
+    val streamed = Seq(("1_view", 1), ("2_click", 2), ("3_purchase", 3))
+      .map { case (label, k) =>
+        perUser.filter(col("stage") >= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(label).as("stage"), col("n_users"))
+      }.reduce(_ unionAll _)
+    val batch = operators.TimeWindowQueries.queries("q_win_funnel")(spark, sf)
+    assert(perUser.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming sliding counts == batch sliding counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.slidingTotals(spark, sf), "t_sliding")
