@@ -175,4 +175,48 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("q_limit_offset")
     assert(plan.contains("GlobalLimit") || plan.contains("TakeOrdered"), plan)
   }
+
+  test("q_agg_bitmap: two-level rollup with partial bitmap aggregation map-side") {
+    val plan = planOf("q_agg_bitmap")
+    // stage 1 (per-bucket bitmap OR) must run in partial mode map-side
+    // — the property that bounds the shuffle to |buckets| x 4 KB per
+    // group instead of raw keys (partial aggregates always sit below
+    // their exchange by construction)
+    assert(plan.contains("partial_bitmap_construct_agg"), plan)
+    // two-level rollup: bucket-level exchange + group-level exchange
+    // (plus the final presentation sort's range exchange)
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n$plan")
+  }
+
+  test("q_anomaly: stats side broadcasts — the fact table is never shuffled") {
+    val plan = planOf("q_anomaly")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchange allowed is the tiny per-type stats aggregate;
+    // the events scan feeding the join must not hash-exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the stats-agg exchange, got $exchanges:\n$plan")
+  }
+
+  test("q_sample_group: per-group rank limited before the shuffle (WindowGroupLimit or TopKPerGroup)") {
+    val plan = planOf("q_sample_group")
+    // either Spark's own partial WindowGroupLimit (default posture) or
+    // the native operator (under the registered rewrite) must bound
+    // rows map-side; a bare Window+Filter would shuffle every row
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerGroup"), plan)
+  }
+
+  test("q_join_fuzzy: candidates come from an equi-join on the gram, not a nested loop") {
+    val plan = planOf("q_join_fuzzy")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join must block on grams, not nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_embed_quantize is shuffle-free (row-local map)") {
+    val plan = planOf("q_embed_quantize")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$plan")
+  }
 }
