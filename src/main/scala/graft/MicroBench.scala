@@ -63,6 +63,48 @@ object MicroBench {
     time("embed_broadcast", 3) { qs("q_dedup_embedding")(spark, sfDir).count() }
     time("embed_blocked", 3) { qs("q_dedup_embedding_blocked")(spark, sfDir).count() }
 
+    // fuzzy_symdel vs fuzzy_bnlj: symmetric-deletion-blocked candidate
+    // generation vs the naive nested-loop levenshtein predicate (same
+    // result set). The BNLJ cost is quadratic in table size; the
+    // symdel form's join input is (len+1)·N keys with near-unique-key
+    // fan-out. (A 3-gram-blocked variant measured 23× WORSE than the
+    // BNLJ here — low-entropy names share near-universal grams, which
+    // makes gram buckets quadratic; that's why the operator uses
+    // deletion keys.)
+    locally {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val sup = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name"))
+      val h = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(col("s_name"))))
+      val dirty = sup
+        .withColumn("p", (h % length(col("s_name")).cast("long")).cast("int"))
+        .select(col("s_suppkey").as("d_key"),
+          concat(expr("substring(s_name, 1, p)"),
+            expr("substring(s_name, p + 2)")).as("d_name"))
+      def viaGram: DataFrame = qs("q_join_fuzzy")(spark, sfDir)
+      def viaBnlj: DataFrame = dirty.crossJoin(sup)
+        .filter(levenshtein(col("d_name"), col("s_name")) <= 1)
+        .select(col("d_key"), col("d_name"), col("s_suppkey"), col("s_name"),
+          levenshtein(col("d_name"), col("s_name")).as("dist"))
+      val nG = viaGram.count()
+      val nB = viaBnlj.count()
+      require(nG == nB, s"result mismatch: symdel=$nG bnlj=$nB")
+      time("fuzzy_symdel", 3) { viaGram.count() }
+      time("fuzzy_bnlj", 3) { viaBnlj.count() }
+    }
+
+    // ndv_bitmap vs ndv_exact: two-level bitmap rollup vs
+    // count(DISTINCT) Expand — same exact result; the bitmap form's
+    // shuffle is bounded by bucket count and is re-aggregatable.
+    locally {
+      val li = Tables.lineitem(spark, sfDir)
+      def viaBitmap: DataFrame = qs("q_agg_bitmap")(spark, sfDir)
+      def viaDistinct: DataFrame = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"))
+      time("ndv_bitmap", 3) { viaBitmap.count() }
+      time("ndv_distinct", 3) { viaDistinct.count() }
+    }
+
     spark.stop()
   }
 }

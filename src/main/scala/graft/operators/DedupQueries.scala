@@ -298,13 +298,16 @@ object DedupQueries {
     // supplier names (one character dropped at an md5-chosen position)
     // back to the clean registry with edit distance ≤ 1 — the
     // record-linkage shape. Scale form: NEVER a levenshtein nested
-    // loop; both sides explode to character 3-grams, candidates come
-    // from one equi-join on the gram (a shared 3-gram is necessary
-    // for edit distance 1 at these lengths), pairs dedup, and the
-    // exact levenshtein runs only on the bounded candidate set. At
-    // 100 TB gram frequency is Zipfian — cap or drop ubiquitous grams
-    // (stop-gram filtering) to bound bucket fan-out; names here are
-    // near-unique so the gate exercises the unfiltered form.
+    // loop, and NOT n-gram blocking either — on low-entropy keys
+    // (shared prefixes, zero-padded ids) near-universal grams make the
+    // gram join quadratic (measured 23× WORSE than the nested loop at
+    // sf0.1 — graft.MicroBench). Instead: symmetric-deletion blocking
+    // (the SymSpell scheme): each side's join keys are the string
+    // itself plus every one-character deletion, so any pair at edit
+    // distance ≤ 1 provably shares a key (substitution → common
+    // deletion at that position; deletion → the short string itself),
+    // fan-out is exactly len+1 keys per row regardless of key entropy,
+    // and the exact levenshtein runs only on the deduped candidates.
     "q_join_fuzzy" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val sup = supplier(s, d).select(col("s_suppkey"), col("s_name"))
@@ -316,11 +319,13 @@ object DedupQueries {
         .select(col("s_suppkey").as("d_key"),
           concat(expr("substring(s_name, 1, p)"),
             expr("substring(s_name, p + 2)")).as("d_name"))
-      def grams(name: String) = explode(expr(
-        s"transform(sequence(1, greatest(length($name) - 2, 1)), i -> substring($name, i, 3))"))
-      val cg = sup.select(col("s_suppkey"), col("s_name"), grams("s_name").as("g"))
-      val dg = dirty.select(col("d_key"), col("d_name"), grams("d_name").as("g"))
-      dg.join(cg, Seq("g"))
+      def delKeys(name: String) = explode(expr(
+        s"""array_union(array($name),
+           |  transform(sequence(1, length($name)),
+           |    i -> concat(substring($name, 1, i - 1), substring($name, i + 1))))""".stripMargin))
+      val ck = sup.select(col("s_suppkey"), col("s_name"), delKeys("s_name").as("k"))
+      val dk = dirty.select(col("d_key"), col("d_name"), delKeys("d_name").as("k"))
+      dk.join(ck, Seq("k"))
         .select(col("d_key"), col("d_name"), col("s_suppkey"), col("s_name"))
         .distinct()
         .filter(levenshtein(col("d_name"), col("s_name")) <= 1)
@@ -450,8 +455,8 @@ object DedupQueries {
           |      / (a.nrm * b.nrm) >= 0.45
           |ORDER BY a_id, b_id""".stripMargin,
 
-      // same corruption (drop char at md5-hash mod length), same 3-gram
-      // blocking, same levenshtein residual
+      // same corruption (drop char at md5-hash mod length), same
+      // symmetric-deletion blocking keys, same levenshtein residual
       "q_join_fuzzy" ->
         """WITH sup AS (SELECT s_suppkey, s_name FROM supplier),
           |dirty AS (
@@ -461,19 +466,23 @@ object DedupQueries {
           |    SELECT s_suppkey, s_name,
           |      CAST(('0x' || substr(md5(s_name), 1, 15))::BIGINT % length(s_name) AS INT) AS p
           |    FROM supplier)),
-          |cg AS (
+          |ck AS (
           |  SELECT s_suppkey, s_name,
-          |    unnest(list_transform(generate_series(1, greatest(length(s_name) - 2, 1)),
-          |      i -> substr(s_name, CAST(i AS INT), 3))) AS g
+          |    unnest(list_distinct(list_append(
+          |      list_transform(generate_series(1, length(s_name)),
+          |        i -> substr(s_name, 1, CAST(i AS INT) - 1) || substr(s_name, CAST(i AS INT) + 1)),
+          |      s_name))) AS k
           |  FROM sup),
-          |dg AS (
+          |dk AS (
           |  SELECT d_key, d_name,
-          |    unnest(list_transform(generate_series(1, greatest(length(d_name) - 2, 1)),
-          |      i -> substr(d_name, CAST(i AS INT), 3))) AS g
+          |    unnest(list_distinct(list_append(
+          |      list_transform(generate_series(1, length(d_name)),
+          |        i -> substr(d_name, 1, CAST(i AS INT) - 1) || substr(d_name, CAST(i AS INT) + 1)),
+          |      d_name))) AS k
           |  FROM dirty),
           |pairs AS (
           |  SELECT DISTINCT d.d_key, d.d_name, c.s_suppkey, c.s_name
-          |  FROM dg d JOIN cg c ON d.g = c.g)
+          |  FROM dk d JOIN ck c ON d.k = c.k)
           |SELECT d_key, d_name, s_suppkey, s_name,
           |  CAST(levenshtein(d_name, s_name) AS INT) AS dist
           |FROM pairs WHERE levenshtein(d_name, s_name) <= 1

@@ -206,10 +206,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerGroup"), plan)
   }
 
-  test("q_join_fuzzy: candidates come from an equi-join on the gram, not a nested loop") {
+  test("q_join_fuzzy: candidates come from an equi-join on deletion keys, not a nested loop") {
     val plan = planOf("q_join_fuzzy")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"fuzzy join must block on grams, not nested-loop:\n$plan")
+      s"fuzzy join must block on deletion keys, not nested-loop:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), plan)
   }
