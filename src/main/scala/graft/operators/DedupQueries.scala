@@ -333,6 +333,51 @@ object DedupQueries {
           levenshtein(col("d_name"), col("s_name")).as("dist"))
         .orderBy("d_key", "s_suppkey")
     }),
+
+    // URL-canonicalization dedup — the web-corpus pass that collapses
+    // crawl variants of the same page before content dedup: lowercase
+    // host, strip the default port, drop utm_* tracking params, SORT
+    // the surviving query params, strip trailing slashes. Messy URLs
+    // are synthesized deterministically (md5-driven case/port/utm/
+    // order/slash variants over a doc_id-mod-100 page space, so many
+    // rows collapse per page); the operator genuinely parses the dirty
+    // URL back apart (parse_url + higher-order filter/sort — never the
+    // source fields). Row-local canonicalization + ONE hash aggregate
+    // on the canonical key: the same shape and cost as q_dedup_exact
+    // at any corpus size.
+    "q_dedup_url" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val h = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(col("doc_id").cast("string"))))
+      val dirty = documents(s, d)
+        .withColumn("h", h)
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("h") % 2 === 0, lit("WWW.Example.COM")).otherwise(lit("www.example.com")),
+          when(col("h") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/"), col("lang"), lit("/doc-"), (col("doc_id") % 100).cast("string"),
+          when(col("h") % 7 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(col("h") % 5 < 2,
+            concat(lit("utm_source=s"), (col("h") % 4).cast("string"), lit("&q="),
+              (col("n_chars") % 10).cast("string")))
+            .otherwise(concat(lit("q="), (col("n_chars") % 10).cast("string")))))
+      dirty
+        .withColumn("host",
+          lower(expr("parse_url(url, 'HOST')")))
+        .withColumn("path",
+          regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""))
+        .withColumn("params", expr(
+          """array_join(array_sort(filter(split(parse_url(url, 'QUERY'), '&'),
+            |  p -> NOT startswith(p, 'utm_'))), '&')""".stripMargin))
+        .withColumn("canon", concat(lit("https://"), col("host"), col("path"),
+          when(col("params") =!= "", concat(lit("?"), col("params"))).otherwise(lit(""))))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("canon")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -487,6 +532,41 @@ object DedupQueries {
           |  CAST(levenshtein(d_name, s_name) AS INT) AS dist
           |FROM pairs WHERE levenshtein(d_name, s_name) <= 1
           |ORDER BY d_key, s_suppkey""".stripMargin,
+
+      // same md5-driven dirty-URL synthesis; canonicalization re-parses
+      // the URL with regexes (DuckDB has no parse_url)
+      "q_dedup_url" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |    'https://'
+          |    || CASE WHEN h % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END
+          |    || CASE WHEN h % 3 = 0 THEN ':443' ELSE '' END
+          |    || '/' || lang || '/doc-' || CAST(doc_id % 100 AS VARCHAR)
+          |    || CASE WHEN h % 7 = 0 THEN '/' ELSE '' END
+          |    || '?'
+          |    || CASE WHEN h % 5 < 2
+          |         THEN 'utm_source=s' || CAST(h % 4 AS VARCHAR) || '&q=' || CAST(n_chars % 10 AS VARCHAR)
+          |         ELSE 'q=' || CAST(n_chars % 10 AS VARCHAR) END AS url
+          |  FROM (
+          |    SELECT doc_id, lang, n_chars,
+          |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |    FROM documents)),
+          |canon AS (
+          |  SELECT doc_id, url,
+          |    'https://'
+          |    || lower(regexp_extract(url, '^https://([^/:?]+)', 1))
+          |    || regexp_replace(regexp_extract(url, '^https://[^/?]+(/[^?]*)', 1), '/$', '')
+          |    || CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon
+          |  FROM (
+          |    SELECT doc_id, url,
+          |      array_to_string(list_sort(list_filter(
+          |        string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+          |        p -> NOT starts_with(p, 'utm_'))), '&') AS params
+          |    FROM dirty))
+          |SELECT canon, count(*) AS n_rows,
+          |  count(DISTINCT url) AS n_variants,
+          |  min(doc_id) AS first_doc
+          |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
     )
   }
 }
