@@ -920,6 +920,60 @@ object RelationalQueries {
           col("n.o_totalprice").as("new_price"))
         .orderBy("o_orderkey")
     }),
+
+    // Incremental re-aggregation (materialized-view maintenance): a
+    // DAILY partial-aggregate table is rolled up to MONTHLY by
+    // re-aggregating the partials — sum of sums, sum of counts, min of
+    // mins, max of maxes, and the average derived from the re-summed
+    // exact numerator/denominator (never an avg of avgs). This is the
+    // lambda/incremental pattern at 100 TB: the daily pass touches raw
+    // data once; every coarser rollup reads only |days| × |groups|
+    // partial rows. Only works because every aggregate kept is
+    // MERGEABLE — the same property the sketch family (HLL/CMS/KLL)
+    // extends to distincts and quantiles.
+    "q_agg_reagg" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec2)).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      daily
+        .groupBy(substring(col("day"), 1, 7).as("month"), col("l_returnflag"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_qty")).cast(Dec382).as("sum_qty"),
+          (sum(col("sum_qty")).cast("double") / sum(col("n"))).as("avg_qty"),
+          min(col("min_price")).as("min_price"),
+          max(col("max_price")).as("max_price"))
+        .orderBy("month", "l_returnflag")
+    }),
+
+    // Z-order layout key: interleave the bits of two bucketized
+    // dimensions (customer, order day) into one clustering value, then
+    // audit per-block min/max tightness of BOTH dims — the
+    // multi-dimensional data-skipping layout (range-partition + sort
+    // by z before writing, and scans filtered on EITHER dimension
+    // prune most blocks via footer min/max). Pure integer bit math,
+    // identical in both engines; the physical write form follows
+    // q_sink_rangeparts (repartitionByRange(zval) + sortWithinPartitions).
+    "q_sort_zorder" -> ((s, d) => {
+      val xb = expr("pmod(o_custkey, 256)")                           // 8-bit dim 1
+      val yb = expr(
+        "pmod(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000, 256)") // 8-bit dim 2 (epoch day)
+      val z = (0 until 8).map { i =>
+        (shiftleft(shiftrightunsigned(col("xb"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftrightunsigned(col("yb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      orders(s, d)
+        .withColumn("xb", xb).withColumn("yb", yb)
+        .withColumn("z", z)
+        .groupBy(expr("z div 1024").as("zblock"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy("zblock")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1404,5 +1458,42 @@ object RelationalQueries {
         |   OR o.o_totalprice <> n.o_totalprice
         |   OR o.o_orderstatus <> n.o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same two-level daily→monthly re-aggregation of partials
+    "q_agg_reagg" ->
+      """WITH daily AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, l_returnflag,
+        |    count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    min(l_extendedprice) AS min_price,
+        |    max(l_extendedprice) AS max_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT substr(day, 1, 7) AS month, l_returnflag,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(sum_qty) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(CAST(sum(sum_qty) AS VARCHAR) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS avg_qty,
+        |  min(min_price) AS min_price,
+        |  max(max_price) AS max_price
+        |FROM daily GROUP BY 1, 2 ORDER BY month, l_returnflag""".stripMargin,
+
+    // the z interleave is the same unrolled bit expression the Spark
+    // side builds (generated by the same loop bounds)
+    "q_sort_zorder" -> {
+      val zTerms = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString("\n        |      | ")
+      s"""WITH b AS (
+        |  SELECT o_custkey % 256 AS xb,
+        |    (epoch_us(o_orderdate) // 86400000000) % 256 AS yb
+        |  FROM orders),
+        |zt AS (
+        |  SELECT xb, yb,
+        |    ( $zTerms ) AS z
+        |  FROM b)
+        |SELECT z // 1024 AS zblock, count(*) AS n,
+        |  min(xb) AS x_min, max(xb) AS x_max,
+        |  min(yb) AS y_min, max(yb) AS y_max
+        |FROM zt GROUP BY 1 ORDER BY zblock""".stripMargin
+    },
   )
 }
