@@ -28,6 +28,25 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_join_fuzzy recall is 1: every corrupted name links back to its source") {
+    // the oracle gate proves cross-engine agreement; this proves the
+    // SEMANTIC ground truth — symdel blocking never drops a true match
+    import org.apache.spark.sql.functions.col
+    val res = SparkEntry.queries("q_join_fuzzy")(spark, sf)
+    val suppliers = Tables.supplier(spark, sf).count()
+    val selfPairs = res.filter(col("d_key") === col("s_suppkey")).count()
+    assert(selfPairs == suppliers,
+      s"expected all $suppliers corrupted names to match their source, got $selfPairs")
+  }
+
+  test("q_dedup_url partitions the corpus: canonical groups cover every row exactly once") {
+    import org.apache.spark.sql.functions.sum
+    val res = SparkEntry.queries("q_dedup_url")(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    val covered = res.agg(sum("n_rows")).head.getLong(0)
+    assert(covered == docs, s"canonical groups cover $covered of $docs rows")
+  }
+
   test("no query output has array/map/struct columns after Verify.sanitize") {
     // The driver's pandas comparator crashes on array cells (unhashable
     // numpy.ndarray) and renders decimals differently from DuckDB floats.

@@ -64,4 +64,33 @@ object PropertySpec extends Properties("graft") {
 
   property("rkey matches the reference's published first values") =
     Prop((0L to 3L).map(rkey) == Seq(Long.MinValue, 1L, Long.MinValue + 1, 256L))
+
+  // pure-Scala mirror of q_join_fuzzy's symmetric-deletion blocking:
+  // keys(s) = {s} ∪ one-char deletions of s. The blocking-completeness
+  // claim: ANY pair at edit distance ≤ 1 shares a key (deletion → the
+  // short string itself; substitution → the common deletion at that
+  // position; insertion is the mirror of deletion).
+  private def delKeys(s: String): Set[String] =
+    Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+
+  private val asciiStr = for {
+    n <- Gen.choose(2, 30)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  private val edit: Gen[(String, String)] = for {
+    s <- asciiStr
+    pos <- Gen.choose(0, s.length - 1)
+    c <- Gen.alphaNumChar
+    op <- Gen.oneOf(0, 1, 2) // delete, substitute, insert
+  } yield op match {
+    case 0 => (s, s.substring(0, pos) + s.substring(pos + 1))
+    case 1 => (s, s.substring(0, pos) + c + s.substring(pos + 1))
+    case 2 => (s, s.substring(0, pos) + c + s.substring(pos))
+  }
+
+  property("symmetric-deletion blocking is complete for edit distance <= 1") =
+    forAll(edit) { case (a, b) =>
+      (delKeys(a) intersect delKeys(b)).nonEmpty
+    }
 }
