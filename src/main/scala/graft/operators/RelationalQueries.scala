@@ -974,6 +974,54 @@ object RelationalQueries {
           min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
         .orderBy("zblock")
     }),
+
+    // Per-user feature-matrix assembly — the tabular feature pass that
+    // turns an event log into one ML training row per entity:
+    // per-type activity counts (conditional aggregation — one
+    // map-side-combined pass, no per-type scans or joins), monetary
+    // total (decimal-exact), and activity-span features. At 100 TB
+    // this is a single shuffle on user_id producing |users| rows;
+    // conditional aggregation beats pivot() here because the feature
+    // column set is fixed by the schema, not discovered at plan time.
+    "q_feature_matrix" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total_value"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us"))
+        .orderBy("user_id")),
+
+    // Class-balanced downsampling: per-class keep rates DERIVED from
+    // the data (rate = min_class_count / class_count in exact ppm
+    // integer arithmetic), then the usual md5-deterministic membership
+    // filter — the imbalanced-label rebalancing pass. The class
+    // distribution collapses map-side to |classes| rows, broadcasts
+    // back, and the filter is row-local: one scan + one tiny aggregate
+    // at any scale (q_sample_stratified is the fixed-rate cousin).
+    "q_sample_balanced" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val counts = lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+      val minC = counts.agg(min(col("cnt")).as("mc"))
+      val rates = counts.crossJoin(broadcast(minC))
+        .select(col("l_returnflag"),
+          expr("(mc * 1000000) div cnt").as("rate_ppm"))
+      val hkey = ColumnBridge.column(graft.gen.Md5Hash60Expr(ColumnBridge.expression(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))))
+      lineitem(s, d)
+        .join(broadcast(rates), Seq("l_returnflag"))
+        .filter(pmod(hkey, lit(1000000)) < col("rate_ppm"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1495,5 +1543,28 @@ object RelationalQueries {
         |  min(yb) AS y_min, max(yb) AS y_max
         |FROM zt GROUP BY 1 ORDER BY zblock""".stripMargin
     },
+
+    "q_feature_matrix" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sample_balanced" ->
+      """WITH c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mc FROM c),
+        |r AS (SELECT l_returnflag, (mc * 1000000) // cnt AS rate_ppm
+        |      FROM c CROSS JOIN m)
+        |SELECT l.l_returnflag, count(*) AS n_kept,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem l JOIN r ON l.l_returnflag = r.l_returnflag
+        |WHERE (('0x' || substr(md5(concat_ws('|', l.l_orderkey, l.l_linenumber)), 1, 15))::BIGINT) % 1000000
+        |      < r.rate_ppm
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
   )
 }

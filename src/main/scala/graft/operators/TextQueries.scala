@@ -332,6 +332,29 @@ object TextQueries {
             + (col("n_tokens") > col("b3")).cast("int")).as("phase"))
         .orderBy("doc_id")
     }),
+
+    // Character-trigram language profiles — the MODEL-BUILD side of
+    // n-gram language ID (q_text_langid is the apply side): per
+    // language, the 10 most frequent character trigrams with counts.
+    // Trigram explosion is a generator (array never materializes per
+    // row beyond the batch), counts partial-aggregate map-side, and
+    // the per-lang top-10 is the row_number()≤k shape the TopK rewrite
+    // plans as bounded heaps. At 100 TB the profile table is
+    // |langs| × 10 rows from one scan — the cheapest model a pipeline
+    // ever trains.
+    "q_text_ngram_lm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tri = documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))
+      tri.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("tri"), col("cnt"))
+        .orderBy("lang", "rnk")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -503,6 +526,20 @@ object TextQueries {
           |  1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
           |    + CAST(n_tokens > b3 AS INT) AS phase
           |FROM t CROSS JOIN b ORDER BY doc_id""".stripMargin,
+
+      "q_text_ngram_lm" ->
+        """WITH tri AS (
+          |  SELECT lang,
+          |    unnest(list_transform(generate_series(1, length(text) - 2),
+          |      i -> substr(text, CAST(i AS INT), 3))) AS tri
+          |  FROM documents WHERE length(text) >= 3),
+          |c AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY lang, tri),
+          |r AS (
+          |  SELECT lang, tri, cnt,
+          |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rnk
+          |  FROM c)
+          |SELECT lang, rnk, tri, cnt FROM r WHERE rnk <= 10
+          |ORDER BY lang, rnk""".stripMargin,
     )
   }
 }
