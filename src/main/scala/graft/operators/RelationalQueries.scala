@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -1022,6 +1022,32 @@ object RelationalQueries {
           sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+
+    // 2-D skyline (Pareto frontier): orders that no other order beats
+    // on BOTH price and recency. Distributed the algebraic way —
+    // skyline(S) = skyline(union of per-partition skylines) — so
+    // stage 1 sweeps each input partition independently (sort by
+    // price desc within the partition, keep rows whose date exceeds
+    // the running max; partitioning choice cannot change the FINAL
+    // set, only the survivor count), and stage 2 re-sweeps the tiny
+    // survivor union globally. Never a global sort of the full table,
+    // never the O(n²) NOT-EXISTS self-join. The oracle runs the
+    // single global sweep — same final frontier by the merge identity.
+    "q_skyline" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+      def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(part: _*)
+          .orderBy(col("o_totalprice").desc, col("d_us").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("pm", max(col("d_us")).over(w))
+          .filter(col("pm").isNull || col("d_us") > col("pm"))
+          .drop("pm")
+      }
+      val partial = sweep(base, Seq(spark_partition_id()))
+      sweep(partial, Seq.empty)
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1566,5 +1592,20 @@ object RelationalQueries {
         |WHERE (('0x' || substr(md5(concat_ws('|', l.l_orderkey, l.l_linenumber)), 1, 15))::BIGINT) % 1000000
         |      < r.rate_ppm
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    // single global sweep — equals the Spark side's two-level form by
+    // the skyline merge identity
+    "q_skyline" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS d_us
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderkey, o_totalprice, d_us,
+        |    max(d_us) OVER (ORDER BY o_totalprice DESC, d_us DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM b)
+        |SELECT o_orderkey, o_totalprice, d_us
+        |FROM s WHERE pm IS NULL OR d_us > pm
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

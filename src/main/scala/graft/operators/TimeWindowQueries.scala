@@ -241,6 +241,28 @@ object TimeWindowQueries {
           max(greatest(col("prev_max") - col("tus"), lit(0L))).as("max_disorder_us"))
         .orderBy("event_type")
     }),
+
+    // Event-type transition matrix (first-order Markov model build):
+    // consecutive event pairs per user via lead(), counted into
+    // (from, to) cells with the transition probability derived from
+    // exact integer counts — the sequence-model statistics pass
+    // (session-flow analysis, next-event prediction baselines). One
+    // window shuffle on user_id, then a constant-size (|types|²)
+    // aggregate; probabilities are one double division of exact ints.
+    "q_win_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wf = Window.partitionBy("from_type")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+        .orderBy("from_type", "to_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -348,6 +370,19 @@ object TimeWindowQueries {
         |  count(CASE WHEN prev_max - tus > 600000000 THEN 1 END) AS n_late,
         |  max(greatest(prev_max - tus, 0)) AS max_disorder_us
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_win_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an
