@@ -1048,6 +1048,28 @@ object RelationalQueries {
       sweep(partial, Seq.empty)
         .orderBy("o_orderkey")
     }),
+
+    // 5-table star join (region → nation → customer → orders →
+    // lineitem): the dimensional-rollup shape that exercises
+    // Catalyst's join ordering. Declared in "wrong" order on purpose —
+    // the optimizer reorders so the two bounded dims (region, nation)
+    // broadcast while the two fact-fact joins shuffle on their keys;
+    // revenue aggregates decimal-exact per (region, priority). At
+    // 100 TB the dims still broadcast and AQE re-plans the fact joins
+    // from runtime sizes — the plan carries no scale assumption.
+    "q_join_star" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("l_discount") >= 0.05)
+        .groupBy(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice").cast(Dec2)
+            * (lit(1).cast(Dec2) - col("l_discount").cast(Dec2))).cast(Dec384))
+            .cast(Dec384).as("revenue"))
+        .orderBy("r_name", "o_orderpriority")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1607,5 +1629,18 @@ object RelationalQueries {
         |SELECT o_orderkey, o_totalprice, d_us
         |FROM s WHERE pm IS NULL OR d_us > pm
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE l_discount >= 0.05
+        |GROUP BY r_name, o_orderpriority
+        |ORDER BY r_name, o_orderpriority""".stripMargin,
   )
 }

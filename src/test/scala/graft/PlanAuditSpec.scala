@@ -219,4 +219,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"quantization must not shuffle:\n$plan")
   }
+
+  test("q_join_star broadcasts both bounded dims in the reordered join tree") {
+    val plan = planOf("q_join_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected region+nation (at least) to broadcast, got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
