@@ -50,6 +50,65 @@ object DedupQueries {
       .select("a_id", "b_id").distinct()
   }
 
+  /** Blocked all-pairs cosine near-dup — the 100 TB form, shared by
+    * q_dedup_embedding_blocked (always) and q_dedup_embedding (as its
+    * automatic fallback past the broadcast bound). Vectors split into
+    * B blocks by id; every unordered block pair (bi ≤ bj) is one
+    * reduce group and each vector is replicated to the B groups
+    * containing its block. Per-task memory is 2·N/B vectors (tuned by
+    * B), shuffle volume is B·N rows, no driver collect and no
+    * whole-table broadcast — same result set, same oracle, identical
+    * double arithmetic (dot in index order, lower-id norm first) as
+    * the broadcast form.
+    */
+  private def blockedAllPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 4
+    val pairs = for { bi <- 0 until B; bj <- bi until B } yield (bi, bj)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val replicated = e.flatMap { case (id, v) =>
+      // floorMod: a negative id must land in a real block, not a
+      // negative one that matches no (bi,bj) pair and silently drops
+      // the vector from the comparison
+      val b = Math.floorMod(id, B.toLong).toInt
+      pairs.iterator.zipWithIndex.collect {
+        case ((bi, bj), pid) if bi == b || bj == b => (pid, id, v)
+      }
+    }
+    replicated.groupByKey(_._1).flatMapGroups { (pid: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+      val (bi, bj) = pairs(pid)
+      val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+      val norms = rows.map { case (_, v) =>
+        var i = 0; var sum = 0.0
+        while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(sum)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < rows.length) {
+        val (aId, av) = rows(i)
+        var j = i + 1
+        while (j < rows.length) {
+          val (bId, bv) = rows(j)
+          // in a cross-block group, only cross pairs belong here —
+          // intra-block pairs are owned by that block's (b, b) group
+          if (bi == bj || Math.floorMod(aId, B.toLong) != Math.floorMod(bId, B.toLong)) {
+            var dot = 0.0
+            var k = 0
+            while (k < av.length) { dot += av(k).toDouble * bv(k).toDouble; k += 1 }
+            if (norms(i) > 0 && norms(j) > 0
+              && dot / (norms(i) * norms(j)) >= 0.45) out += ((aId, bId))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact dedup, keep-first semantics: group on md5(text) (at 100 TB
     // you group on the 128-bit digest, never the raw text — constant-
@@ -197,102 +256,53 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
       // Broadcast bound: all-pairs needs the candidate side resident on
-      // every executor. Past ~500k×64f (~130 MB) that design is wrong —
-      // switch to block-partitioned all-pairs or LSH (q_sim_ann) — so
-      // degrade loudly instead of OOMing the driver.
+      // every executor. Past ~500k×64f (~130 MB) that design is wrong,
+      // so the query DELEGATES to the blocked plan (blockedAllPairs —
+      // same pairs, same double arithmetic, no broadcast) instead of
+      // failing: below the bound you get the fast broadcast form, past
+      // it the plan degrades to the scale-safe one automatically.
       // The bound check rides the same collect (take bound+1, no separate
       // count job — an extra full scan per run would also skew the
       // MicroBench broadcast-vs-blocked comparison).
       val limited = e.limit(500001).collect()
-      require(limited.length <= 500000,
-        "q_dedup_embedding: >500k candidate vectors exceed the broadcast " +
-          "bound; use blocked all-pairs or the LSH path (q_sim_ann) at this scale")
-      val all = limited.sortBy(_._1)
-      val norms = all.map { case (_, v) =>
-        var i = 0; var sum = 0.0
-        while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(sum)
-      }
-      val bc = s.sparkContext.broadcast((all, norms))
-      e.mapPartitions { rows =>
-        val (cands, cnorms) = bc.value
-        rows.flatMap { case (aId, av) =>
-          var aSum = 0.0
-          var i = 0
-          while (i < av.length) { aSum += av(i).toDouble * av(i).toDouble; i += 1 }
-          val aNorm = math.sqrt(aSum)
-          cands.iterator.zipWithIndex
-            .filter { case ((bId, _), _) => bId > aId }
-            .flatMap { case ((bId, bv), bi) =>
-              var dot = 0.0
-              var j = 0
-              while (j < av.length) { dot += av(j).toDouble * bv(j).toDouble; j += 1 }
-              // zero-norm guard: cosine is undefined (NaN), and NaN
-              // comparison semantics DIFFER across engines (JVM false,
-              // DuckDB sorts NaN above all) — both sides exclude explicitly
-              if (aNorm > 0 && cnorms(bi) > 0
-                && dot / (aNorm * cnorms(bi)) >= 0.45) Some((aId, bId))
-              else None
-            }
-        }
-      }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
-    }),
-
-    // Blocked all-pairs: the 100 TB form of q_dedup_embedding, made
-    // concrete. Vectors are split into B blocks by id; every unordered
-    // block pair (bi ≤ bj) is one reduce group and each vector is
-    // replicated to the B groups containing its block. Per-task memory
-    // is 2·N/B vectors (tuned by B), shuffle volume is B·N rows, no
-    // driver collect and no whole-table broadcast — same result set,
-    // same oracle, identical double arithmetic (dot in index order,
-    // lower-id norm first) as the broadcast form.
-    "q_dedup_embedding_blocked" -> ((s, d) => {
-      import s.implicits._
-      val B = 4
-      val pairs = for { bi <- 0 until B; bj <- bi until B } yield (bi, bj)
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val replicated = e.flatMap { case (id, v) =>
-        // floorMod: a negative id must land in a real block, not a
-        // negative one that matches no (bi,bj) pair and silently drops
-        // the vector from the comparison
-        val b = Math.floorMod(id, B.toLong).toInt
-        pairs.iterator.zipWithIndex.collect {
-          case ((bi, bj), pid) if bi == b || bj == b => (pid, id, v)
-        }
-      }
-      replicated.groupByKey(_._1).flatMapGroups { (pid: Int, it: Iterator[(Int, Long, Array[Float])]) =>
-        val (bi, bj) = pairs(pid)
-        val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
-        val norms = rows.map { case (_, v) =>
+      if (limited.length > 500000) blockedAllPairs(s, d)
+      else {
+        val all = limited.sortBy(_._1)
+        val norms = all.map { case (_, v) =>
           var i = 0; var sum = 0.0
           while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(sum)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < rows.length) {
-          val (aId, av) = rows(i)
-          var j = i + 1
-          while (j < rows.length) {
-            val (bId, bv) = rows(j)
-            // in a cross-block group, only cross pairs belong here —
-            // intra-block pairs are owned by that block's (b, b) group
-            if (bi == bj || Math.floorMod(aId, B.toLong) != Math.floorMod(bId, B.toLong)) {
-              var dot = 0.0
-              var k = 0
-              while (k < av.length) { dot += av(k).toDouble * bv(k).toDouble; k += 1 }
-              if (norms(i) > 0 && norms(j) > 0
-                && dot / (norms(i) * norms(j)) >= 0.45) out += ((aId, bId))
-            }
-            j += 1
+        val bc = s.sparkContext.broadcast((all, norms))
+        e.mapPartitions { rows =>
+          val (cands, cnorms) = bc.value
+          rows.flatMap { case (aId, av) =>
+            var aSum = 0.0
+            var i = 0
+            while (i < av.length) { aSum += av(i).toDouble * av(i).toDouble; i += 1 }
+            val aNorm = math.sqrt(aSum)
+            cands.iterator.zipWithIndex
+              .filter { case ((bId, _), _) => bId > aId }
+              .flatMap { case ((bId, bv), bi) =>
+                var dot = 0.0
+                var j = 0
+                while (j < av.length) { dot += av(j).toDouble * bv(j).toDouble; j += 1 }
+                // zero-norm guard: cosine is undefined (NaN), and NaN
+                // comparison semantics DIFFER across engines (JVM false,
+                // DuckDB sorts NaN above all) — both sides exclude explicitly
+                if (aNorm > 0 && cnorms(bi) > 0
+                  && dot / (aNorm * cnorms(bi)) >= 0.45) Some((aId, bId))
+                else None
+              }
           }
-          i += 1
-        }
-        out.iterator
-      }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
+        }.toDF("a_id", "b_id").orderBy("a_id", "b_id")
+      }
     }),
+
+    // Blocked all-pairs: the 100 TB form of q_dedup_embedding, made
+    // concrete and always-on (q_dedup_embedding reaches the same code
+    // automatically past its broadcast bound). See blockedAllPairs.
+    "q_dedup_embedding_blocked" -> ((s, d) => blockedAllPairs(s, d)),
 
     // Fuzzy entity-resolution join: match deterministically-corrupted
     // supplier names (one character dropped at an md5-chosen position)

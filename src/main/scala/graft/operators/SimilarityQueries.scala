@@ -131,12 +131,18 @@ object SimilarityQueries {
     // coarse cells). Cell assignment = argmax-cosine centroid (rank-1
     // under a deterministic tie-break); queries probe their NProbe
     // nearest cells and rank only those cells' members by true cosine.
-    // Corpus cost: one pass × NCentroids (broadcast) for assignment,
-    // then bucket-local compares — sub-linear per query like LSH, but
-    // with data-adaptive cells. Here centroids are 8 fixed corpus
-    // vectors (vec_id 10..17); at 100 TB they'd come from an offline
-    // k-means fit — the pipeline shape (assign → invert → probe) is
-    // identical and that's what this query pins down.
+    // Corpus cost: ONE row-local pass — the 8 centroids ride in as a
+    // broadcast single-row array and each vector takes array_max over
+    // its 8 struct(score, -cid) candidates in place (tie → smallest
+    // cid, matching the oracle's ORDER BY cscore DESC, cid). No corpus
+    // row expansion, no shuffle, no window: assignment cost is O(n·k)
+    // inside the scan stage, which is the shape that survives 100 TB.
+    // The NProbe ranking runs the same way (sorted slice of the struct
+    // array) over just the NumQueries query rows. Centroids are 8
+    // fixed corpus vectors (vec_id 10..17); at 100 TB they'd come from
+    // an offline k-means fit (graft.functions.KMeans implements
+    // Lloyd's; see KMeansSpec) — the pipeline shape (assign → invert →
+    // probe) is identical and that's what this query pins down.
     "q_sim_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
@@ -144,17 +150,27 @@ object SimilarityQueries {
       val cents = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
         .select((col("vec_id") - NumQueries).as("cid"),
           col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val byCent = Window.partitionBy("vec_id")
-        .orderBy(col("cscore").desc, col("cid"))
-      val ranked = e.join(broadcast(cents))
-        .withColumn("cscore", dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")))
-        .withColumn("cr", row_number().over(byCent))
-      val cands = ranked.filter(col("cr") === 1)
+      val centArr = broadcast(cents.agg(
+        array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents")))
+      // struct(cscore, -cid): array_max picks highest score, ties to
+      // the LOWEST cid — same total order as the window it replaces.
+      def cellScores(v: Column, n: Column): Column =
+        transform(col("cents"), c => struct(
+          (dotD(v, c.getField("cemb")) / (n * c.getField("cnrm"))).as("cscore"),
+          (-c.getField("cid")).as("ncid")))
+      val cands = e.crossJoin(centArr)
+        .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"), col("cid").as("cell"))
-      val probes = ranked.filter(col("vec_id") < NumQueries && col("cr") <= NProbe)
+          col("nrm").as("cn"), (-col("best").getField("ncid")).as("cell"))
+      // NProbe nearest cells per query vector: ascending sort on
+      // struct(-cscore, -ncid) == (cscore DESC, cid ASC), slice NProbe.
+      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArr)
+        .withColumn("probe", explode(slice(array_sort(
+          transform(col("cents"), c => struct(
+            (-(dotD(col("embedding"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm")))).as("nscore"),
+            c.getField("cid").as("cid")))), 1, NProbe)))
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("cid").as("pcell"))
+          col("nrm").as("qn"), col("probe").getField("cid").as("pcell"))
       val byScore = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("cand_id"))
       broadcast(probes).join(cands, col("pcell") === col("cell") && col("q_id") =!= col("cand_id"))

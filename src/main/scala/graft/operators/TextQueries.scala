@@ -277,9 +277,12 @@ object TextQueries {
     // the unigram side joins back twice via broadcast (vocabulary ≪
     // corpus; at 100 TB vocab is still ~1e7 rows — if it outgrows the
     // broadcast threshold this degrades gracefully to a shuffle join
-    // on the word key). Integer lift numerators stay under 2^63 up to
-    // ~1e9 tokens per corpus shard; beyond that promote the products
-    // to DOUBLE (noted, not needed at gate scale).
+    // on the word key). Each count is cast to DOUBLE BEFORE the
+    // multiplies: nu² alone passes 2^63 at ~3e9 corpus tokens, so the
+    // integer-product form silently wraps at scale (and non-ANSI Spark
+    // wraps where DuckDB errors — engine divergence). Double multiply/
+    // divide are correctly rounded, so with identical left-to-right
+    // association both engines still produce the same bits.
     "q_text_colloc" -> ((s, d) => {
       val toks = documents(s, d)
         .select(split(col("text"), " ").as("t"))
@@ -298,8 +301,8 @@ object TextQueries {
         .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
         .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
         .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
-          ((col("c_xy") * col("nu") * col("nu")).cast("double")
-            / (col("nb") * col("c_x") * col("c_y")).cast("double")).as("lift"))
+          ((col("c_xy").cast("double") * col("nu").cast("double") * col("nu").cast("double"))
+            / (col("nb").cast("double") * col("c_x").cast("double") * col("c_y").cast("double"))).as("lift"))
         .orderBy(col("lift").desc, col("bg"))
         .limit(20)
     }),
@@ -308,23 +311,31 @@ object TextQueries {
     // phases by token count (easy→hard training order). Deliberately
     // NOT ntile() — a global ntile is a single-partition sort. Instead
     // the exact score DISTRIBUTION is aggregated (bounded domain:
-    // distinct token counts ≪ corpus), quartile boundaries are read off
-    // the cumulative counts with integer arithmetic (4·cum ≥ k·N — no
-    // division, no ties ambiguity), and docs map to phases row-locally
-    // via a broadcast of the 1-row bounds. Scales as one map-side-
-    // combined aggregate + one broadcast join, any corpus size.
+    // distinct token counts ≪ corpus), packed into ONE sorted array
+    // row, and the quartile boundaries are read off a single
+    // aggregate() HOF fold over that array with integer arithmetic
+    // (4·cum ≥ k·N — no division, no ties ambiguity). No window at
+    // all — the previous form used Window.orderBy over the tiny dist
+    // table, which was safe but emitted the same "No Partition
+    // Defined" warning a real scale bug would. Docs then map to
+    // phases row-locally via a broadcast of the 1-row bounds. Scales
+    // as one map-side-combined aggregate + one broadcast join.
     "q_curriculum" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val t = documents(s, d).select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).as("n_tokens"))
-      val n = t.agg(count(lit(1)).as("total"))
       val dist = t.groupBy("n_tokens").agg(count(lit(1)).as("c"))
-      // window over the distinct-score table only (tiny), never the corpus
-      val cum = dist.withColumn("cum", sum(col("c")).over(Window.orderBy("n_tokens")))
-      val bounds = cum.crossJoin(broadcast(n)).agg(
-        min(when(col("cum") * 4 >= col("total") * 1, col("n_tokens"))).as("b1"),
-        min(when(col("cum") * 4 >= col("total") * 2, col("n_tokens"))).as("b2"),
-        min(when(col("cum") * 4 >= col("total") * 3, col("n_tokens"))).as("b3"))
+      val bounds = dist
+        .agg(array_sort(collect_list(struct(col("n_tokens"), col("c")))).as("dc"))
+        .withColumn("total", expr("aggregate(dc, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
+        .select(expr(
+          """aggregate(dc,
+            |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS INT) AS b1,
+            |         CAST(NULL AS INT) AS b2, CAST(NULL AS INT) AS b3),
+            |  (a, x) -> struct(a.cum + x.c AS cum,
+            |    coalesce(a.b1, CASE WHEN (a.cum + x.c) * 4 >= total * 1 THEN x.n_tokens END) AS b1,
+            |    coalesce(a.b2, CASE WHEN (a.cum + x.c) * 4 >= total * 2 THEN x.n_tokens END) AS b2,
+            |    coalesce(a.b3, CASE WHEN (a.cum + x.c) * 4 >= total * 3 THEN x.n_tokens END) AS b3))""".stripMargin).as("bs"))
+        .select(col("bs.b1").as("b1"), col("bs.b2").as("b2"), col("bs.b3").as("b3"))
       t.crossJoin(broadcast(bounds))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           (lit(1) + (col("n_tokens") > col("b1")).cast("int")
@@ -500,8 +511,8 @@ object TextQueries {
           |nb AS (SELECT count(*) AS nb FROM bg),
           |bc AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg HAVING count(*) >= 5)
           |SELECT b.bg, b.c_xy, x.c AS c_x, y.c AS c_y,
-          |  CAST(b.c_xy * nu.nu * nu.nu AS DOUBLE)
-          |    / CAST(nb.nb * x.c * y.c AS DOUBLE) AS lift
+          |  (CAST(b.c_xy AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE))
+          |    / (CAST(nb.nb AS DOUBLE) * CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)) AS lift
           |FROM bc b
           |CROSS JOIN nu CROSS JOIN nb
           |JOIN uc x ON x.w = string_split(b.bg, ' ')[1]
