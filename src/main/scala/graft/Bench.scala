@@ -68,12 +68,14 @@ object Bench {
     val genRate = (genRows / genSec).toLong
 
     // End-to-end CSV sink (the reference's actual operation: format +
-    // write). The noop number above is compute-only; this one is the
-    // apples-to-apples single-node throughput claim vs BASELINE.md.
+    // write), through the BYTE-parity projection (%g float text) so
+    // the throughput claim vs BASELINE.md is apples-to-apples down to
+    // the output bytes.
     val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
     val csvRate = try {
       val c0 = System.nanoTime()
-      gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
+      gen.SqloadGen.textParity(
+          gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
         .write.mode("overwrite").option("header", "false").option("emptyValue", "")
         .csv(csvDir.getAbsolutePath)
       (genRows / ((System.nanoTime() - c0) / 1e9)).toLong

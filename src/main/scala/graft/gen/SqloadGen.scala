@@ -45,6 +45,35 @@ object SqloadGen {
       .option("dateFormat", "yyyy-MM-dd")
       .csv(path)
 
+  /** Byte-parity projection for the text CSV sink: float/double render
+    * as C/C++ `%g` precision-6 text (GFormat6Expr — what the
+    * reference's `stringstream << x` emits, generate_csv.cpp:42-54)
+    * and decimals as their scale-padded plain string (BigDecimal keeps
+    * scale, matching the reference's zero-padded fraction,
+    * generate_csv.cpp:145). Other types already match the reference's
+    * text conventions through the plain CSV options. Row-local,
+    * codegen'd — the parity sink stays shuffle-free.
+    */
+  def textParity(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case FloatType | DoubleType =>
+          ColumnBridge.column(GFormat6Expr(
+            ColumnBridge.expression(df.col(f.name)))).as(f.name)
+        case _: DecimalType => df.col(f.name).cast("string").as(f.name)
+        case _              => df.col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** writeCsv with the reference's float/double/decimal TEXT
+    * conventions — byte-faithful output, not just domain-faithful.
+    */
+  def writeCsvText(df: DataFrame, path: String): Unit =
+    writeCsv(textParity(df), path)
+
   /** Bulk-load layout for a range-partitioned target table: sort-range
     * shuffle on the first column (the `key` column by convention) into
     * `buckets` output files, each covering a contiguous key range.
@@ -88,7 +117,7 @@ object SqloadGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try writeCsv(table(spark, spec, rows), out)
+    try writeCsvText(table(spark, spec, rows), out)
     catch {
       case e: SpecParseException => System.err.println(e.msg); sys.exit(1)
     }

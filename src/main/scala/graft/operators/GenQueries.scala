@@ -81,6 +81,52 @@ object GenQueries {
           (min(col("c13")) >= 0
             && max(col("c13")) < lit(BigDecimal(100000000))).as("decimal_ok"))),
 
+    // CSV TEXT parity (the byte-level Tier A contract): float/double
+    // render as C/C++ %g precision-6 (the reference's stringstream
+    // convention, generate_csv.cpp:42-54) and decimal fractions are
+    // zero-padded to exactly s digits (:145). The query runs the real
+    // text sink (writeCsvText → disk), reads the bytes back as strings,
+    // and checks the textual domain as one boolean row:
+    //  * round-trip identity — reparsing a cell and re-formatting it
+    //    reproduces the exact bytes, which proves every cell is in
+    //    %g's image (6 sig digits, trailing zeros stripped, e±NN
+    //    exponent) — valid because 6 ≤ FLT_DIG/DBL_DIG makes
+    //    decimal→binary→decimal at 6 digits the identity;
+    //  * value domains (double ±2^31, generate_csv.cpp:217-218);
+    //  * both fixed and scientific styles actually exercised;
+    //  * decimal text is ^[0-9]{1,8}\.[0-9]{2}$ with zero-padding seen.
+    "q_gen_csv_text" -> ((s, _) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.Column
+      def gfmt(c: Column): Column =
+        ColumnBridge.column(graft.gen.GFormat6Expr(ColumnBridge.expression(c)))
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_gen_csv_text")
+      SqloadGen.writeCsvText(
+        SqloadGen.table(s, "float,double,decimal(10,2)", GenRows),
+        dir.getAbsolutePath)
+      s.read.schema("f STRING, d STRING, dec STRING").csv(dir.getAbsolutePath)
+        .agg(
+          count(lit(1)).as("n"),
+          (count(when(gfmt(col("f").cast("float")) === col("f"), 1))
+            === count(lit(1))).as("float_rt_ok"),
+          (count(when(gfmt(col("d").cast("double")) === col("d"), 1))
+            === count(lit(1))).as("double_rt_ok"),
+          (min(col("d").cast("double")) >= -2147483648.0
+            && max(col("d").cast("double")) < 2147483648.0).as("double_dom_ok"),
+          max(col("f").contains("e+") || col("f").contains("e-")).as("float_sci_seen"),
+          // NOTE no fixed-style-seen probe: with the ±2^31 domain only
+          // ~0.05% of doubles land under 1e6, so its presence is seed
+          // lottery; fixed style is pinned deterministically in
+          // GFormatSpec instead.
+          max(col("d").contains("e")).as("double_sci_seen"),
+          (count(when(col("dec").rlike("^[0-9]{1,8}\\.[0-9]{2}$"), 1))
+            === count(lit(1))).as("dec_fmt_ok"),
+          (count(when(col("dec").cast("decimal(10,2)").cast("string") === col("dec"), 1))
+            === count(lit(1))).as("dec_rt_ok"),
+          max(col("dec").rlike("\\.0[0-9]$")).as("dec_pad_seen"))
+    }),
+
     // Determinism contract: the same (spec, rows, seed) generated with
     // 1 partition and 16 partitions is byte-identical. Output is the
     // xor-fold fingerprint of each run — equal longs, oracle-literal.
@@ -125,6 +171,12 @@ object GenQueries {
 
       "q_gen_determinism" ->
         s"SELECT true AS partition_invariant, CAST($GenRows AS BIGINT) AS n",
+
+      "q_gen_csv_text" ->
+        s"""SELECT CAST($GenRows AS BIGINT) AS n,
+           |  true AS float_rt_ok, true AS double_rt_ok, true AS double_dom_ok,
+           |  true AS float_sci_seen, true AS double_sci_seen,
+           |  true AS dec_fmt_ok, true AS dec_rt_ok, true AS dec_pad_seen""".stripMargin,
     )
   }
 }
