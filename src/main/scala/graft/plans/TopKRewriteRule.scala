@@ -78,6 +78,20 @@ object TopKRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
   val MaxKKey = "spark.graft.topk.maxK"
   val DefaultMaxK = 1000000
 
+  /** Per-task cap on rows retained across all heaps (≥ group count —
+    * every group holds at least one row). Past it the partial stage
+    * passes rows through un-heaped and the final stage degrades to a
+    * disk-spillable sort + streaming rank (the stock window plan's
+    * memory behavior) — see TopKPerGroupExec. Default sized so worst
+    * case heap state stays a few hundred MB of UnsafeRows per task.
+    */
+  val MaxRetainedKey = "spark.graft.topk.maxRetainedPerTask"
+  val DefaultMaxRetained = 4000000
+
+  def maxRetained(conf: org.apache.spark.sql.internal.SQLConf): Int =
+    try conf.getConfString(MaxRetainedKey, DefaultMaxRetained.toString).toInt
+    catch { case _: NumberFormatException => DefaultMaxRetained }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "true") != "true") plan else rewrite(plan)
 

@@ -200,4 +200,35 @@ class TopKPerGroupSpec extends AnyFunSuite {
       .map { case ((id, v), i) => (id, v, i + 1) }
     assert(got.toSeq == want.toSeq)
   }
+
+  test("memory guard: adversarial group cardinality degrades, results unchanged") {
+    // group count (1200) >> retained cap (37): every partition of BOTH
+    // stages hits the cap, so the partial stage passes rows through and
+    // the final stage runs the spillable-sort fallback. The observable
+    // contract: identical results to the pure-Scala model — the guard
+    // trades speed for bounded memory, never correctness.
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    import spark.implicits._
+    spark.conf.set(graft.plans.TopKRewriteRule.MaxRetainedKey, "37")
+    try {
+      val rnd = new scala.util.Random(99)
+      val rows = (0 until 5000).map(i =>
+        (s"g${rnd.nextInt(1200)}", i.toLong, rnd.nextInt(7).toDouble))
+      val df = rows.toDF("g", "id", "v").repartition(5)
+      val got = graft.plans.TopKPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+        .select("g", "id", "v", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(t => (-t._3, t._2)).take(2).zipWithIndex
+          .map { case ((_, id, v), i) => (g, id, v, i + 1) }
+      }.toSet
+      assert(got == want)
+      // same data, cap far above the state: fast heap path, same result
+      spark.conf.set(graft.plans.TopKRewriteRule.MaxRetainedKey, "1000000")
+      val got2 = graft.plans.TopKPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 2)
+        .select("g", "id", "v", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got2 == want)
+    } finally spark.conf.unset(graft.plans.TopKRewriteRule.MaxRetainedKey)
+  }
 }
