@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming last-touch attribution via flatMapGroupsWithState — the
+  * unbounded-stream form of TimeWindowQueries.q_attribution's credit
+  * assignment. State per user is ONE string (the type of the most
+  * recent view/click), regardless of stream length; each purchase is
+  * credited to the carried touch at the moment it folds — exactly the
+  * batch query's last(touch) over the prior-rows frame — and the
+  * per-touch count/value aggregation is ordinary relational code over
+  * the emitted credits (StreamingSpec folds them and asserts equality
+  * with the batch result).
+  *
+  * Watermarked: 30-minute watermark + event-time timeout one hour
+  * past the user's last activity evicts idle users' state (an
+  * attribution window — purchases after a > 1 h silence credit
+  * 'none', which is the marketing semantics most attribution systems
+  * choose anyway). Over the single-batch file source no timeout
+  * fires, so parity with batch is exact.
+  *
+  * Within a micro-batch events fold in (ts_us, event_id) order — the
+  * batch window's order. Across micro-batches the same per-key
+  * event-time ordering contract as EwmaStream applies.
+  */
+object AttributionStream {
+
+  // ts carries the watermark: the event-time-timeout checker requires
+  // the watermarked attribute itself to reach the grouped Dataset, so
+  // the projection keeps it alongside the long form used for sorting
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                event_id: Long, event_type: String, value: Double)
+  case class Touch(touch: String, ts_us: Long)
+  case class Credit(user_id: Long, touch_type: String, value: Double)
+
+  private val IdleEvictMs = 3600000L
+
+  private def step(uid: Long, events: Iterator[Ev],
+                   state: GroupState[Touch]): Iterator[Credit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
+    var touch = state.getOption.map(_.touch).orNull
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" | "click" => touch = e.event_type
+        case "purchase" =>
+          out += Credit(uid, if (touch == null) "none" else touch, e.value)
+        case _ => ()
+      }
+    }
+    val lastUs = sorted.last.ts_us
+    state.update(Touch(touch, lastUs))
+    state.setTimeoutTimestamp(lastUs / 1000L + IdleEvictMs)
+    out.iterator
+  }
+
+  /** Streaming purchase credits (one row per purchase, attributed to
+    * the user's most recent prior touch), append mode.
+    */
+  def credits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    EventsStreaming.eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(step)
+      .toDF()
+  }
+}

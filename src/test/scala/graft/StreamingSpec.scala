@@ -118,4 +118,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming transition pairs (flatMapGroupsWithState) == batch transition matrix") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = EventsStreaming.runAppendToCompletion(spark,
+      streaming.TransitionStream.pairs(spark, sf), "t_transitions")
+    // fold the streamed (from, to) pairs into the batch query's matrix:
+    // exact integer counts, identical double division for p
+    val streamed = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("from_type")))
+    val batch = operators.TimeWindowQueries.queries("q_win_transitions")(spark, sf)
+      .select("from_type", "to_type", "n", "p")
+    assert(pairs.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming last-touch attribution (flatMapGroupsWithState) == batch attribution") {
+    import org.apache.spark.sql.functions._
+    val credits = EventsStreaming.runAppendToCompletion(spark,
+      streaming.AttributionStream.credits(spark, sf), "t_attribution")
+    // fold the streamed per-purchase credits with the batch query's
+    // exact decimal arithmetic (order-independent, so stream == batch)
+    val streamed = credits.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(Tables.Dec2)).cast(Tables.Dec382).as("total_value"))
+    val batch = operators.TimeWindowQueries.queries("q_attribution")(spark, sf)
+    assert(credits.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
