@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-slope measurement for the most expensive queries —
+  * bench-only (no oracle): builds a 10× replica of the tables the five
+  * slowest BENCH queries read, times each query at 1× (sf0.1) and at
+  * 10×, and prints one JSON line with the wall times and the measured
+  * slope. A near-linear slope (≈ 10 for a 10× input) is the evidence
+  * behind the 100 TB claims in SCALE.md; anything superlinear is a
+  * plan bug this harness exists to catch.
+  *
+  * The 10× corpus is NOT ten verbatim copies: verbatim text copies
+  * would be exact near-duplicates, inflating every LSH bucket tenfold
+  * and making q_dedup_cluster look quadratic for a reason that has
+  * nothing to do with scale. Copy i > 0 rewrites each document through
+  * a per-copy consonant/vowel substitution (translate with a rotated
+  * alphabet), which preserves length, token structure, and trigram
+  * VOLUME (the ngram_lm cost driver) while making cross-copy shingle
+  * sets disjoint. Ids shift by a copy stride so keys stay unique;
+  * embeddings keep their float values (cell geometry unchanged) with
+  * only vec_id shifted, so the 10 query vectors and 8 centroids remain
+  * exactly the copy-0 ones.
+  *
+  * Usage: runMain graft.ScaleBench [sfDir] (default /root/testdata/sf0.1)
+  */
+object ScaleBench {
+
+  private val Stride = 100000000L
+  private val Copies = 10
+  private val Rot = "etaoinshr"
+
+  private def rotated(i: Int): String =
+    (Rot.substring(i % Rot.length) + Rot.substring(0, i % Rot.length))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKRewriteRule.register(spark)
+
+    val big = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_scale10")
+    val bigDir = big.getAbsolutePath
+    build(spark, sfDir, bigDir)
+
+    val names = Seq("q_text_ngram_lm", "q_sink_rangeparts", "q_dedup_cluster",
+      "q_profile", "q_sim_ivf")
+    // JIT/codegen warm-up at the smallest SF
+    names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+
+    def time(n: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = names.map { n =>
+      val t1 = time(n, sfDir)
+      val t10 = time(n, bigDir)
+      (n, t1, t10)
+    }
+    val json = rows.map { case (n, t1, t10) =>
+      f""""$n":{"x1":$t1%.2f,"x10":$t10%.2f,"slope":${t10 / t1}%.1f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slope","copies":$Copies,"queries":$json}""")
+    spark.stop()
+  }
+
+  /** Replicate the five queries' input tables 10× into `out` (skips
+    * work when the output already exists — delete to rebuild).
+    */
+  def build(spark: SparkSession, sfDir: String, out: String): Unit = {
+    if (new java.io.File(out, "_built").exists()) return
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val docs = Tables.documents(spark, sfDir)
+    copies(docs) { (d, i) =>
+      d.select((col("doc_id") + i * Stride).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), Rot, rotated(i))).as("text"),
+        col("lang"), col("source"))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    copies(emb) { (e, i) =>
+      e.withColumn("vec_id", col("vec_id") + i * Stride)
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ord = Tables.orders(spark, sfDir)
+    copies(ord) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = Tables.lineitem(spark, sfDir)
+    copies(li) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    new java.io.File(out, "_built").createNewFile()
+    ()
+  }
+}
