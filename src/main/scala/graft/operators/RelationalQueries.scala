@@ -1070,6 +1070,75 @@ object RelationalQueries {
             * (lit(1).cast(Dec2) - col("l_discount").cast(Dec2))).cast(Dec384))
             .cast(Dec384).as("revenue"))
         .orderBy("r_name", "o_orderpriority")),
+
+    // Rule-based data validation (the Deequ/dbt-test shape): one pass
+    // computes every row-local constraint (domain ranges, enum
+    // membership, freshness cutoff) plus the two DISTRIBUTED rules a
+    // real contract needs — primary-key uniqueness (n_rows − distinct
+    // keys) and referential integrity (anti join against orders) —
+    // and emits one row per rule with violation count/rate/verdict.
+    // Scale: the row-local rules ride a single map-side-combined
+    // aggregate over one scan; pk-uniqueness is one distinct-count
+    // shuffle on the key; the FK anti join shuffles on the key with
+    // AQE (or broadcasts when the parent side is a dim). The stack()
+    // reshape runs on the 1-row aggregate, never on the fact table.
+    "q_quality_rules" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val base = li.agg(
+        count(lit(1)).as("n"),
+        count(when(!col("l_quantity").between(1.0, 50.0), 1)).as("v_qty"),
+        count(when(!col("l_discount").between(0.0, 0.1), 1)).as("v_disc"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("v_rf"),
+        count(when(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"), 1)).as("v_ship"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"))
+      val fk = li.join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      base.crossJoin(fk)
+        .selectExpr("n",
+          """stack(6,
+            |  'discount_range', v_disc,
+            |  'fk_orders', v_fk,
+            |  'pk_unique', v_pk,
+            |  'quantity_range', v_qty,
+            |  'returnflag_domain', v_rf,
+            |  'shipdate_lt_2000', v_ship) AS (rule, n_violations)""".stripMargin)
+        .select(col("rule"), col("n").as("n_checked"), col("n_violations"),
+          (col("n_violations").cast("double") / col("n").cast("double")).as("viol_rate"),
+          (col("n_violations") === 0).as("passed"))
+        .orderBy("rule")
+    }),
+
+    // Triangle counting over the part co-purchase graph (parts linked
+    // when one order contains both) — the graph-analytics staple for
+    // community/cohesion metrics. Edges are canonicalized a < b at
+    // build time so each triangle a<b<c is counted exactly once by the
+    // wedge join (e1: a-b, e2: b-c) closed by e3: a-c — all equi-joins
+    // Catalyst shuffles on their keys; counts are exact integers.
+    // Scale notes: per-order pair fan-out is C(items,2) (bounded by
+    // basket size, not corpus size); the wedge join's cost is
+    // Σ_v deg(v)² — at 100 TB you first orient edges by degree
+    // (low→high) which caps wedge generation at O(E^1.5) (the standard
+    // distributed-triangle bound); the canonical-id orientation here
+    // keeps the oracle SQL-expressible and the join shapes identical.
+    "q_graph_triangles" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val verts = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .agg(countDistinct(col("v")).as("n_vertices"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+      val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+      val nTri = wedges.join(edges.as("e3"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1642,5 +1711,48 @@ object RelationalQueries {
         |WHERE l_discount >= 0.05
         |GROUP BY r_name, o_orderpriority
         |ORDER BY r_name, o_orderpriority""".stripMargin,
+
+    "q_quality_rules" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 END) AS v_qty,
+        |    count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 END) AS v_disc,
+        |    count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS v_rf,
+        |    count(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 END) AS v_ship,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_pk
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v_fk FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |r AS (
+        |  SELECT 'discount_range' AS rule, v_disc AS n_violations, n FROM base
+        |  UNION ALL SELECT 'fk_orders', v_fk, n FROM base, fk
+        |  UNION ALL SELECT 'pk_unique', v_pk, n FROM base
+        |  UNION ALL SELECT 'quantity_range', v_qty, n FROM base
+        |  UNION ALL SELECT 'returnflag_domain', v_rf, n FROM base
+        |  UNION ALL SELECT 'shipdate_lt_2000', v_ship, n FROM base)
+        |SELECT rule, n AS n_checked, n_violations,
+        |  CAST(n_violations AS DOUBLE) / CAST(n AS DOUBLE) AS viol_rate,
+        |  n_violations = 0 AS passed
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "q_graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        |verts AS (
+        |  SELECT count(DISTINCT v) AS n_vertices FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+        |ne AS (SELECT count(*) AS n_edges FROM edges),
+        |wedges AS (
+        |  SELECT e1.a AS wa, e2.b AS wc FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+        |nw AS (SELECT count(*) AS n_wedges FROM wedges),
+        |nt AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM wedges w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles
+        |FROM verts, ne, nw, nt""".stripMargin,
   )
 }

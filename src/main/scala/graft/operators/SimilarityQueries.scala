@@ -213,6 +213,36 @@ object SimilarityQueries {
           expr("array_max(qv)").as("q_max"),
           expr("CAST(size(filter(qv, x -> x = 0L)) AS INT)").as("n_zero"))
         .orderBy("vec_id")),
+
+    // Per-label centroid + distance-to-centroid — the embedding-space
+    // OUTLIER pass (mislabeled / out-of-distribution vectors sit far
+    // from their class centroid). Determinism contract: per-dimension
+    // centroid sums fold the label's vectors in vec_id order (the
+    // groups are packed into ONE sorted array row each, then folded
+    // with aggregate() — same order as the DuckDB list(... ORDER BY
+    // vec_id) mirror), and the distance folds dimensions ascending;
+    // identical IEEE op order ⇒ identical double bits, so the raw
+    // distances are hashable output. Scale: per-label collect_list is
+    // the gate-scale form — at 100 TB per-label sums distribute as an
+    // order-insensitive pairwise/tree aggregate and you accept
+    // last-ulp drift (or fix the reduction tree); the JOIN side is
+    // unchanged: centroids are |labels| rows, always broadcast.
+    "q_embed_centroid" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))).as("docs"))
+        .select(col("label"), expr(
+          """transform(sequence(0, 63), d ->
+            |  aggregate(docs, 0D, (a, x) -> a + x.emb[d])
+            |    / CAST(size(docs) AS DOUBLE))""".stripMargin).as("centroid"))
+      e.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"), expr(
+          """sqrt(aggregate(sequence(0, 63), 0D, (a, i) ->
+            |  a + (CAST(embedding[i] AS DOUBLE) - centroid[i])
+            |    * (CAST(embedding[i] AS DOUBLE) - centroid[i])))""".stripMargin).as("dist"))
+        .orderBy("vec_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -323,6 +353,26 @@ object SimilarityQueries {
           |  list_max(qv) AS q_max,
           |  CAST(len(list_filter(qv, x -> x = 0)) AS INT) AS n_zero
           |FROM q ORDER BY vec_id""".stripMargin,
+
+      "q_embed_centroid" ->
+        """WITH g AS (
+          |  SELECT label,
+          |    list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS docs
+          |  FROM embeddings GROUP BY label),
+          |c AS (
+          |  SELECT label,
+          |    list_transform(generate_series(1, 64), d ->
+          |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(docs, v -> v[d])),
+          |        (x, y) -> x + y) / CAST(len(docs) AS DOUBLE)) AS centroid
+          |  FROM g)
+          |SELECT e.vec_id, e.label,
+          |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list_transform(generate_series(1, 64),
+          |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+          |         * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+          |    (x, y) -> x + y)) AS dist
+          |FROM embeddings e JOIN c ON e.label = c.label
+          |ORDER BY e.vec_id""".stripMargin,
     )
   }
 }

@@ -366,6 +366,38 @@ object TextQueries {
         .select(col("lang"), col("rnk"), col("tri"), col("cnt"))
         .orderBy("lang", "rnk")
     }),
+
+    // Benchmark decontamination — the eval-leak check every training
+    // corpus must run: for each corpus document, the fraction of its
+    // DISTINCT word 3-grams that appear anywhere in the benchmark set
+    // (here: the src0 documents stand in for the held-out benchmark);
+    // containment ≥ 0.5 flags the document. Scale shape: the benchmark
+    // side is always tiny relative to the corpus (benchmarks are
+    // thousands of docs, the corpus is billions), so its distinct-gram
+    // set BROADCASTS and the corpus-side gram stream probes it
+    // map-side; the only shuffle is the per-doc count aggregation on
+    // doc_id. Containment is one double division of exact counts —
+    // cross-engine safe. n-gram order 3 balances specificity against
+    // the benchmark-set size (the standard 8-13 token windows need
+    // longer docs than this corpus has).
+    "q_decontaminate" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+      val grams = toks.select(col("doc_id"), col("source"),
+        explode(expr("""array_distinct(transform(sequence(0, size(t) - 3),
+                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))""")).as("g"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("g").as("bg")).distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(bench), col("g") === col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("bg")).as("n_hit"))
+        .withColumn("containment",
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+        .withColumn("contaminated", col("containment") >= 0.5)
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -551,6 +583,23 @@ object TextQueries {
           |  FROM c)
           |SELECT lang, rnk, tri, cnt FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
+
+      "q_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 3),
+          |grams AS (
+          |  SELECT doc_id, source,
+          |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+          |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+          |  FROM toks),
+          |bench AS (SELECT DISTINCT g AS bg FROM grams WHERE source = 'src0')
+          |SELECT doc_id, count(*) AS n_grams, count(bg) AS n_hit,
+          |  CAST(count(bg) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS containment,
+          |  (CAST(count(bg) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.5 AS contaminated
+          |FROM grams LEFT JOIN bench ON g = bg
+          |WHERE source <> 'src0'
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -242,6 +242,39 @@ object TimeWindowQueries {
         .orderBy("event_type")
     }),
 
+    // Point-in-time feature assembly — the feature-store join: for
+    // each label row (purchase) build the feature vector AS OF
+    // strictly before its timestamp — last view value, last click
+    // value, running signup count — with zero leakage (the frame ends
+    // at -1, so a same-timestamp feature event can't contaminate its
+    // own label; ties inside one timestamp break on event_id in both
+    // engines). This generalizes q_join_asof from one "most recent
+    // event" to a multi-feature vector assembled in ONE pass: a single
+    // hash partitioning on the entity key serves all features, where
+    // the naive form runs one as-of join per feature table (N shuffles
+    // + N sort-merges at 100 TB). Feature values are copied verbatim
+    // (no arithmetic) — cross-engine exact.
+    "q_join_pit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        .withColumn("f_last_view_value",
+          last(when(col("event_type") === "view", col("value")),
+            ignoreNulls = true).over(w))
+        .withColumn("f_last_click_value",
+          last(when(col("event_type") === "click", col("value")),
+            ignoreNulls = true).over(w))
+        .withColumn("f_n_signups",
+          count(when(col("event_type") === "signup", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus").as("purchase_us"),
+          col("f_last_view_value"), col("f_last_click_value"), col("f_n_signups"))
+        .orderBy("event_id")
+    }),
+
     // Event-type transition matrix (first-order Markov model build):
     // consecutive event pairs per user via lead(), counted into
     // (from, to) cells with the transition probability derived from
@@ -383,6 +416,23 @@ object TimeWindowQueries {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_join_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type, value,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER w AS f_last_view_value,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |      OVER w AS f_last_click_value,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w AS f_n_signups
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, tus AS purchase_us,
+        |  f_last_view_value, f_last_click_value, f_n_signups
+        |FROM e WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an
