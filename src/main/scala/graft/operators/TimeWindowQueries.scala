@@ -261,14 +261,16 @@ object TimeWindowQueries {
       events(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
-        .withColumn("f_last_view_value",
+        // all three features in ONE projection: chained withColumn
+        // leaves three stacked Window nodes (CollapseWindow can't see
+        // through the interleaved Projects); a single select plans one
+        // Window pass over the one sorted partitioning
+        .select(col("user_id"), col("event_id"), col("tus"), col("event_type"),
           last(when(col("event_type") === "view", col("value")),
-            ignoreNulls = true).over(w))
-        .withColumn("f_last_click_value",
+            ignoreNulls = true).over(w).as("f_last_view_value"),
           last(when(col("event_type") === "click", col("value")),
-            ignoreNulls = true).over(w))
-        .withColumn("f_n_signups",
-          count(when(col("event_type") === "signup", 1)).over(w))
+            ignoreNulls = true).over(w).as("f_last_click_value"),
+          count(when(col("event_type") === "signup", 1)).over(w).as("f_n_signups"))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus").as("purchase_us"),
           col("f_last_view_value"), col("f_last_click_value"), col("f_n_signups"))

@@ -227,4 +227,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected region+nation (at least) to broadcast, got $broadcasts:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_sim_ivf: cell assignment is row-local — no Window over the corpus") {
+    // round-5 regression pinned: the old plan ranked corpus×centroids
+    // with Window.partitionBy(vec_id); the fix is an argmax over a
+    // broadcast centroid array inside the scan stage. Only the final
+    // per-QUERY top-k ranking may use a window.
+    val plan = planOf("q_sim_ivf")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the per-query rank window, got $windows:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid array must broadcast:\n$plan")
+  }
+
+  test("q_decontaminate: benchmark gram set broadcasts; corpus grams probe map-side") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams must not sort-merge against the benchmark:\n$plan")
+  }
+
+  test("q_join_pit: all features assemble in ONE user_id partitioning") {
+    val plan = planOf("q_join_pit")
+    // formatted mode prints the Exchange node and its partitioning
+    // argument separately — count the hashpartitioning args (the final
+    // orderBy is rangepartitioning and doesn't match)
+    val exchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected a single user_id exchange feeding all three features, got $exchanges:\n$plan")
+    // one Window NODE shared by all three features; it appears once in
+    // the plan tree and once in the details section
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected one shared window node, got $windows:\n$plan")
+  }
+
+  test("q_quality_rules: row-local rules ride one scan; stack runs on the 1-row aggregate") {
+    val plan = planOf("q_quality_rules")
+    // scans: base rules + pk-distinct share ONE scan (Spark plans the
+    // mixed countDistinct as agg-over-agg with the row-local counts as
+    // partials on the same pass); the FK anti join adds lineitem +
+    // orders — the fact table must not be scanned more. Count the
+    // numbered detail entries (each node prints once there).
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"expected <= 3 parquet scans, got $scans:\n$plan")
+  }
 }
