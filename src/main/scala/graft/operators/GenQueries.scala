@@ -127,6 +127,44 @@ object GenQueries {
           max(col("dec").rlike("\\.0[0-9]$")).as("dec_pad_seen"))
     }),
 
+    // Parquet sink round-trip (the TYPED Tier A sink, vs the text CSV
+    // sink): generate a spec through writeParquet, read it back, and
+    // check (a) every Spark type survived the round trip — parquet
+    // carries the schema, unlike CSV's type erasure — and (b) the
+    // values are byte-identical to a fresh in-memory generation of the
+    // same (spec, rows, seed): the xor-fold fingerprint of the
+    // re-read equals the direct one. One boolean row, literal oracle.
+    "q_gen_parquet" -> ((s, _) => {
+      val spec = "key,rkey,int(11),varchar(13),double,date,datetime,decimal(10,2)"
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_gen_parquet")
+      val df = SqloadGen.table(s, spec, GenRows, seed = 5)
+      // pin the writer to micros: Spark 4 defaults to nanos parquet
+      // timestamps, and the harness session reads nanos as LONG
+      // (spark.sql.legacy.parquet.nanosAsLong, set for the testdata) —
+      // micros is also the interoperable bulk-load choice
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try SqloadGen.writeParquet(df, dir.getAbsolutePath)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      val back = s.read.parquet(dir.getAbsolutePath)
+      def fp(x: org.apache.spark.sql.DataFrame) =
+        x.select(xxhash64(x.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)").as("f"))
+      // name+type comparison: parquet re-read relaxes nullability on
+      // generated (never-null) columns, which is not type erasure
+      val schemaOk = back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType))
+      fp(back).crossJoin(fp(df).withColumnRenamed("f", "f2"))
+        .select(lit(schemaOk).as("schema_preserved"),
+          (col("f") === col("f2")).as("values_identical"),
+          lit(GenRows).as("n"))
+    }),
+
     // Determinism contract: the same (spec, rows, seed) generated with
     // 1 partition and 16 partitions is byte-identical. Output is the
     // xor-fold fingerprint of each run — equal longs, oracle-literal.
@@ -171,6 +209,10 @@ object GenQueries {
 
       "q_gen_determinism" ->
         s"SELECT true AS partition_invariant, CAST($GenRows AS BIGINT) AS n",
+
+      "q_gen_parquet" ->
+        s"""SELECT true AS schema_preserved, true AS values_identical,
+           |  CAST($GenRows AS BIGINT) AS n""".stripMargin,
 
       "q_gen_csv_text" ->
         s"""SELECT CAST($GenRows AS BIGINT) AS n,

@@ -1071,6 +1071,34 @@ object RelationalQueries {
             .cast(Dec384).as("revenue"))
         .orderBy("r_name", "o_orderpriority")),
 
+    // Weight-proportional Bernoulli sampling: each row kept with
+    // probability w/max(w) (w = extended price), membership a pure
+    // function of the row key — the importance-sampling shape for
+    // value-weighted corpus downsampling (quality-weighted doc
+    // sampling uses the identical plan). Determinism contract: the
+    // keep test compares u·max(w) < w·2^60 where u is the md5 60-bit
+    // key — one correctly-rounded double multiply on each side from
+    // identical inputs, so both engines keep exactly the same rows (no
+    // rand(), no log/pow, which are NOT correctly rounded and would
+    // diverge cross-engine). Scale: stateless map-side filter against
+    // a broadcast 1-row max — same posture as q_sample_hash.
+    "q_sample_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val mx = lineitem(s, d).agg(max(col("l_extendedprice")).as("mx"))
+      val u = ColumnBridge.column(graft.gen.Md5Hash60Expr(ColumnBridge.expression(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))))
+      lineitem(s, d)
+        .withColumn("u", u)
+        .crossJoin(broadcast(mx))
+        .filter(col("u").cast("double") * col("mx")
+          < col("l_extendedprice") * lit(1152921504606846976L).cast("double"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(Dec2)).cast(Dec382).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec2)).cast(Dec382).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Rule-based data validation (the Deequ/dbt-test shape): one pass
     // computes every row-local constraint (domain ranges, enum
     // membership, freshness cutoff) plus the two DISTRIBUTED rules a
@@ -1717,6 +1745,16 @@ object RelationalQueries {
         |WHERE l_discount >= 0.05
         |GROUP BY r_name, o_orderpriority
         |ORDER BY r_name, o_orderpriority""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH mx AS (SELECT max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM lineitem, mx
+        |WHERE CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 15))::BIGINT AS DOUBLE) * mx
+        |  < l_extendedprice * CAST(1152921504606846976 AS DOUBLE)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_quality_rules" ->
       """WITH base AS (

@@ -242,6 +242,31 @@ object TimeWindowQueries {
         .orderBy("event_type")
     }),
 
+    // Input-distribution drift monitor — the pipeline health check
+    // that catches upstream changes before they poison training data:
+    // event-type rates in the two halves of the month (split at a
+    // fixed boundary) with the per-type absolute rate delta. All
+    // counts are exact integers accumulated in ONE map-side-combined
+    // pass (the window tag is a row-local CASE, never a shuffle key);
+    // rates and drift are double divisions of exact ints — cross-
+    // engine identical. At 100 TB this runs per ingestion batch
+    // against the trailing-window profile; same plan, the only change
+    // is the split predicate.
+    "q_drift" -> ((s, d) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val counts = events(s, d)
+        .groupBy("event_type")
+        .agg(count(when(col("ts") < split, 1)).as("n_a"),
+          count(when(col("ts") >= split, 1)).as("n_b"))
+      val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+      val ra = col("n_a").cast("double") / col("t_a").cast("double")
+      val rb = col("n_b").cast("double") / col("t_b").cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          ra.as("rate_a"), rb.as("rate_b"), abs(ra - rb).as("abs_drift"))
+        .orderBy("event_type")
+    }),
+
     // Point-in-time feature assembly — the feature-store join: for
     // each label row (purchase) build the feature vector AS OF
     // strictly before its timestamp — last view value, last click
@@ -418,6 +443,20 @@ object TimeWindowQueries {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS n_a,
+        |    count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS n_b
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS rate_a,
+        |  CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS rate_b,
+        |  abs(CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+        |    - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)) AS abs_drift
+        |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin,
 
     "q_join_pit" ->
       """WITH e AS (
