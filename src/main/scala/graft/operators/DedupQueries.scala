@@ -388,6 +388,41 @@ object DedupQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy("canon")
     }),
+
+    // Cross-document boilerplate removal — the C4/RefinedWeb line-dedup
+    // pass at chunk granularity: split every document into consecutive
+    // non-overlapping 3-token chunks, count how many DISTINCT documents
+    // each chunk text appears in, drop chunks shared by >= 3 docs
+    // (navigation/footer-style repeats), and reassemble the surviving
+    // text in original order with removal stats. Scale shape: chunking
+    // is a row-local generator (no shuffle); the chunk-frequency table
+    // shuffles on the chunk text ONCE with a map-side partial distinct;
+    // the frequency join back is chunk-keyed; reassembly aggregates on
+    // doc_id. At 100 TB the chunk-frequency table is corpus-sized —
+    // NOT broadcast-able, which is why both sides shuffle on the chunk
+    // key here rather than probing a broadcast set (contrast
+    // q_decontaminate, where the probe side is a bounded benchmark).
+    "q_dedup_boilerplate" -> ((s, d) => {
+      val chunked = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, size(t) div 3 - 1),
+            |  i -> concat_ws(' ', t[i * 3], t[i * 3 + 1], t[i * 3 + 2]))""".stripMargin))
+          .as(Seq("pos", "chunk")))
+      val freq = chunked.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunked.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(when(col("nd") < 3,
+              struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -577,6 +612,24 @@ object DedupQueries {
           |  count(DISTINCT url) AS n_variants,
           |  min(doc_id) AS first_doc
           |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+
+      "q_dedup_boilerplate" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 3),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(0, len(t) // 3 - 1)) AS pos,
+          |    unnest(list_transform(generate_series(1, len(t) // 3),
+          |      i -> t[(i - 1) * 3 + 1] || ' ' || t[(i - 1) * 3 + 2] || ' ' || t[(i - 1) * 3 + 3])) AS chunk
+          |  FROM t),
+          |f AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+          |SELECT ch.doc_id,
+          |  count(*) AS n_chunks,
+          |  CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          |  coalesce(string_agg(CASE WHEN f.nd < 3 THEN ch.chunk END, ' ' ORDER BY ch.pos), '') AS clean
+          |FROM ch JOIN f ON ch.chunk = f.chunk
+          |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     )
   }
 }

@@ -1173,6 +1173,56 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_triangles"))
       verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
     }),
+
+    // PageRank over the same min-support-2 co-purchase graph — the
+    // classic iterative-analytics shape (power iteration, damping 0.85,
+    // 5 rounds). Determinism: double sums in a groupBy are
+    // order-nondeterministic, so ranks are held as SCALED BIGINTs
+    // (1e-12 units) and every step is integer arithmetic — init
+    // 1e12 div N, contribution r div deg, update 0.15·1e12 div N +
+    // (85·Σ) div 100 — making the result bit-exact and cross-engine
+    // reproducible (DuckDB `//` and Spark `div` agree on positive
+    // ints). Undirected edges are materialized both ways; every vertex
+    // therefore has in-degree ≥ 1 and the inner join back to the
+    // vertex set loses nothing. Scale shape: ONE shuffle per round
+    // (rank join on u + contribution groupBy on v — both vertex-keyed,
+    // AQE coalesced); the edge list is localCheckpoint-ed once so the
+    // expensive co-purchase self-join is not re-derived per round and
+    // the 5-round lineage stays flat — same Pregel posture as
+    // q_dedup_cluster. Truncation loses < 1e-12·deg of mass per vertex
+    // per round — irrelevant to ranking, essential to determinism.
+    "q_graph_pagerank" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      val nv = deg.agg(count(lit(1)).as("n"))
+      var rank = deg.crossJoin(broadcast(nv))
+        .select(col("u"), col("dg"), col("n"), expr("1000000000000 div n").as("r"))
+      for (_ <- 1 to 5) {
+        val sums = und.as("ed")
+          .join(rank.as("rk"), col("ed.u") === col("rk.u"))
+          .select(col("ed.v").as("vv"), expr("r div dg").as("c"))
+          .groupBy("vv").agg(sum(col("c")).as("sc"))
+        rank = deg.crossJoin(broadcast(nv))
+          .join(sums, col("u") === col("vv"))
+          .select(col("u"), col("dg"), col("n"),
+            expr("150000000000 div n + (85 * sc) div 100").as("r"))
+      }
+      rank.select(col("u").as("part"), col("dg").as("degree"),
+          col("r").as("r_scaled"),
+          (col("r").cast("double") / lit(1000000000000.0)).as("pr"))
+        .orderBy(col("r_scaled").desc, col("part"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1799,5 +1849,31 @@ object RelationalQueries {
         |  FROM wedges w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b)
         |SELECT n_vertices, n_edges, n_wedges, n_triangles
         |FROM verts, ne, nw, nt""".stripMargin,
+
+    "q_graph_pagerank" -> {
+      // five unrolled power-iteration CTEs, generated by the same loop
+      // bounds as the Spark side (integer-scaled ranks, see the query)
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT deg.u, deg.dg, 150000000000 // nv.n + (85 * t.sc) // 100 AS r
+           |  FROM (SELECT und.v AS u, CAST(sum(r${i - 1}.r // r${i - 1}.dg) AS BIGINT) AS sc
+           |        FROM und JOIN r${i - 1} ON und.u = r${i - 1}.u GROUP BY und.v) t
+           |  JOIN deg ON t.u = deg.u CROSS JOIN nv)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |edges AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+         |nv AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT deg.u, deg.dg, 1000000000000 // nv.n AS r FROM deg CROSS JOIN nv),
+         |$rounds
+         |SELECT u AS part, dg AS degree, r AS r_scaled,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS pr
+         |FROM r5 ORDER BY r_scaled DESC, part LIMIT 20""".stripMargin
+    },
   )
 }

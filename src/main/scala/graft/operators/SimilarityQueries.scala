@@ -243,6 +243,41 @@ object SimilarityQueries {
             |    * (CAST(embedding[i] AS DOUBLE) - centroid[i])))""".stripMargin).as("dist"))
         .orderBy("vec_id")
     }),
+
+    // kNN majority-vote label prediction — the classify-by-neighbors
+    // pass (label propagation for weakly-labeled corpora, eval-set
+    // labeling audits): each query vector takes the mode label of its
+    // 5 cosine-nearest LABELED candidates; ties break to the lowest
+    // label. Queries are the vec_id < NumQueries rows, candidates are
+    // the rest (a query never votes for itself or another query).
+    // Scale shape: identical to q_sim_topk — the query batch
+    // BROADCASTS, the corpus is scanned once, per-query neighbor
+    // ranking is a bounded window (TopKPerGroup shape), and the vote
+    // count aggregates |q|·k rows — driver-free end to end. Cosine
+    // uses the same codegen dot/norm fold as the other sim queries ⇒
+    // bit-identical ranking across engines.
+    "q_knn_label" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("cand_id"), col("label").as("cl"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+      val byScore = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      val nn = broadcast(q).join(c)
+        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rnk", row_number().over(byScore))
+        .filter(col("rnk") <= TopK)
+      val byVotes = Window.partitionBy("q_id").orderBy(col("n_votes").desc, col("cl"))
+      nn.groupBy("q_id", "cl").agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(byVotes))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("cl").as("pred_label"), col("n_votes"))
+        .orderBy("q_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -373,6 +408,32 @@ object SimilarityQueries {
           |    (x, y) -> x + y)) AS dist
           |FROM embeddings e JOIN c ON e.label = c.label
           |ORDER BY e.vec_id""".stripMargin,
+
+      "q_knn_label" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, label, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries
+           |), c AS (
+           |  SELECT vec_id AS cand_id, label AS cl, embedding AS ce, nrm AS cn
+           |  FROM en WHERE vec_id >= $NumQueries
+           |), nn AS (
+           |  SELECT q.q_id, c.cl,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM q CROSS JOIN c
+           |), votes AS (
+           |  SELECT q_id, cl, count(*) AS n_votes FROM nn WHERE rnk <= $TopK GROUP BY q_id, cl
+           |), best AS (
+           |  SELECT q_id, cl, n_votes,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, cl) AS vr
+           |  FROM votes)
+           |SELECT q_id, cl AS pred_label, n_votes FROM best WHERE vr = 1
+           |ORDER BY q_id""".stripMargin,
     )
   }
 }

@@ -380,6 +380,51 @@ object TextQueries {
     // cross-engine safe. n-gram order 3 balances specificity against
     // the benchmark-set size (the standard 8-13 token windows need
     // longer docs than this corpus has).
+    // BM25 document ranking for a fixed 3-term query — the retrieval
+    // scorer behind search/RAG corpus curation, complementing
+    // q_text_tfidf (per-doc term weights) with per-QUERY document
+    // ranking. Log-free idf variant: idf = (N - df + 0.5)/(df + 0.5)
+    // (std::log/Math.log are not bit-identical across engines; the
+    // ratio preserves the df ordering and keeps every factor an exact
+    // IEEE op in a fixed association order ⇒ identical double bits in
+    // both engines, same contract as q_text_colloc). Scale shape: term
+    // frequencies and doc length are row-local array ops; corpus stats
+    // (N, Σdl, per-term df) reduce to ONE 1-row aggregate that
+    // broadcasts back, so scoring is map-side — no shuffle touches the
+    // corpus beyond the stats reduction, and the final top-10 is a
+    // TakeOrderedAndProject, never a full sort.
+    "q_text_bm25" -> ((s, d) => {
+      val terms = Seq("table", "spark", "query")
+      val base = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("dl", size(col("t")).cast("long"))
+      val tf = terms.zipWithIndex.foldLeft(base) { case (df0, (t, i)) =>
+        df0.withColumn(s"tf$i",
+          size(filter(col("t"), x => x === t)).cast("long"))
+      }.drop("t")
+      val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = tf.agg(aggs.head, aggs.tail: _*)
+      // k1 = 1.2, b = 0.75; association order mirrored exactly in SQL:
+      // ((tf*2.2)/(tf + 1.2*(0.25 + 0.75*(dl/avgdl)))) * idf
+      def score(i: Int): Column = {
+        val tfD = col(s"tf$i").cast("double")
+        val dfD = col(s"df$i").cast("double")
+        val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+        val avgdl = col("dl_sum").cast("double") / col("n_docs").cast("double")
+        tfD * lit(2.2) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))) * idf
+      }
+      tf.crossJoin(broadcast(stats))
+        .withColumn("score", score(0) + score(1) + score(2))
+        .select(col("doc_id"), col("dl"),
+          col("tf0").as("tf_table"), col("tf1").as("tf_spark"),
+          col("tf2").as("tf_query"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
@@ -583,6 +628,28 @@ object TextQueries {
           |  FROM c)
           |SELECT lang, rnk, tri, cnt FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
+
+      "q_text_bm25" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table')) AS BIGINT) AS tf0,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf1,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'query')) AS BIGINT) AS tf2
+          |  FROM documents),
+          |st AS (
+          |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum,
+          |    count(*) FILTER (WHERE tf0 > 0) AS df0,
+          |    count(*) FILTER (WHERE tf1 > 0) AS df1,
+          |    count(*) FILTER (WHERE tf2 > 0) AS df2
+          |  FROM t)
+          |SELECT doc_id, dl, tf0 AS tf_table, tf1 AS tf_spark, tf2 AS tf_query,
+          |  CAST(tf0 AS DOUBLE) * 2.2 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+          |  + CAST(tf1 AS DOUBLE) * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+          |  + CAST(tf2 AS DOUBLE) * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))) * ((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+          |  AS score
+          |FROM t, st
+          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
       "q_decontaminate" ->
         """WITH toks AS (
