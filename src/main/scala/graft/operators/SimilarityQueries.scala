@@ -43,6 +43,13 @@ object SimilarityQueries {
   // IVF: 8 coarse cells (centroids = corpus vectors 10..17), 2 probes.
   private val NCentroids = 8
   private val NProbe = 2
+  // PQ: 8 subspaces x 8 dims, 4-entry codebook per subspace
+  // (sub-centroids = corpus vectors 20..23, same fixed-corpus
+  // convention as IVF — an offline k-means per subspace at deployment)
+  private val PqSub = 8
+  private val PqDim = 8
+  private val PqK = 4
+  private val PqBase = 20 // first codebook vector id
 
   /** Deterministic pseudo-random numerator for hyperplane h, dim j. */
   private def planeNum(h: Int, j: Int): Long =
@@ -244,6 +251,55 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Product quantization ANN — the memory-bound scale path that
+    // completes the family (brute force / LSH / IVF / PQ): each vector
+    // compresses to PqSub codes (one byte-sized codebook index per
+    // 8-dim subspace ⇒ 8 bytes instead of 256 — the 32x footprint cut
+    // that lets a 100 TB corpus' index fit in cluster memory), and
+    // queries rank candidates by asymmetric distance (ADC): the query
+    // precomputes its exact squared distance to every sub-centroid
+    // once (PqSub·PqK doubles), then each candidate costs PqSub table
+    // lookups — no full-dimension math per pair. Code assignment is a
+    // row-local argmin over the broadcast codebook (shuffle-free index
+    // build); scoring is broadcast-queries x one corpus scan + the
+    // bounded per-query rank window. Determinism: squared-distance
+    // folds run dimensions ascending and ADC folds subspaces ascending
+    // with identical association in DuckDB; argmin ties break to the
+    // lowest code via first-occurrence array_position in both engines.
+    "q_sim_pq" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cb = broadcast(
+        e.filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqK)
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("cbs"))
+          .select(expr("transform(cbs, c -> c.v)").as("cb")))
+      // dm[m][c] = squared distance of v's m-th subvector to codebook
+      // entry c of subspace m (dimensions fold ascending)
+      val dmExpr = expr(
+        s"""transform(sequence(0, ${PqSub - 1}), m ->
+           |  transform(sequence(0, ${PqK - 1}), c ->
+           |    aggregate(sequence(0, ${PqDim - 1}), 0D, (a, i) ->
+           |      a + (v[m * $PqDim + i] - cb[c][m * $PqDim + i])
+           |        * (v[m * $PqDim + i] - cb[c][m * $PqDim + i]))))""".stripMargin)
+      val coded = e.filter(col("vec_id") >= NumQueries).crossJoin(cb)
+        .withColumn("dm", dmExpr)
+        .select(col("vec_id").as("cand_id"), expr(
+          "transform(dm, ds -> CAST(array_position(ds, array_min(ds)) AS INT) - 1)")
+          .as("codes"))
+      val q = e.filter(col("vec_id") < NumQueries).crossJoin(cb)
+        .withColumn("qd", dmExpr)
+        .select(col("vec_id").as("q_id"), col("qd"))
+      val byDist = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
+      broadcast(q).join(coded)
+        .withColumn("adc", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0D, (a, m) -> a + qd[m][codes[m]])"))
+        .withColumn("rnk", row_number().over(byDist))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // kNN majority-vote label prediction — the classify-by-neighbors
     // pass (label propagation for weakly-labeled corpora, eval-set
     // labeling audits): each query vector takes the mode label of its
@@ -408,6 +464,42 @@ object SimilarityQueries {
           |    (x, y) -> x + y)) AS dist
           |FROM embeddings e JOIN c ON e.label = c.label
           |ORDER BY e.vec_id""".stripMargin,
+
+      "q_sim_pq" -> {
+        // squared-distance table for vector column v against codebook
+        // entry c of subspace m — same fold bounds as the Spark side
+        val dmSql =
+          s"""list_transform(generate_series(0, ${PqSub - 1}), m ->
+             |      list_transform(generate_series(0, ${PqK - 1}), c ->
+             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |          list_transform(generate_series(1, $PqDim), i ->
+             |            (v[m * $PqDim + i] - cb[c + 1][m * $PqDim + i])
+             |              * (v[m * $PqDim + i] - cb[c + 1][m * $PqDim + i]))),
+             |          (x, y) -> x + y)))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |cbt AS (
+           |  SELECT list(v ORDER BY vec_id) AS cb FROM e
+           |  WHERE vec_id >= $PqBase AND vec_id < ${PqBase + PqK}),
+           |coded AS (
+           |  SELECT vec_id AS cand_id,
+           |    list_transform($dmSql,
+           |      ds -> CAST(list_position(ds, list_min(ds)) AS INT) - 1) AS codes
+           |  FROM e CROSS JOIN cbt WHERE vec_id >= $NumQueries),
+           |q AS (
+           |  SELECT vec_id AS q_id, $dmSql AS qd
+           |  FROM e CROSS JOIN cbt WHERE vec_id < $NumQueries),
+           |scored AS (
+           |  SELECT q.q_id, coded.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(generate_series(1, $PqSub), m -> qd[m][codes[m] + 1])),
+           |        (x, y) -> x + y) ASC, coded.cand_id) AS rnk
+           |  FROM q CROSS JOIN coded)
+           |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
+           |ORDER BY q_id, rnk""".stripMargin
+      },
 
       "q_knn_label" ->
         s"""WITH e AS (

@@ -175,6 +175,60 @@ object SourceQueries {
         .orderBy("pid")
     }),
 
+    // Schema evolution — the append-only data-lake reality: snapshot 1
+    // was written before the n_regionkey column existed, snapshot 2
+    // after. mergeSchema=true unions the footers into one superset
+    // schema and back-fills the missing column with NULLs for the old
+    // files; the aggregate proves both the union'd schema and the
+    // NULL back-fill survive the round trip. Scale shape: schema merge
+    // reads FOOTERS only (per-file metadata, not data) — at 100 TB the
+    // merge cost is per-file constant and the scan itself is unchanged
+    // columnar pruning; count(col) vs count(*) distinguishes real rows
+    // from back-filled NULLs with zero extra passes.
+    "q_source_evolve" -> ((s, d) => {
+      val p = scratch(d, "evolve")
+      val n = nation(s, d)
+      n.select(col("n_nationkey"), col("n_name"), lit(1).as("snap"))
+        .write.mode("overwrite").parquet(p + "/s1")
+      n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"), lit(2).as("snap"))
+        .write.mode("overwrite").parquet(p + "/s2")
+      s.read.option("mergeSchema", "true").parquet(p + "/s1", p + "/s2")
+        .groupBy("snap")
+        .agg(count(lit(1)).as("n"),
+          count(col("n_regionkey")).as("n_region"),
+          countDistinct(col("n_name")).as("nd_names"))
+        .orderBy("snap")
+    }),
+
+    // Dynamic partition pruning — the scale feature that makes
+    // partitioned fact scans cheap: the fact side is laid out
+    // partitioned by event_type, the dim side is a tiny in-memory
+    // relation filtered at runtime, and Catalyst injects a
+    // dynamicpruning subquery into the fact scan's PartitionFilters so
+    // only the dim-surviving partitions are READ at all (PlanAuditSpec
+    // pins the dynamicpruningexpression in the scan). At 100 TB this
+    // is the difference between scanning 2/5 of the fact table and all
+    // of it — pruning happens at file-listing time, before any I/O.
+    // Aggregates stay in the exact/deterministic family (counts,
+    // exact distinct, min/max) so the gate hash is stable.
+    "q_join_dpp" -> ((s, d) => {
+      val p = scratch(d, "dpp")
+      events(s, d)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      val dim = s.createDataFrame(Seq(
+        ("click", true), ("error", false), ("purchase", true),
+        ("signup", false), ("view", false))).toDF("et", "monetized")
+      s.read.parquet(p)
+        .join(dim.filter(col("monetized")), col("event_type") === col("et"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("nd_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -195,6 +249,22 @@ object SourceQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_source_evolve" ->
+      """SELECT 1 AS snap, count(*) AS n, CAST(0 AS BIGINT) AS n_region,
+        |  count(DISTINCT n_name) AS nd_names
+        |FROM nation
+        |UNION ALL
+        |SELECT 2, count(*), count(n_regionkey), count(DISTINCT n_name)
+        |FROM nation
+        |ORDER BY snap""".stripMargin,
+
+    "q_join_dpp" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS nd_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_source_json" ->
       """SELECT event_type, count(*) AS n,

@@ -262,6 +262,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows == 1, s"expected one shared window node, got $windows:\n$plan")
   }
 
+  test("q_join_dpp: the fact scan carries a dynamic partition pruning subquery") {
+    val plan = planOf("q_join_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned fact scan must be pruned by the dim filter at runtime:\n$plan")
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
+  test("q_text_bm25: map-side scoring, no hash shuffle, top-10 via TakeOrderedAndProject") {
+    val plan = planOf("q_text_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$plan")
+    // the only exchange is the 1-row corpus-stats aggregate
+    // (SinglePartition); scoring itself never hash-partitions the corpus
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"BM25 scoring must be map-side, got $hashExchanges hash exchanges:\n$plan")
+  }
+
+  test("q_graph_pagerank: iteration lineage is flat — no parquet rescan after checkpoint") {
+    val plan = planOf("q_graph_pagerank")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"rounds must iterate on the checkpointed edge list, not re-derive it ($scans scans):\n$plan")
+  }
+
+  test("q_dedup_boilerplate: chunk frequency joins by key, never nested-loop") {
+    val plan = planOf("q_dedup_boilerplate")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"chunk-frequency join must be an equi-join:\n$plan")
+  }
+
   test("q_quality_rules: row-local rules ride one scan; stack runs on the 1-row aggregate") {
     val plan = planOf("q_quality_rules")
     // scans: base rules + pk-distinct share ONE scan (Spark plans the
