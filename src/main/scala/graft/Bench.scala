@@ -41,10 +41,26 @@ object Bench {
     val warmDir =
       if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
       else sfDir
+    // Cross-query hygiene: localCheckpoint(true) queries (dedup_cluster,
+    // pagerank, triangles) pin blocks in the block manager for the life
+    // of their DataFrames; 153 warmup+timed executions in one JVM let
+    // that state accumulate and poisoned round-6's numbers (queries
+    // with unchanged plans "regressed" 1.6× purely from block-manager
+    // pressure). After each execution, release everything: cached
+    // relations and every persistent RDD (the checkpointed blocks).
+    def releaseState(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] state release failed: ${e.getMessage}") }
+    }
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}") }
+      releaseState()
     }
 
     // failed queries report -1.0, never a fake duration — a regression
@@ -53,7 +69,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseState()
+      name -> (if (ok) dt else -1.0)
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.

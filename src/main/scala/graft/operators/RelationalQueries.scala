@@ -1044,8 +1044,15 @@ object RelationalQueries {
           .filter(col("pm").isNull || col("d_us") > col("pm"))
           .drop("pm")
       }
+      // stage 2 partitions by a literal: same single-partition sweep,
+      // but an explicit (non-empty) partition spec — the input is the
+      // bounded per-partition-skyline union (survivors ≪ input; the
+      // bound is data-dependent, documented here, and fine for this
+      // 2-D frontier), and the literal spec avoids WindowExec's
+      // "No Partition Defined" path that a REAL unbounded global
+      // window would also hit
       val partial = sweep(base, Seq(spark_partition_id()))
-      sweep(partial, Seq.empty)
+      sweep(partial, Seq(lit(0)))
         .orderBy("o_orderkey")
     }),
 
@@ -1147,11 +1154,21 @@ object RelationalQueries {
     // a < b at build time so each triangle a<b<c is counted exactly
     // once by the wedge join (e1: a-b, e2: b-c) closed by e3: a-c —
     // all equi-joins Catalyst shuffles on their keys; counts are exact
-    // integers. Remaining scale notes: per-order pair fan-out is
-    // C(items,2) (bounded by basket size, not corpus size); on graphs
-    // that stay dense after thresholding, additionally orient edges by
-    // degree (low→high) to cap wedge generation at O(E^1.5) — the
-    // standard distributed-triangle bound.
+    // integers. Scale shape: per-order pair fan-out is C(items,2)
+    // (bounded by basket size, not corpus size); the edge list is
+    // localCheckpoint-ed ONCE so the expensive co-purchase self-join is
+    // never re-derived by the four aggregate branches (the round-6 plan
+    // rebuilt it 16 times — 16 parquet scans, 0 reuse); the
+    // observability wedge count is computed ALGEBRAICALLY
+    // (Σ_v in(v)·out(v) over the canonical orientation — identical to
+    // the e1.b=e2.a join count, zero wedge materialization); and the
+    // triangle closure runs on DEGREE-ORIENTED edges (each edge points
+    // from its (degree, id)-lower endpoint, so every triangle has
+    // exactly one vertex with two out-edges), capping wedge generation
+    // at O(E^1.5) — the standard distributed-triangle bound — even on
+    // graphs that stay dense after support thresholding. Both
+    // orientations count each triangle exactly once, so the canonical
+    // SQL oracle is unchanged.
     "q_graph_triangles" -> ((s, d) => {
       val items = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -1161,15 +1178,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("a", "b")
-      val verts = edges.select(col("a").as("v"))
+        .localCheckpoint(true)
+      val degs = edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
-        .agg(countDistinct(col("v")).as("n_vertices"))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      val verts = degs.agg(count(lit(1)).as("n_vertices"))
       val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-      val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-      val nTri = wedges.join(edges.as("e3"),
-          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      val nWedges = edges.groupBy(col("b").as("v")).agg(count(lit(1)).as("ind"))
+        .join(edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("outd")), "v")
+        .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n_wedges"))
+      // orient each edge from its (degree, id)-smaller endpoint; carry
+      // the head's degree so wedge pairs order without another join
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(degs.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(degs.select(col("v").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+          when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+        .localCheckpoint(true)
+      val nTri = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") &&
+            (col("e1.dw") < col("e2.dw") ||
+              (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+        .select(col("e1.w").as("x"), col("e2.w").as("y"))
+        .join(oriented.as("e3"),
+          col("x") === col("e3.u") && col("y") === col("e3.w"))
         .agg(count(lit(1)).as("n_triangles"))
       verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
     }),
@@ -1203,7 +1240,11 @@ object RelationalQueries {
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint(true)
+      // deg is checkpointed too: it is re-referenced in every round and
+      // the final projection, and relying on ReuseExchange to dedupe
+      // the repeated aggregation is fragile (round-6 ADVICE)
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
       val nv = deg.agg(count(lit(1)).as("n"))
       var rank = deg.crossJoin(broadcast(nv))
         .select(col("u"), col("dg"), col("n"), expr("1000000000000 div n").as("r"))

@@ -319,7 +319,11 @@ object SimilarityQueries {
         .filter(col("nrm") > 0)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val c = e.filter(col("vec_id") >= NumQueries)
+      // NULL labels are excluded up front: the vote tie-break orders by
+      // label, and NULL ordering differs cross-engine (Spark ASC puts
+      // NULLs first, DuckDB defaults NULLS LAST) — an unlabeled
+      // neighbor must never reach the vote (round-6 ADVICE, latent)
+      val c = e.filter(col("vec_id") >= NumQueries && col("label").isNotNull)
         .select(col("vec_id").as("cand_id"), col("label").as("cl"),
           col("embedding").as("ce"), col("nrm").as("cn"))
       val byScore = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
@@ -513,7 +517,7 @@ object SimilarityQueries {
            |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries
            |), c AS (
            |  SELECT vec_id AS cand_id, label AS cl, embedding AS ce, nrm AS cn
-           |  FROM en WHERE vec_id >= $NumQueries
+           |  FROM en WHERE vec_id >= $NumQueries AND label IS NOT NULL
            |), nn AS (
            |  SELECT q.q_id, c.cl,
            |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk

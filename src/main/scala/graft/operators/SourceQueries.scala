@@ -202,25 +202,36 @@ object SourceQueries {
 
     // Dynamic partition pruning — the scale feature that makes
     // partitioned fact scans cheap: the fact side is laid out
-    // partitioned by event_type, the dim side is a tiny in-memory
-    // relation filtered at runtime, and Catalyst injects a
+    // partitioned by event_type, the dim side is a tiny datasource
+    // table filtered at runtime, and Catalyst injects a
     // dynamicpruning subquery into the fact scan's PartitionFilters so
     // only the dim-surviving partitions are READ at all (PlanAuditSpec
     // pins the dynamicpruningexpression in the scan). At 100 TB this
     // is the difference between scanning 2/5 of the fact table and all
     // of it — pruning happens at file-listing time, before any I/O.
-    // Aggregates stay in the exact/deterministic family (counts,
-    // exact distinct, min/max) so the gate hash is stable.
+    // Two requirements for injection, both learned the hard way:
+    // (1) the dim MUST sit behind a datasource scan — a createDataFrame
+    // LocalRelation has its filter folded by ConvertToLocalRelation
+    // before PartitionPruning runs; (2) the dim filter MUST be a
+    // predicate Catalyst's isLikelySelective recognizes (EqualTo here —
+    // a bare boolean attribute is NOT on that list, and `=== true` on
+    // a boolean gets simplified back to the bare attribute, so the
+    // flag is an int). Aggregates stay in the exact/deterministic
+    // family (counts, exact distinct, min/max) so the gate hash is
+    // stable.
     "q_join_dpp" -> ((s, d) => {
       val p = scratch(d, "dpp")
       events(s, d)
         .select("event_id", "user_id", "value", "event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(p)
-      val dim = s.createDataFrame(Seq(
-        ("click", true), ("error", false), ("purchase", true),
-        ("signup", false), ("view", false))).toDF("et", "monetized")
+      val dimPath = scratch(d, "dpp_dim")
+      s.createDataFrame(Seq(
+        ("click", 1), ("error", 0), ("purchase", 1),
+        ("signup", 0), ("view", 0))).toDF("et", "monetized")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
       s.read.parquet(p)
-        .join(dim.filter(col("monetized")), col("event_type") === col("et"))
+        .join(dim.filter(col("monetized") === 1), col("event_type") === col("et"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("nd_users"),

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming point-in-time feature assembly via flatMapGroupsWithState
+  * — the unbounded-stream form of TimeWindowQueries.q_join_pit. State
+  * per user is O(1) regardless of history length: the last view value,
+  * the last click value, and the running signup count. Each purchase
+  * emits its feature vector from the state AS OF strictly before it —
+  * events fold in (ts_us, event_id) order within a micro-batch, and a
+  * purchase reads the state BEFORE the batch's later events apply, so
+  * the zero-leakage contract of the batch window (frame ending at -1,
+  * ties broken on event_id) is reproduced exactly.
+  *
+  * Watermarked: 30-minute watermark, event-time timeout 24 h past the
+  * user's last activity. PIT features legitimately reach far back, so
+  * the idle-eviction horizon is generous — it bounds state for the
+  * long tail of one-visit users without truncating live feature
+  * history; over the single-batch file source no timeout fires, so
+  * parity with batch is exact (StreamingSpec proves it).
+  *
+  * Across micro-batches the same per-key event-time ordering contract
+  * as EwmaStream/TransitionStream applies (late rows beyond the
+  * watermark are dropped, in-watermark rows arrive in order per key).
+  */
+object PitStream {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                event_id: Long, event_type: String, value: Double)
+  case class PitState(lastView: Option[Double], lastClick: Option[Double],
+                      nSignups: Long, lastTsUs: Long)
+  case class Feat(event_id: Long, user_id: Long, purchase_us: Long,
+                  f_last_view_value: Option[Double],
+                  f_last_click_value: Option[Double], f_n_signups: Long)
+
+  private val IdleEvictMs = 86400000L
+
+  private def step(uid: Long, events: Iterator[Ev],
+                   state: GroupState[PitState]): Iterator[Feat] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(PitState(None, None, 0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feat]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "purchase" =>
+          // feature vector strictly before the purchase: state reflects
+          // only earlier (ts_us, event_id) rows — same as the batch
+          // window frame ending at -1
+          out += Feat(e.event_id, uid, e.ts_us,
+            st.lastView, st.lastClick, st.nSignups)
+        case "view"   => st = st.copy(lastView = Some(e.value))
+        case "click"  => st = st.copy(lastClick = Some(e.value))
+        case "signup" => st = st.copy(nSignups = st.nSignups + 1L)
+        case _        => ()
+      }
+      st = st.copy(lastTsUs = e.ts_us)
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(st.lastTsUs / 1000L + IdleEvictMs)
+    out.iterator
+  }
+
+  /** Streaming per-purchase PIT feature vectors, append mode. */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    EventsStreaming.eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(step)
+      .toDF()
+  }
+}

@@ -28,6 +28,22 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("README and SURVEY inventory counts equal SparkEntry.queries.size (no doc drift)") {
+    // the documented count drifted 128→137→150 across rounds as queries
+    // were added after the docs were synced; this pins both documents to
+    // the registry so the drift cannot recur (round-6 VERDICT item 6)
+    val n = SparkEntry.queries.size
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val readme = read("README.md")
+    assert(readme.contains(s"$n oracle-gated queries"),
+      s"README.md surface header must say '$n oracle-gated queries'")
+    assert(readme.contains(s"$n/$n hash-match"),
+      s"README.md correctness section must say '$n/$n hash-match'")
+    assert(read("SURVEY.md").contains(s"$n queries in `SparkEntry.queries`"),
+      s"SURVEY.md §2.3 must say '$n queries in `SparkEntry.queries`'")
+  }
+
   test("q_join_fuzzy recall is 1: every corrupted name links back to its source") {
     // the oracle gate proves cross-engine agreement; this proves the
     // SEMANTIC ground truth — symdel blocking never drops a true match

@@ -287,6 +287,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rounds must iterate on the checkpointed edge list, not re-derive it ($scans scans):\n$plan")
   }
 
+  test("q_graph_triangles: all four counts derive from the checkpointed edge list — no parquet rescan") {
+    // round-6 defect: the four aggregate branches each re-derived the
+    // co-purchase self-join from scratch (16 parquet scans, 0 reuse,
+    // slowest query in the suite). The edge list (and the oriented
+    // form) are localCheckpoint-ed once; the final plan must not touch
+    // parquet at all.
+    val plan = planOf("q_graph_triangles")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"aggregate branches must reuse the checkpointed edges, not re-derive them ($scans scans):\n$plan")
+  }
+
   test("q_dedup_boilerplate: chunk frequency joins by key, never nested-loop") {
     val plan = planOf("q_dedup_boilerplate")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -137,6 +137,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming drift counts (watermarked agg) == batch drift monitor") {
+    import org.apache.spark.sql.functions._
+    val counts = EventsStreaming.runUpdateToCompletion(spark,
+      streaming.DriftStream.halfCounts(spark, sf), "t_drift")
+    // fold the |types|-row streamed counts with the batch query's exact
+    // rate/drift arithmetic (double division of exact ints)
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val ra = col("n_a").cast("double") / col("t_a").cast("double")
+    val rb = col("n_b").cast("double") / col("t_b").cast("double")
+    val streamed = counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        ra.as("rate_a"), rb.as("rate_b"), abs(ra - rb).as("abs_drift"))
+    val batch = operators.TimeWindowQueries.queries("q_drift")(spark, sf)
+    assert(counts.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming PIT features (flatMapGroupsWithState) == batch point-in-time join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.PitStream.features(spark, sf), "t_pit")
+      .select("event_id", "user_id", "purchase_us",
+        "f_last_view_value", "f_last_click_value", "f_n_signups")
+    val batch = operators.TimeWindowQueries.queries("q_join_pit")(spark, sf)
+      .select("event_id", "user_id", "purchase_us",
+        "f_last_view_value", "f_last_click_value", "f_n_signups")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming last-touch attribution (flatMapGroupsWithState) == batch attribution") {
     import org.apache.spark.sql.functions._
     val credits = EventsStreaming.runAppendToCompletion(spark,
