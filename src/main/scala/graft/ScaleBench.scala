@@ -52,7 +52,7 @@ object ScaleBench {
     build(spark, sfDir, bigDir)
 
     val names = Seq("q_text_ngram_lm", "q_sink_rangeparts", "q_dedup_cluster",
-      "q_profile", "q_sim_ivf")
+      "q_profile", "q_sim_ivf", "q_graph_triangles")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 
@@ -99,9 +99,19 @@ object ScaleBench {
       o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // l_partkey shifts per copy too: the graph queries threshold
+    // co-purchase SUPPORT, and copies that reuse the same part space
+    // would multiply every pair's support by `Copies` — every
+    // once-co-occurring pair would pass the support-2 threshold and the
+    // "10×" graph would be a categorically denser one, not a bigger
+    // one. Disjoint per-copy part spaces give 10× orders, 10× edges,
+    // 10× triangles with identical per-copy structure — the honest
+    // scale-up for slope measurement (same spirit as the rotated-text
+    // document copies keeping shingle sets disjoint).
     val li = Tables.lineitem(spark, sfDir)
     copies(li) { (l, i) =>
       l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
+        .withColumn("l_partkey", col("l_partkey") + i * Stride)
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     new java.io.File(out, "_built").createNewFile()

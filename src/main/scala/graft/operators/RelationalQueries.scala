@@ -1044,15 +1044,32 @@ object RelationalQueries {
           .filter(col("pm").isNull || col("d_us") > col("pm"))
           .drop("pm")
       }
-      // stage 2 partitions by a literal: same single-partition sweep,
-      // but an explicit (non-empty) partition spec — the input is the
-      // bounded per-partition-skyline union (survivors ≪ input; the
-      // bound is data-dependent, documented here, and fine for this
-      // 2-D frontier), and the literal spec avoids WindowExec's
-      // "No Partition Defined" path that a REAL unbounded global
-      // window would also hit
+      // Stage 2 re-sweeps the survivor union WITHOUT a window: the
+      // survivors (bounded: union of per-partition skylines, small for
+      // uncorrelated 2-D data) pack into ONE sorted array row and an
+      // aggregate() HOF replays the same running-max sweep — the
+      // q_curriculum pattern. A global window here would be an
+      // unpartitioned WindowExec (a literal partition spec doesn't
+      // survive optimization — Catalyst strips foldable partition
+      // expressions), which the suite-wide PlanAuditSpec audit bans.
+      // Sort keys negate price/date so array_sort's ascending struct
+      // order equals (price DESC, d_us DESC, o_orderkey ASC); double
+      // negation is an exact sign flip, recovered on output.
       val partial = sweep(base, Seq(spark_partition_id()))
-      sweep(partial, Seq(lit(0)))
+      partial
+        .agg(array_sort(collect_list(struct(
+          (-col("o_totalprice")).as("np"), (-col("d_us")).as("nd"),
+          col("o_orderkey").as("k")))).as("arr"))
+        .select(explode(expr(
+          """aggregate(arr,
+            |  named_struct('mx', CAST(-9223372036854775808 AS BIGINT),
+            |    'keep', CAST(array() AS ARRAY<STRUCT<np: DOUBLE, nd: BIGINT, k: BIGINT>>)),
+            |  (a, x) -> named_struct(
+            |    'mx', greatest(a.mx, -x.nd),
+            |    'keep', IF(-x.nd > a.mx, array_append(a.keep, x), a.keep)),
+            |  a -> a.keep)""".stripMargin)).as("s"))
+        .select(col("s.k").as("o_orderkey"), (-col("s.np")).as("o_totalprice"),
+          (-col("s.nd")).as("d_us"))
         .orderBy("o_orderkey")
     }),
 

@@ -299,6 +299,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggregate branches must reuse the checkpointed edges, not re-derive them ($scans scans):\n$plan")
   }
 
+  test("no query plans an unpartitioned Window (single-partition sort of its input)") {
+    // WindowExec with an empty partitionSpec moves ALL rows to one
+    // partition — the classic hidden scale killer. Every window in the
+    // inventory must carry a partition spec (a literal spec over a
+    // provably bounded input is acceptable and documented at the use
+    // site — q_skyline stage 2).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      w <- fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    } yield name
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("q_dedup_boilerplate: chunk frequency joins by key, never nested-loop") {
     val plan = planOf("q_dedup_boilerplate")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
