@@ -338,6 +338,49 @@ object SimilarityQueries {
         .select(col("q_id"), col("cl").as("pred_label"), col("n_votes"))
         .orderBy("q_id")
     }),
+
+    // Semantic dedup (the SemDeDup shape): embedding near-dup pairs
+    // found WITHIN coarse k-means cells only — the form that survives
+    // where even blocked all-pairs is too much. Cell assignment is the
+    // identical row-local argmax-over-broadcast-centroids pass as
+    // q_sim_ivf (no shuffle, no window, O(n·k) inside the scan); the
+    // pair search is then an EQUI-join on the cell id, so per-task work
+    // is Σ_c n_c² /cells ≈ n²/k instead of n² — at 100 TB you raise k
+    // (SemDeDup uses tens of thousands of cells) until cells fit a
+    // task, and the join shuffles both sides by cell key with AQE
+    // handling skewed cells. The price is recall at cell boundaries
+    // (near-dups straddling two cells are missed) — the standard
+    // SemDeDup trade, tuned by k and threshold. Centroids: the same 8
+    // fixed corpus vectors as q_sim_ivf (offline k-means at
+    // deployment); threshold matches q_dedup_embedding (0.45) so the
+    // recall gap vs exact all-pairs is directly measurable. Cosine is
+    // the codegen dot/norm fold — bit-identical to the DuckDB oracle.
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val cents = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+        .select((col("vec_id") - NumQueries).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val centArr = broadcast(cents.agg(
+        array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents")))
+      def cellScores(v: Column, n: Column): Column =
+        transform(col("cents"), c => struct(
+          (dotD(v, c.getField("cemb")) / (n * c.getField("cnrm"))).as("cscore"),
+          (-c.getField("cid")).as("ncid")))
+      val assigned = e.crossJoin(centArr)
+        .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (-col("best").getField("ncid")).as("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("an"))
+      val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+      a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+        .filter(dotD(col("ae"), col("be")) / (col("an") * col("bn")) >= 0.45)
+        .select(col("cell"), col("a_id"), col("b_id"))
+        .orderBy("cell", "a_id", "b_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -530,6 +573,33 @@ object SimilarityQueries {
            |  FROM votes)
            |SELECT q_id, cl AS pred_label, n_votes FROM best WHERE vr = 1
            |ORDER BY q_id""".stripMargin,
+
+      "q_dedup_semantic" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), cents AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}
+           |), ranked AS (
+           |  SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
+           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> en.embedding[i]::DOUBLE * cents.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (en.nrm * cents.cnrm) DESC, cents.cid) AS cr
+           |  FROM en CROSS JOIN cents
+           |), m AS (
+           |  SELECT vec_id, embedding, nrm, cid AS cell FROM ranked WHERE cr = 1)
+           |SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+           |FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |WHERE list_reduce(list_transform(generate_series(1, 64),
+           |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+           |    / (a.nrm * b.nrm) >= 0.45
+           |ORDER BY a.cell, a_id, b_id""".stripMargin,
     )
   }
 }

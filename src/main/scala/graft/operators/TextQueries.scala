@@ -367,6 +367,40 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Trigram-LM document scoring — the model-APPLY side of
+    // q_text_ngram_lm and the log-free stand-in for the perplexity
+    // quality filter (CCNet/Gopher-style: score every document against
+    // a language model, drop the tail). The score is the document's
+    // AVERAGE in-corpus trigram probability: Σ profile_count(tri) /
+    // (n_tri · lang_total) — both factors exact integers summed
+    // exactly, ONE double division at the end, so the score is
+    // bit-identical cross-engine where a log-perplexity sum would not
+    // be (log is not correctly rounded; same contract as q_text_colloc
+    // and q_text_bm25). Ranking/thresholding behavior matches real
+    // perplexity monotonically for the common case (higher avg
+    // probability ⇔ more in-distribution text). Scale shape: the
+    // trigram profile is |langs|·|charset³| BOUNDED rows — it
+    // BROADCASTS, the corpus trigram stream probes it map-side, and
+    // the only corpus-keyed shuffle is the per-doc aggregation (partial
+    // map-side combine). At 100 TB the profile is trained once on a
+    // reference slice and reused — the join shape is unchanged.
+    "q_text_perplexity" -> ((s, d) => {
+      val tri = documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+      val profile = tri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val totals = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
+      tri.join(broadcast(profile), Seq("lang", "tri"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tri"), sum(col("cnt")).as("sum_cnt"))
+        .join(broadcast(totals), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tri"), col("sum_cnt"),
+          (col("sum_cnt").cast("double")
+            / (col("n_tri").cast("double") * col("tot").cast("double"))).as("avg_prob"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination — the eval-leak check every training
     // corpus must run: for each corpus document, the fraction of its
     // DISTINCT word 3-grams that appear anywhere in the benchmark set
@@ -628,6 +662,24 @@ object TextQueries {
           |  FROM c)
           |SELECT lang, rnk, tri, cnt FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
+
+      "q_text_perplexity" ->
+        """WITH tri AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_transform(generate_series(1, length(text) - 2),
+          |      i -> substr(text, CAST(i AS INT), 3))) AS tri
+          |  FROM documents WHERE length(text) >= 3),
+          |prof AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY lang, tri),
+          |tot AS (SELECT lang, count(*) AS tot FROM tri GROUP BY lang),
+          |doc AS (
+          |  SELECT t.doc_id, t.lang, count(*) AS n_tri,
+          |    CAST(sum(p.cnt) AS BIGINT) AS sum_cnt
+          |  FROM tri t JOIN prof p ON t.lang = p.lang AND t.tri = p.tri
+          |  GROUP BY t.doc_id, t.lang)
+          |SELECT d.doc_id, d.lang, d.n_tri, d.sum_cnt,
+          |  CAST(d.sum_cnt AS DOUBLE) / (CAST(d.n_tri AS DOUBLE) * CAST(tot.tot AS DOUBLE)) AS avg_prob
+          |FROM doc d JOIN tot ON d.lang = tot.lang
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q_text_bm25" ->
         """WITH t AS (
