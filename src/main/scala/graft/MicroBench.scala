@@ -62,6 +62,10 @@ object MicroBench {
     val qs = SparkEntry.queries
     time("embed_broadcast", 3) { qs("q_dedup_embedding")(spark, sfDir).count() }
     time("embed_blocked", 3) { qs("q_dedup_embedding_blocked")(spark, sfDir).count() }
+    // embed_semantic: the SemDeDup cell-blocked form — NOT the same
+    // result set (pairs straddling cell boundaries are missed by
+    // design), so no require(); the number shows the n²/k pair-work cut
+    time("embed_semantic", 3) { qs("q_dedup_semantic")(spark, sfDir).count() }
 
     // fuzzy_symdel vs fuzzy_bnlj: symmetric-deletion-blocked candidate
     // generation vs the naive nested-loop levenshtein predicate (same

@@ -385,15 +385,25 @@ object TextQueries {
     // map-side combine). At 100 TB the profile is trained once on a
     // reference slice and reused — the join shape is unchanged.
     "q_text_perplexity" -> ((s, d) => {
+      // One pass over the token stream: the exploded trigrams collapse
+      // to per-doc DISTINCT-trigram counts first (td); the profile and
+      // the probe BOTH consume td through the identical
+      // (doc_id, lang, tri) exchange, so ReuseExchange computes the
+      // explode + first aggregation once. totals derive from the
+      // bounded profile, not the stream. Per-doc score re-expands from
+      // distinct grams exactly: Σ_occurrences cnt = Σ_distinct c·cnt
+      // (integer arithmetic, so the formulation change is invisible to
+      // the oracle, which sums over occurrences).
       val tri = documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-      val profile = tri.groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
-      val totals = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
-      tri.join(broadcast(profile), Seq("lang", "tri"))
+      val td = tri.groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("c"))
+      val profile = td.groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
+      val totals = profile.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+      td.join(broadcast(profile), Seq("lang", "tri"))
         .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tri"), sum(col("cnt")).as("sum_cnt"))
+        .agg(sum(col("c")).as("n_tri"), sum(col("c") * col("cnt")).as("sum_cnt"))
         .join(broadcast(totals), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_tri"), col("sum_cnt"),
           (col("sum_cnt").cast("double")

@@ -240,6 +240,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"centroid array must broadcast:\n$plan")
   }
 
+  test("q_dedup_semantic: cell-blocked pairs come from an equi-join, assignment is window-free") {
+    // the SemDeDup shape: row-local argmax cell assignment (no Window
+    // over the corpus — the q_sim_ivf property) and a cell-keyed
+    // EQUI-join for the pair search (never an all-pairs nested loop)
+    val plan = planOf("q_dedup_semantic")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair search must equi-join on the cell id:\n$plan")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 0, s"cell assignment must be row-local, got $windows windows:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q_decontaminate: benchmark gram set broadcasts; corpus grams probe map-side") {
     val plan = planOf("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"),
