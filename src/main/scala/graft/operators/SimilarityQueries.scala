@@ -55,6 +55,12 @@ object SimilarityQueries {
   private def planeNum(h: Int, j: Int): Long =
     ((h.toLong * 64 + j) * 2654435761L) % 1000003L
 
+  // Random-projection dimensionality reduction: 8 fixed planes from the
+  // same integer family as the LSH hyperplanes, offset so the two sets
+  // never overlap.
+  private val ProjDims = 8
+  private val ProjBase = 100
+
   // Codegen dot/norm (graft.gen.VecExprs): same ascending-index fold as
   // the HOF form and the DuckDB list_reduce oracle — identical double
   // bits, ~none of the interpreted-lambda cost.
@@ -381,6 +387,63 @@ object SimilarityQueries {
         .select(col("cell"), col("a_id"), col("b_id"))
         .orderBy("cell", "a_id", "b_id")
     }),
+
+    // Random-projection dimensionality reduction (the Johnson-
+    // Lindenstrauss shape): project 64-dim vectors onto 8 fixed
+    // pseudo-random planes — the cheap pre-ANN compression every large
+    // vector pipeline runs when PQ is too heavy (64→8 dims = 8× before
+    // any index build). Purely ROW-LOCAL codegen projections: a
+    // stateless shuffle-free map, embarrassingly parallel at any scale
+    // (same posture as q_embed_quantize). The gated output is the
+    // norm-preservation audit JL promises in expectation: projected
+    // norm² vs original norm² per vector. Determinism: each projection
+    // is the PlaneProjExpr ascending-index fold, the norm² sums are
+    // FIXED-ORDER expression chains (p0²+p1²+…, left-associated in
+    // both engines), and the plane components are the exact rationals
+    // k/1000003 − 0.5 materialized identically in the DuckDB SQL —
+    // identical IEEE ops in identical order ⇒ identical double bits.
+    "q_embed_project" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val projCols = (0 until ProjDims).map { p =>
+        val plane = (1 to 64).map(j => planeNum(ProjBase + p, j).toDouble / 1000003.0 - 0.5)
+        ColumnBridge.column(graft.gen.PlaneProjExpr(
+          ColumnBridge.expression(col("embedding")), plane)).as(s"p$p")
+      }
+      embeddings(s, d)
+        .select(Seq(col("vec_id"),
+          dotD(col("embedding"), col("embedding")).as("on2")) ++ projCols: _*)
+        .filter(col("on2") > 0)
+        .select(col("vec_id"), col("on2"),
+          (0 until ProjDims).map(p => col(s"p$p") * col(s"p$p")).reduce(_ + _).as("pn2"))
+        .select(col("vec_id"), col("on2"), col("pn2"),
+          (col("pn2") / col("on2")).as("ratio"))
+        .orderBy("vec_id")
+    }),
+
+    // ANN recall audit — the evaluation harness that makes LSH/IVF
+    // tunable in production: per query, |ANN top-k ∩ exact top-k| / k.
+    // Composes the gated q_sim_topk (ground truth) and q_sim_ann
+    // (candidate) pipelines verbatim and LEFT-joins their rankings, so
+    // the audit measures EXACTLY what the deployed operators return.
+    // Scale: ground truth is the broadcast-queries × one-corpus-scan
+    // shape over a SAMPLED query set (you never brute-force the full
+    // query log — the sample rides q_sample_hash's determinism);
+    // the audit join itself is |q|·k rows, driver-free. On this corpus
+    // the documented recall floor applies (no true near-neighbors ⇒
+    // hyperplane agreement ≈ 0.2) — the low recall numbers are the
+    // corpus property the observability query exists to surface.
+    "q_sim_recall" -> ((s, d) => {
+      val exact = queries("q_sim_topk")(s, d).select(col("q_id"), col("cand_id"))
+      val ann = queries("q_sim_ann")(s, d)
+        .select(col("q_id").as("aq"), col("cand_id").as("ac"))
+      exact.join(ann,
+          col("q_id") === col("aq") && col("cand_id") === col("ac"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("ac")).as("n_hit"))
+        .select(col("q_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+        .orderBy("q_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -600,6 +663,56 @@ object SimilarityQueries {
            |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
            |    / (a.nrm * b.nrm) >= 0.45
            |ORDER BY a.cell, a_id, b_id""".stripMargin,
+
+      "q_embed_project" -> {
+        def projSql(p: Int): String =
+          s"""list_reduce(list_transform(generate_series(1, 64),
+             |    i -> embedding[i]::DOUBLE * ((${planeList(ProjBase + p)})[i]::DOUBLE / 1000003.0 - 0.5)),
+             |    (x, y) -> x + y)""".stripMargin
+        val pn2 = (0 until ProjDims).map(p => s"p$p * p$p").mkString(" + ")
+        s"""WITH pr AS (
+           |  SELECT vec_id,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS on2,
+           |    ${(0 until ProjDims).map(p => projSql(p) + s" AS p$p").mkString(",\n    ")}
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, on2, $pn2 AS pn2 FROM pr WHERE on2 > 0)
+           |SELECT vec_id, on2, pn2, pn2 / on2 AS ratio
+           |FROM s ORDER BY vec_id""".stripMargin
+      },
+
+      "q_sim_recall" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm,
+           |    $bucketSql AS bkt
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), qx AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM en WHERE vec_id < $NumQueries
+           |), cc AS (
+           |  SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, bkt AS cb FROM en
+           |), ex_scored AS (
+           |  SELECT q.q_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM qx q JOIN cc c ON q.q_id <> c.cand_id
+           |), exact AS (SELECT q_id, cand_id FROM ex_scored WHERE rnk <= $TopK
+           |), qp AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, xor(bkt, m.mask) AS qb
+           |  FROM en CROSS JOIN (VALUES $probeMasks) m(mask)
+           |  WHERE vec_id < $NumQueries
+           |), ann_scored AS (
+           |  SELECT q.q_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, c.cand_id) AS rnk
+           |  FROM qp q JOIN cc c ON q.qb = c.cb AND q.q_id <> c.cand_id
+           |), ann AS (SELECT q_id, cand_id FROM ann_scored WHERE rnk <= $TopK)
+           |SELECT x.q_id, count(*) AS n_exact, count(a.cand_id) AS n_hit,
+           |  CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+           |FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.cand_id = a.cand_id
+           |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
     )
   }
 }
