@@ -127,6 +127,27 @@ object EventsStreaming {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** Stream-static enrichment join: the streaming event feed joins the
+    * STATIC customer dimension (the canonical enrichment shape — fact
+    * stream × slowly-changing dim), then aggregates per (segment,
+    * type). The static side is planned per micro-batch as an ordinary
+    * batch relation — it broadcasts below the threshold exactly as in
+    * batch, carries NO streaming state, and picks up a refreshed dim
+    * table on the next trigger — so join state is zero and aggregation
+    * state is |segments × types| rows regardless of stream length.
+    * max(value) rather than sum(value): max is arrival-order-invariant
+    * over doubles, keeping the parity check exact.
+    */
+  def enrichedSegmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+  }
+
   /** Run an append-mode streaming query (e.g. a stream-stream join)
     * over the static input to completion in a memory sink.
     */

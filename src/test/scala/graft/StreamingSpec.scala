@@ -137,6 +137,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static enrichment join == batch dim join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStreaming.runUpdateToCompletion(spark,
+      EventsStreaming.enrichedSegmentCounts(spark, sf), "t_enrich")
+    val batch = Tables.events(spark, sf)
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming drift counts (watermarked agg) == batch drift monitor") {
     import org.apache.spark.sql.functions._
     val counts = EventsStreaming.runUpdateToCompletion(spark,
