@@ -15,6 +15,51 @@ import graft.Tables._
   */
 object RelationalQueries {
 
+  /** Vertex/edge/wedge/triangle counts over a canonical (a < b) edge
+    * list — the distributed core of q_graph_triangles, exposed so
+    * PropertySpec can check the degree-oriented closure against brute
+    * force on random graphs. The wedge count is algebraic
+    * (Σ_v in(v)·out(v) over the canonical orientation ≡ the e1.b=e2.a
+    * join count); triangles close over DEGREE-ORIENTED edges (each
+    * edge points from its (degree, id)-lower endpoint, so every
+    * triangle has exactly one vertex with two out-edges), bounding
+    * wedge generation at O(E^1.5). The caller checkpoints `edges`;
+    * `degs` is checkpointed here because three branches re-reference
+    * it.
+    */
+  private[graft] def graphCounts(edges: DataFrame): DataFrame = {
+    val degs = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val verts = degs.agg(count(lit(1)).as("n_vertices"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedges = edges.groupBy(col("b").as("v")).agg(count(lit(1)).as("ind"))
+      .join(edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("outd")), "v")
+      .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n_wedges"))
+    // orient each edge from its (degree, id)-smaller endpoint; carry
+    // the head's degree so wedge pairs order without another join
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = edges
+      .join(degs.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(degs.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+      .localCheckpoint(true)
+    val nTri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .select(col("e1.w").as("x"), col("e2.w").as("y"))
+      .join(oriented.as("e3"),
+        col("x") === col("e3.u") && col("y") === col("e3.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -1196,36 +1241,7 @@ object RelationalQueries {
         .filter(col("support") >= 2)
         .select("a", "b")
         .localCheckpoint(true)
-      val degs = edges.select(col("a").as("v"))
-        .union(edges.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
-      val verts = degs.agg(count(lit(1)).as("n_vertices"))
-      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      val nWedges = edges.groupBy(col("b").as("v")).agg(count(lit(1)).as("ind"))
-        .join(edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("outd")), "v")
-        .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n_wedges"))
-      // orient each edge from its (degree, id)-smaller endpoint; carry
-      // the head's degree so wedge pairs order without another join
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val oriented = edges
-        .join(degs.select(col("v").as("a"), col("dg").as("da")), "a")
-        .join(degs.select(col("v").as("b"), col("dg").as("db")), "b")
-        .select(
-          when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("w"),
-          when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
-        .localCheckpoint(true)
-      val nTri = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.u") === col("e2.u") &&
-            (col("e1.dw") < col("e2.dw") ||
-              (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
-        .select(col("e1.w").as("x"), col("e2.w").as("y"))
-        .join(oriented.as("e3"),
-          col("x") === col("e3.u") && col("y") === col("e3.w"))
-        .agg(count(lit(1)).as("n_triangles"))
-      verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+      graphCounts(edges)
     }),
 
     // PageRank over the same min-support-2 co-purchase graph — the
