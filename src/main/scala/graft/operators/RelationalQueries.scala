@@ -27,6 +27,47 @@ object RelationalQueries {
     * `degs` is checkpointed here because three branches re-reference
     * it.
     */
+  /** Distributed 2-D skyline over (o_orderkey, o_totalprice, d_us) —
+    * the core of q_skyline, exposed so SkylineSpec can brute-force
+    * check it on random point sets with ties. Stage 1 sweeps each
+    * input partition independently (skyline(S) = skyline(∪ partition
+    * skylines), so partitioning cannot change the final set); stage 2
+    * re-sweeps the bounded survivor union WITHOUT a window: survivors
+    * pack into ONE sorted array row and an aggregate() HOF replays the
+    * running-max sweep — the q_curriculum pattern. A global window
+    * here would be an unpartitioned WindowExec (a literal partition
+    * spec doesn't survive optimization — Catalyst strips foldable
+    * partition expressions), which the suite-wide PlanAuditSpec audit
+    * bans. Sort keys negate price/date so array_sort's ascending
+    * struct order equals (price DESC, d_us DESC, o_orderkey ASC);
+    * double negation is an exact sign flip, recovered on output.
+    */
+  private[graft] def skylineOf(base: DataFrame): DataFrame = {
+    def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("o_totalprice").desc, col("d_us").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pm", max(col("d_us")).over(w))
+        .filter(col("pm").isNull || col("d_us") > col("pm"))
+        .drop("pm")
+    }
+    sweep(base, Seq(spark_partition_id()))
+      .agg(array_sort(collect_list(struct(
+        (-col("o_totalprice")).as("np"), (-col("d_us")).as("nd"),
+        col("o_orderkey").as("k")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('mx', CAST(-9223372036854775808 AS BIGINT),
+          |    'keep', CAST(array() AS ARRAY<STRUCT<np: DOUBLE, nd: BIGINT, k: BIGINT>>)),
+          |  (a, x) -> named_struct(
+          |    'mx', greatest(a.mx, -x.nd),
+          |    'keep', IF(-x.nd > a.mx, array_append(a.keep, x), a.keep)),
+          |  a -> a.keep)""".stripMargin)).as("s"))
+      .select(col("s.k").as("o_orderkey"), (-col("s.np")).as("o_totalprice"),
+        (-col("s.nd")).as("d_us"))
+      .orderBy("o_orderkey")
+  }
+
   private[graft] def graphCounts(edges: DataFrame): DataFrame = {
     val degs = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
@@ -1078,45 +1119,9 @@ object RelationalQueries {
     // survivor union globally. Never a global sort of the full table,
     // never the O(n²) NOT-EXISTS self-join. The oracle runs the
     // single global sweep — same final frontier by the merge identity.
-    "q_skyline" -> ((s, d) => {
-      val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
-      def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {
-        val w = Window.partitionBy(part: _*)
-          .orderBy(col("o_totalprice").desc, col("d_us").desc, col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        df.withColumn("pm", max(col("d_us")).over(w))
-          .filter(col("pm").isNull || col("d_us") > col("pm"))
-          .drop("pm")
-      }
-      // Stage 2 re-sweeps the survivor union WITHOUT a window: the
-      // survivors (bounded: union of per-partition skylines, small for
-      // uncorrelated 2-D data) pack into ONE sorted array row and an
-      // aggregate() HOF replays the same running-max sweep — the
-      // q_curriculum pattern. A global window here would be an
-      // unpartitioned WindowExec (a literal partition spec doesn't
-      // survive optimization — Catalyst strips foldable partition
-      // expressions), which the suite-wide PlanAuditSpec audit bans.
-      // Sort keys negate price/date so array_sort's ascending struct
-      // order equals (price DESC, d_us DESC, o_orderkey ASC); double
-      // negation is an exact sign flip, recovered on output.
-      val partial = sweep(base, Seq(spark_partition_id()))
-      partial
-        .agg(array_sort(collect_list(struct(
-          (-col("o_totalprice")).as("np"), (-col("d_us")).as("nd"),
-          col("o_orderkey").as("k")))).as("arr"))
-        .select(explode(expr(
-          """aggregate(arr,
-            |  named_struct('mx', CAST(-9223372036854775808 AS BIGINT),
-            |    'keep', CAST(array() AS ARRAY<STRUCT<np: DOUBLE, nd: BIGINT, k: BIGINT>>)),
-            |  (a, x) -> named_struct(
-            |    'mx', greatest(a.mx, -x.nd),
-            |    'keep', IF(-x.nd > a.mx, array_append(a.keep, x), a.keep)),
-            |  a -> a.keep)""".stripMargin)).as("s"))
-        .select(col("s.k").as("o_orderkey"), (-col("s.np")).as("o_totalprice"),
-          (-col("s.nd")).as("d_us"))
-        .orderBy("o_orderkey")
-    }),
+    "q_skyline" -> ((s, d) =>
+      skylineOf(orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us")))),
 
     // 5-table star join (region → nation → customer → orders →
     // lineitem): the dimensional-rollup shape that exercises
