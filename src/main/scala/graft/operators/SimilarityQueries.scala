@@ -444,6 +444,52 @@ object SimilarityQueries {
           (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
         .orderBy("q_id")
     }),
+
+    // Distributed k-means TRAINING under the oracle gate — two unrolled
+    // Lloyd iterations (assign → update → assign → update), entirely
+    // plan-side: centroids travel between rounds as a broadcast 1-row
+    // sorted array (the q_sim_ivf convention), never a driver collect —
+    // unlike the deployment utility graft.functions.KMeans, which runs
+    // the standard driver-broadcast loop (KMeansSpec pins it); this
+    // query pins the per-ITERATION distributed plan both share: one
+    // corpus scan for row-local argmin assignment (squared Euclidean,
+    // tie → lowest cid via array_min on struct(dist, cid)) + one
+    // cell-keyed shuffle for the centroid update. Determinism contract
+    // (the q_embed_centroid pattern): per-cell vectors fold in vec_id
+    // order, per-dimension sums fold ascending, distances fold
+    // ascending dims — identical IEEE op order both engines ⇒ the
+    // gated (cell, n_members, c_sum) triple is bit-exact. Scale: at
+    // 100 TB the per-cell collect_list fold becomes an
+    // order-insensitive tree aggregate (accepting last-ulp drift) and
+    // k grows past broadcast via a cell-keyed join — the
+    // assign/update shuffle structure is unchanged.
+    "q_sim_kmeans" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val init = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+        .select((col("vec_id") - NumQueries).as("cid"), col("emb").as("cemb"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents.agg(
+            array_sort(collect_list(struct(col("cid"), col("cemb")))).as("cents"))))
+          .withColumn("best", array_min(expr(
+            """transform(cents, c -> struct(
+              |  aggregate(sequence(0, 63), 0D,
+              |    (a, i) -> a + (emb[i] - c.cemb[i]) * (emb[i] - c.cemb[i])) AS dist,
+              |  c.cid AS cid))""".stripMargin)))
+          .select(col("vec_id"), col("emb"), col("best.cid").as("cell"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned.groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("emb")))).as("docs"))
+          .select(col("cell").as("cid"), size(col("docs")).cast("long").as("n_members"),
+            expr("""transform(sequence(0, 63), d ->
+                   |  aggregate(docs, 0D, (a, x) -> a + x.emb[d])
+                   |    / CAST(size(docs) AS DOUBLE))""".stripMargin).as("cemb"))
+      val c1 = update(assign(init)).select(col("cid"), col("cemb"))
+      val c2 = update(assign(c1))
+      c2.select(col("cid").as("cell"), col("n_members"),
+          expr("aggregate(cemb, 0D, (a, x) -> a + x)").as("c_sum"))
+        .orderBy("cell")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -713,6 +759,40 @@ object SimilarityQueries {
            |  CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
            |FROM exact x LEFT JOIN ann a ON x.q_id = a.q_id AND x.cand_id = a.cand_id
            |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+      "q_sim_kmeans" -> {
+        // one Lloyd iteration as a CTE pair: assignment (argmin squared
+        // distance, ties to lowest cid) + ordered-fold centroid update
+        def iter(cents: String, a: String, c: String): String =
+          s"""$a AS (
+             |  SELECT vec_id, emb, cid FROM (
+             |    SELECT e.vec_id, e.emb, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |          list_transform(generate_series(1, 64),
+             |            i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))),
+             |          (x, y) -> x + y), c.cid) AS r
+             |    FROM e CROSS JOIN $cents c)
+             |  WHERE r = 1),
+             |$c AS (
+             |  SELECT cid, len(docs) AS n_members,
+             |    list_transform(generate_series(1, 64), d ->
+             |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |        list_transform(docs, v -> v[d])), (x, y) -> x + y)
+             |        / CAST(len(docs) AS DOUBLE)) AS cemb
+             |  FROM (SELECT cid, list(emb ORDER BY vec_id) AS docs FROM $a GROUP BY cid))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT vec_id - $NumQueries AS cid, emb AS cemb FROM e
+           |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}),
+           |${iter("c0", "a1", "c1")},
+           |${iter("c1", "a2", "c2")}
+           |SELECT cid AS cell, n_members,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), cemb), (x, y) -> x + y) AS c_sum
+           |FROM c2 ORDER BY cell""".stripMargin
+      },
     )
   }
 }
