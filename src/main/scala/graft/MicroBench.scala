@@ -84,9 +84,12 @@ object MicroBench {
       def viaGen: DataFrame = docs
         .select(col("lang"), expr("graft_shingles(text, 3)").as(Seq("pos", "tri")))
         .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
-      val nE = viaExplode.count()
-      val nG = viaGen.count()
-      require(nE == nG, s"result mismatch: explode=$nE generator=$nG")
+      // full multiset equivalence (both directions): group-count
+      // equality alone would pass even if the Generator got a
+      // multiplicity wrong within an existing (lang, tri) group
+      require(viaExplode.exceptAll(viaGen).count() == 0
+          && viaGen.exceptAll(viaExplode).count() == 0,
+        "trigram multisets differ between explode and generator routes")
       time("tri_explode", 3) { viaExplode.count() }
       time("tri_generator", 3) { viaGen.count() }
     }

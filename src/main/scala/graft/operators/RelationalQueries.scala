@@ -15,18 +15,6 @@ import graft.Tables._
   */
 object RelationalQueries {
 
-  /** Vertex/edge/wedge/triangle counts over a canonical (a < b) edge
-    * list — the distributed core of q_graph_triangles, exposed so
-    * PropertySpec can check the degree-oriented closure against brute
-    * force on random graphs. The wedge count is algebraic
-    * (Σ_v in(v)·out(v) over the canonical orientation ≡ the e1.b=e2.a
-    * join count); triangles close over DEGREE-ORIENTED edges (each
-    * edge points from its (degree, id)-lower endpoint, so every
-    * triangle has exactly one vertex with two out-edges), bounding
-    * wedge generation at O(E^1.5). The caller checkpoints `edges`;
-    * `degs` is checkpointed here because three branches re-reference
-    * it.
-    */
   /** Distributed 2-D skyline over (o_orderkey, o_totalprice, d_us) —
     * the core of q_skyline, exposed so SkylineSpec can brute-force
     * check it on random point sets with ties. Stage 1 sweeps each
@@ -68,6 +56,18 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Vertex/edge/wedge/triangle counts over a canonical (a < b) edge
+    * list — the distributed core of q_graph_triangles, exposed so
+    * GraphSpec can check the degree-oriented closure against brute
+    * force on random graphs. The wedge count is algebraic
+    * (Σ_v in(v)·out(v) over the canonical orientation ≡ the e1.b=e2.a
+    * join count); triangles close over DEGREE-ORIENTED edges (each
+    * edge points from its (degree, id)-lower endpoint, so every
+    * triangle has exactly one vertex with two out-edges), bounding
+    * wedge generation at O(E^1.5). The caller checkpoints `edges`;
+    * `degs` is checkpointed here because three branches re-reference
+    * it.
+    */
   private[graft] def graphCounts(edges: DataFrame): DataFrame = {
     val degs = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))

@@ -75,6 +75,38 @@ object SimilarityQueries {
     ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(x)))
   }
 
+  /** The NCentroids fixed-corpus centroids (vec_id 10..17, cid 0..7)
+    * packed into a broadcast single-row sorted array — the form every
+    * cell-assignment consumer crossJoins against.
+    */
+  private def centArrOf(e: DataFrame): DataFrame =
+    broadcast(e
+      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+      .select((col("vec_id") - NumQueries).as("cid"),
+        col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents")))
+
+  /** Per-centroid cosine candidates as struct(cscore, -cid): array_max
+    * picks the highest score, ties to the LOWEST cid — the same total
+    * order as the window it replaces.
+    */
+  private def cellScores(v: Column, n: Column): Column =
+    transform(col("cents"), c => struct(
+      (dotD(v, c.getField("cemb")) / (n * c.getField("cnrm"))).as("cscore"),
+      (-c.getField("cid")).as("ncid")))
+
+  /** Row-local argmax-cosine cell assignment over the broadcast
+    * centroid array — the shared shuffle-free pass under q_sim_ivf and
+    * q_dedup_semantic (one code path, so their cell geometries cannot
+    * silently diverge). Input `e`: (vec_id, embedding, nrm > 0);
+    * output adds `cell`.
+    */
+  private def assignCells(e: DataFrame): DataFrame =
+    e.crossJoin(centArrOf(e))
+      .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best").getField("ncid")).as("cell"))
+
   /** LSH bucket id: bit h set iff dot(v, plane_h) > 0. Projection runs
     * through the codegen PlaneProjExpr; the plane components are
     * precomputed with the exact per-element arithmetic the DuckDB
@@ -160,24 +192,12 @@ object SimilarityQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0) // see q_sim_topk
-      val cents = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
-        .select((col("vec_id") - NumQueries).as("cid"),
-          col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val centArr = broadcast(cents.agg(
-        array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents")))
-      // struct(cscore, -cid): array_max picks highest score, ties to
-      // the LOWEST cid — same total order as the window it replaces.
-      def cellScores(v: Column, n: Column): Column =
-        transform(col("cents"), c => struct(
-          (dotD(v, c.getField("cemb")) / (n * c.getField("cnrm"))).as("cscore"),
-          (-c.getField("cid")).as("ncid")))
-      val cands = e.crossJoin(centArr)
-        .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
+      val cands = assignCells(e)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"), (-col("best").getField("ncid")).as("cell"))
+          col("nrm").as("cn"), col("cell"))
       // NProbe nearest cells per query vector: ascending sort on
       // struct(-cscore, -ncid) == (cscore DESC, cid ASC), slice NProbe.
-      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArr)
+      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArrOf(e))
         .withColumn("probe", explode(slice(array_sort(
           transform(col("cents"), c => struct(
             (-(dotD(col("embedding"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm")))).as("nscore"),
@@ -365,19 +385,7 @@ object SimilarityQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
-      val cents = e.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
-        .select((col("vec_id") - NumQueries).as("cid"),
-          col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val centArr = broadcast(cents.agg(
-        array_sort(collect_list(struct(col("cid"), col("cemb"), col("cnrm")))).as("cents")))
-      def cellScores(v: Column, n: Column): Column =
-        transform(col("cents"), c => struct(
-          (dotD(v, c.getField("cemb")) / (n * c.getField("cnrm"))).as("cscore"),
-          (-c.getField("cid")).as("ncid")))
-      val assigned = e.crossJoin(centArr)
-        .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          (-col("best").getField("ncid")).as("cell"))
+      val assigned = assignCells(e)
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
         col("embedding").as("ae"), col("nrm").as("an"))
       val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),

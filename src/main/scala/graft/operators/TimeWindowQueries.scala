@@ -17,6 +17,12 @@ import graft.Tables._
   */
 object TimeWindowQueries {
 
+  /** Split boundary for the distribution-drift monitor — shared with
+    * the streaming form (graft.streaming.DriftStream) so the two can
+    * never silently count different halves.
+    */
+  val DriftSplit = "2024-01-16 00:00:00"
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -253,7 +259,7 @@ object TimeWindowQueries {
     // against the trailing-window profile; same plan, the only change
     // is the split predicate.
     "q_drift" -> ((s, d) => {
-      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val split = lit(DriftSplit).cast("timestamp")
       val counts = events(s, d)
         .groupBy("event_type")
         .agg(count(when(col("ts") < split, 1)).as("n_a"),
@@ -445,10 +451,10 @@ object TimeWindowQueries {
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q_drift" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT event_type,
-        |    count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS n_a,
-        |    count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS n_b
+        |    count(CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 1 END) AS n_a,
+        |    count(CASE WHEN ts >= TIMESTAMP '$DriftSplit' THEN 1 END) AS n_b
         |  FROM events GROUP BY event_type),
         |t AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM c)
         |SELECT event_type, n_a, n_b,

@@ -25,7 +25,7 @@ object DriftStream {
     * update mode (|types|-row state, incrementally maintained).
     */
   def halfCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val split = lit(graft.operators.TimeWindowQueries.DriftSplit).cast("timestamp")
     EventsStreaming.eventsStream(spark, sfDir)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("event_type"))

@@ -321,8 +321,18 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-      w <- fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
+      w <- {
+        val ws = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        // constructing a query can run eager side effects
+        // (localCheckpoint blocks, scratch-dir writes); release them
+        // per query or 158 constructions accumulate block-manager
+        // state in this JVM — the same pressure Bench.releaseState
+        // cures in the bench harness
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        ws
       }
     } yield name
     assert(offenders.isEmpty,
