@@ -112,6 +112,11 @@ class InventorySpec extends AnyFunSuite {
       }
       val a = fingerprint()
       val b = fingerprint()
+      // release per query: 158 x 2 executions otherwise accumulate
+      // localCheckpoint blocks in this JVM (same hygiene as
+      // Bench.releaseState and the PlanAuditSpec window audit)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       assert(a == b, s"$name not deterministic across re-runs")
     }
   }
