@@ -64,14 +64,23 @@ object Bench {
     }
 
     // failed queries report -1.0, never a fake duration — a regression
-    // must be visible in the JSON, not summed into total as a fast run
+    // must be visible in the JSON, not summed into total as a fast run.
+    // Each query is timed TWICE and the min reported: a single-shot
+    // number carries one-off GC/scheduling spikes (q_sim_pq measured
+    // 0.8 s in four runs and 3.0 s in a fifth with identical code),
+    // and round-over-round comparisons read such spikes as
+    // regressions; min-of-2 suppresses them at +~1 min bench cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      releaseState()
-      name -> (if (ok) dt else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        if (ok) dt else -1.0
+      }
+      val a = once()
+      name -> (if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) })
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
