@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale-slope measurement for the most expensive queries —
-  * bench-only (no oracle): builds a 10× replica of the tables the six
+  * bench-only (no oracle): builds a 10× replica of the tables the seven
   * most expensive BENCH queries read, times each query at 1× (sf0.1)
   * and at 10×, and prints one JSON line with the wall times and the
   * measured slope. A near-linear slope (≈ 10 for a 10× input) is the evidence
@@ -52,7 +52,7 @@ object ScaleBench {
     build(spark, sfDir, bigDir)
 
     val names = Seq("q_text_ngram_lm", "q_sink_rangeparts", "q_dedup_cluster",
-      "q_profile", "q_sim_ivf", "q_graph_triangles")
+      "q_profile", "q_sim_ivf", "q_graph_triangles", "q_text_perplexity")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 
@@ -73,8 +73,8 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** Replicate the five queries' input tables 10× into `out` (skips
-    * work when the output already exists — delete to rebuild).
+  /** Replicate the measured queries' input tables 10× into `out`
+    * (skips work when the output already exists — delete to rebuild).
     */
   def build(spark: SparkSession, sfDir: String, out: String): Unit = {
     if (new java.io.File(out, "_built").exists()) return
