@@ -59,7 +59,14 @@ object ScaleBench {
     def time(n: String, d: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, d).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release checkpointed blocks/cache between measurements — the
+      // same cross-query contamination Bench.releaseState cures; the
+      // graph queries pin three localCheckpoint intermediates each (at
+      // 10x scale) and would otherwise skew every later slope
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
     val rows = names.map { n =>
       val t1 = time(n, sfDir)

@@ -29,6 +29,17 @@ object RelationalQueries {
     * bans. Sort keys negate price/date so array_sort's ascending
     * struct order equals (price DESC, d_us DESC, o_orderkey ASC);
     * double negation is an exact sign flip, recovered on output.
+    *
+    * Documented bound: the stage-2 array holds the per-partition
+    * skyline UNION, which is small on uncorrelated 2-D data but
+    * Θ(n) on anti-correlated data (price falling as date rises —
+    * then the frontier IS the whole input and no algorithm shrinks
+    * it). The single array cell caps at the 2 GB value limit well
+    * before the output itself becomes unmanageable; if a deployment's
+    * data approaches that regime, the honest fix is frontier-aware:
+    * range-partition stage 2 on price and sweep per range carrying
+    * each range's max date forward — the output is Θ(n) there anyway,
+    * so "skyline as a small summary" is already the wrong tool.
     */
   private[graft] def skylineOf(base: DataFrame): DataFrame = {
     def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {

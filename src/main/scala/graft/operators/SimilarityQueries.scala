@@ -98,11 +98,14 @@ object SimilarityQueries {
   /** Row-local argmax-cosine cell assignment over the broadcast
     * centroid array — the shared shuffle-free pass under q_sim_ivf and
     * q_dedup_semantic (one code path, so their cell geometries cannot
-    * silently diverge). Input `e`: (vec_id, embedding, nrm > 0);
-    * output adds `cell`.
+    * silently diverge). `centArr` is passed in (not derived here) so a
+    * caller with a second centroid consumer — q_sim_ivf's probe branch
+    * — builds it ONCE instead of leaving dedup of two aggregation+
+    * broadcast subtrees to ReuseExchange. Input `e`: (vec_id,
+    * embedding, nrm > 0); output adds `cell`.
     */
-  private def assignCells(e: DataFrame): DataFrame =
-    e.crossJoin(centArrOf(e))
+  private def assignCells(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.crossJoin(centArr)
       .withColumn("best", array_max(cellScores(col("embedding"), col("nrm"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (-col("best").getField("ncid")).as("cell"))
@@ -192,12 +195,13 @@ object SimilarityQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0) // see q_sim_topk
-      val cands = assignCells(e)
+      val centArr = centArrOf(e)
+      val cands = assignCells(e, centArr)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
           col("nrm").as("cn"), col("cell"))
       // NProbe nearest cells per query vector: ascending sort on
       // struct(-cscore, -ncid) == (cscore DESC, cid ASC), slice NProbe.
-      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArrOf(e))
+      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArr)
         .withColumn("probe", explode(slice(array_sort(
           transform(col("cents"), c => struct(
             (-(dotD(col("embedding"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm")))).as("nscore"),
@@ -385,7 +389,7 @@ object SimilarityQueries {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
-      val assigned = assignCells(e)
+      val assigned = assignCells(e, centArrOf(e))
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
         col("embedding").as("ae"), col("nrm").as("an"))
       val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),

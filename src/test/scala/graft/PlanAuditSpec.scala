@@ -315,9 +315,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("no query plans an unpartitioned Window (single-partition sort of its input)") {
     // WindowExec with an empty partitionSpec moves ALL rows to one
     // partition — the classic hidden scale killer. Every window in the
-    // inventory must carry a partition spec (a literal spec over a
-    // provably bounded input is acceptable and documented at the use
-    // site — q_skyline stage 2).
+    // inventory must carry a partition spec. Known limitation: the
+    // audit sees the FINAL optimized plan only — a window buried under
+    // an eager localCheckpoint executes at construction time and
+    // surfaces here as an opaque LogicalRDD leaf, so checkpointed
+    // subplans are not covered (none of the current checkpoint users
+    // — triangles, pagerank, dedup_cluster — window before their
+    // checkpoints; keep it that way).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
