@@ -240,6 +240,41 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // binaryFile source — the raw-asset ingest path for multimodal
+    // corpora (image/audio/video directories): Spark lists the
+    // directory in parallel, yields (path, modificationTime, length,
+    // content) per file, and columnar pruning means metadata-only
+    // queries never read the payload bytes. At 100 TB this is how the
+    // multimodal tier's opaque binary columns ENTER the engine —
+    // partition-parallel listing, maxPartitionBytes-sized tasks — and
+    // this gate proves the full round trip: executor-side file writes
+    // (foreachPartition, no driver staging) → binaryFile read →
+    // content digest + byte length, hash-matched against DuckDB
+    // recomputing both from the source text (files are the docs'
+    // UTF-8 bytes, so md5(content) ≡ md5(text) and length ≡
+    // octet_length(text)).
+    "q_source_binary" -> ((s, d) => {
+      val p = scratch(d, "binfiles")
+      val dir = new java.io.File(p)
+      // remove stale files from prior runs (a shrinking corpus would
+      // otherwise leave orphans that inflate the read side)
+      if (dir.exists()) dir.listFiles().foreach(_.delete())
+      dir.mkdirs()
+      documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p, f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      s.read.format("binaryFile").load(p)
+        .select(element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length"), md5(col("content")).as("digest"))
+        .orderBy("fname")
+    }),
+
     // HLL++ approximate distinct: deterministic for fixed input, but
     // engine-specific — so the checked output is the accuracy bound,
     // not the estimate (oracle = literal expected row).
@@ -313,5 +348,15 @@ object SourceQueries {
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",
+
+    // strlen > 0 mirrors Spark's file-listing behavior: zero-length
+    // files are skipped by the file source, so an empty document never
+    // appears on the read side (edge-probe lesson)
+    "q_source_binary" ->
+      """SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' AS fname,
+        |  CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS digest
+        |FROM documents WHERE doc_id < 50 AND strlen(text) > 0
+        |ORDER BY fname""".stripMargin,
   )
 }
