@@ -493,6 +493,44 @@ object TextQueries {
         .withColumn("contaminated", col("containment") >= 0.5)
         .orderBy("doc_id")
     }),
+
+    // Duplicated-span fraction per document (the RefinedWeb/C4-style
+    // "fraction of n-gram windows that also occur in another document"
+    // quality signal — catches template/boilerplate corpora that exact
+    // and near-dedup both miss because no WHOLE document repeats).
+    // Every token-position 5-gram window counts; a window is
+    // "duplicated" iff its gram occurs in ≥ 2 distinct documents.
+    // Scale shape: grams are generated row-local (codegen HOF, no
+    // per-row array blowup beyond the token list already in hand);
+    // the (gram, doc_id) occurrence aggregate is map-side combined
+    // BEFORE its exchange, so the explode fan-out never crosses the
+    // network raw; the per-gram distinct-doc count is then a window
+    // over the already-shrunk one-row-per-(gram, doc) table, whose
+    // per-gram partitions are bounded by corpus doc count, not
+    // occurrence count — a hyper-common stopword gram costs one row
+    // per doc, not one per occurrence. n_windows rides along as a
+    // carried column, so docs with zero duplicated windows still
+    // surface (dup_frac = 0) without a join back to the corpus.
+    "q_text_dupspans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), (size(col("t")) - 4).cast("long").as("n_windows"),
+          explode(expr("""transform(sequence(0, size(t) - 5),
+                         i -> concat_ws(' ', t[i], t[i + 1], t[i + 2], t[i + 3], t[i + 4]))"""))
+            .as("gram"))
+      val occ = t.groupBy("gram", "doc_id")
+        .agg(any_value(col("n_windows")).as("n_windows"),
+          count(lit(1)).as("n_occ"))
+      occ.withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
+        .groupBy("doc_id")
+        .agg(any_value(col("n_windows")).as("n_windows"),
+          sum(when(col("nd") > 1, col("n_occ")).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast("double") / col("n_windows").cast("double"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -735,6 +773,30 @@ object TextQueries {
           |FROM grams LEFT JOIN bench ON g = bg
           |WHERE source <> 'src0'
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // list_transform indexing is 1-based (t[i] || ... || t[i+4] for
+      // i in 1..len-4) ≡ the Spark side's 0-based transform(sequence(
+      // 0, size-5)); counts are exact ints, dup_frac one double division
+      "q_text_dupspans" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 5),
+          |grams AS (
+          |  SELECT doc_id, CAST(len(t) - 4 AS BIGINT) AS n_windows,
+          |    unnest(list_transform(generate_series(1, len(t) - 4),
+          |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4])) AS gram
+          |  FROM toks),
+          |occ AS (
+          |  SELECT gram, doc_id, any_value(n_windows) AS n_windows,
+          |    count(*) AS n_occ
+          |  FROM grams GROUP BY gram, doc_id),
+          |nd AS (
+          |  SELECT *, count(*) OVER (PARTITION BY gram) AS nd FROM occ)
+          |SELECT doc_id, any_value(n_windows) AS n_windows,
+          |  CAST(sum(CASE WHEN nd > 1 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup,
+          |  CAST(sum(CASE WHEN nd > 1 THEN n_occ ELSE 0 END) AS DOUBLE)
+          |    / CAST(any_value(n_windows) AS DOUBLE) AS dup_frac
+          |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -329,6 +329,36 @@ object TimeWindowQueries {
         .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
         .orderBy("from_type", "to_type")
     }),
+
+    // Rolling EXACT median of the last 7 values per user (6 preceding +
+    // current, row frame) — the robust-smoothing counterpart of
+    // q_win_ewma: outlier-resistant per-entity signal denoising for
+    // metric streams. Spark has no percentile window over a row frame,
+    // so the frame is collected (bounded: ≤ 7 doubles), sorted, and the
+    // middle element(s) picked exactly — odd frame → the middle value
+    // verbatim, even frame → (lo+hi)/2, bit-identical to DuckDB's
+    // windowed median interpolation. Scale: ONE user-keyed window
+    // shuffle, O(k log k) per row with k = 7 a compile-time constant —
+    // per-row state is bounded regardless of corpus size, unlike a
+    // growing-frame collect.
+    "q_win_rollmedian" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value"))
+        .withColumn("fr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("m", size(col("fr")))
+        .select(col("event_id"), col("user_id"),
+          size(col("fr")).cast("long").as("n_frame"),
+          when(col("m") % 2 === 1,
+            element_at(col("fr"), ((col("m") + 1) / 2).cast("int")))
+            .otherwise((element_at(col("fr"), (col("m") / 2).cast("int")) +
+              element_at(col("fr"), (col("m") / 2 + 1).cast("int"))) / 2.0)
+            .as("roll_median"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -449,6 +479,17 @@ object TimeWindowQueries {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // DuckDB's windowed median over an even-size frame interpolates
+    // (lo+hi)/2 — the same arithmetic the Spark side does explicitly
+    "q_win_rollmedian" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_frame,
+        |  median(value) OVER w AS roll_median
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_drift" ->
       s"""WITH c AS (
