@@ -625,6 +625,48 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Full pairwise Pearson correlation matrix over the four lineitem
+    // measures, melted to long (var_x, var_y, corr) — the feature-
+    // selection / redundancy-screening pass of a training pipeline.
+    // ALL C(4,2) co-moments come out of ONE map-side-combined scan
+    // (14 exact DECIMAL sums of ≤2-dp values, so partial-merge order
+    // is irrelevant), and each corr is a single token-order-matched
+    // double expression over those exact moments — the same
+    // determinism contract as q_agg_stats, extended to a matrix. The
+    // melt is an explode of a constant 6-element struct array on a
+    // 1-row aggregate: zero extra passes over data. At 100 TB this is
+    // the canonical shape — K² constant state per task regardless of
+    // row count, one shuffle of one row; built-in corr() would stream
+    // order-sensitive double partials instead.
+    "q_stats_corr" -> ((s, d) => {
+      val vars = Seq("disc" -> col("l_discount"), "price" -> col("l_extendedprice"),
+        "qty" -> col("l_quantity"), "tax" -> col("l_tax"))
+      val dec = vars.map { case (nm, c) => nm -> c.cast(Dec2) }
+      val pairs = for { i <- dec.indices; j <- i + 1 until dec.size }
+        yield (dec(i)._1, dec(j)._1)
+      val moments = Seq(count(lit(1)).as("n")) ++
+        dec.map { case (nm, c) => sum(c).as(s"s_$nm") } ++
+        dec.map { case (nm, c) => sum((c * c).cast(Dec384)).as(s"ss_$nm") } ++
+        pairs.map { case (nx, ny) =>
+          val x = dec.find(_._1 == nx).get._2; val y = dec.find(_._1 == ny).get._2
+          sum((x * y).cast(Dec384)).as(s"sp_${nx}_$ny")
+        }
+      val nd = col("n").cast("double")
+      def d2(c: String) = col(c).cast("double")
+      def corrOf(nx: String, ny: String) =
+        (nd * d2(s"sp_${nx}_$ny") - d2(s"s_$nx") * d2(s"s_$ny")) /
+          (sqrt(nd * d2(s"ss_$nx") - d2(s"s_$nx") * d2(s"s_$nx")) *
+            sqrt(nd * d2(s"ss_$ny") - d2(s"s_$ny") * d2(s"s_$ny")))
+      val rows = pairs.map { case (nx, ny) =>
+        struct(lit(nx).as("var_x"), lit(ny).as("var_y"),
+          col("n").as("n"), corrOf(nx, ny).as("corr"))
+      }
+      lineitem(s, d).agg(moments.head, moments.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.var_x"), col("r.var_y"), col("r.n"), col("r.corr"))
+        .orderBy("var_x", "var_y")
+    }),
+
     // Wide→long unpivot (Dataset.unpivot / SQL UNPIVOT): the melt step
     // that turns a metrics-per-column aggregate into (key, metric,
     // value) rows. Runs AFTER aggregation, so the expand is over
@@ -1315,7 +1357,41 @@ object RelationalQueries {
     }),
   )
 
+  /** DuckDB mirror of q_stats_corr, generated from the same variable
+    * list so the moment set and the token order of every corr
+    * expression cannot drift from the Spark side.
+    */
+  private def statsCorrSql: String = {
+    val vars = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+      "qty" -> "l_quantity", "tax" -> "l_tax")
+    val pairs = for { i <- vars.indices; j <- i + 1 until vars.size }
+      yield (vars(i), vars(j))
+    def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = vars.map { case (nm, c) => s"sum(${dc(c)}) AS s_$nm" } ++
+      vars.map { case (nm, c) =>
+        s"sum(CAST(${dc(c)} * ${dc(c)} AS DECIMAL(38,4))) AS ss_$nm" } ++
+      pairs.map { case ((nx, cx), (ny, cy)) =>
+        s"sum(CAST(${dc(cx)} * ${dc(cy)} AS DECIMAL(38,4))) AS sp_${nx}_$ny" }
+    def d2(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+    val nd = "CAST(n AS DOUBLE)"
+    val branches = pairs.map { case ((nx, _), (ny, _)) =>
+      s"""SELECT '$nx' AS var_x, '$ny' AS var_y, n,
+         |  ($nd * ${d2(s"sp_${nx}_$ny")} - ${d2(s"s_$nx")} * ${d2(s"s_$ny")})
+         |    / (sqrt($nd * ${d2(s"ss_$nx")} - ${d2(s"s_$nx")} * ${d2(s"s_$nx")})
+         |       * sqrt($nd * ${d2(s"ss_$ny")} - ${d2(s"s_$ny")} * ${d2(s"s_$ny")})) AS corr
+         |FROM m""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY var_x, var_y""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_stats_corr" -> statsCorrSql,
+
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -146,6 +146,46 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Maximum-inner-product search (MIPS) — recommendation-retrieval
+    // ranking, where the right score is the raw dot product and a
+    // large-norm item legitimately outranks a near-parallel small one,
+    // so cosine top-k is the wrong tool. Implements the classic
+    // norm-augmentation reduction (Bachrach et al. 2014 / Shrivastava
+    // & Li 2014): every candidate gains one virtual dimension
+    // sqrt(M² − ‖c‖²) with M the corpus max norm, queries gain 0 there
+    // — augmented candidates all share norm M, so augmented-cosine
+    // order ≡ dot order and the augmented vectors feed ANY of the
+    // engine's cosine-ANN index paths (LSH buckets, IVF cells, PQ
+    // codes) unchanged at 100 TB. The reduction is under the gate:
+    // l2_aug = sqrt(‖q‖² + M² − 2·dot) is the augmented-space L2
+    // distance (exactly monotone-decreasing in dot per query), which
+    // the oracle recomputes from its own moments. The augmented inner
+    // product equals the raw dot BIT-EXACTLY (the query's extra
+    // coordinate is 0), so ranking needs no zero-norm guard — a
+    // deliberate contrast with q_sim_topk's NaN exclusion. Scale: M is
+    // one 1-row broadcast aggregate, then the identical broadcast-
+    // queries × one-corpus-scan shape as q_sim_topk with a bounded
+    // per-query window.
+    "q_sim_mips" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val m2df = broadcast(
+        e.agg(max(dotD(col("embedding"), col("embedding"))).as("m2")))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val byDot = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand_id"))
+      broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+        .crossJoin(m2df)
+        .withColumn("dot", dotD(col("qe"), col("ce")))
+        .withColumn("rnk", row_number().over(byDot))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"), col("dot"),
+          sqrt(greatest(dotD(col("qe"), col("qe")) + col("m2")
+            - lit(2.0) * col("dot"), lit(0.0))).as("l2_aug"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // LSH-bucketed ANN with multi-probe: each query searches its home
     // bucket plus every 1-bit-flip neighbor (NBits+1 probes). Multi-
     // probe multiplies the probe count, not the corpus cost, so the
@@ -537,6 +577,32 @@ object SimilarityQueries {
            |  FROM q JOIN c ON q.q_id <> c.cand_id)
            |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
            |ORDER BY q_id, rnk""".stripMargin,
+
+      // dot folds dimensions ascending exactly like the Spark side's
+      // DotProductExpr; l2_aug re-derives the augmented-space distance
+      // from the same moments, term order matched (qn2 + m2 - 2·dot)
+      "q_sim_mips" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS n2
+           |  FROM embeddings
+           |), m AS (SELECT max(n2) AS m2 FROM e
+           |), q AS (
+           |  SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $NumQueries
+           |), c AS (
+           |  SELECT vec_id AS cand_id, embedding AS ce FROM e
+           |), s0 AS (
+           |  SELECT q.q_id, c.cand_id, q.qn2, m.m2,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> q.qe[i]::DOUBLE * c.ce[i]::DOUBLE), (x, y) -> x + y) AS dot
+           |  FROM q, c, m WHERE q.q_id <> c.cand_id
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, cand_id) AS rnk
+           |  FROM s0)
+           |SELECT q_id, cand_id, rnk, dot,
+           |  sqrt(greatest(qn2 + m2 - 2 * dot, 0)) AS l2_aug
+           |FROM r WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
 
       "q_sim_ann" ->
         s"""WITH e AS (

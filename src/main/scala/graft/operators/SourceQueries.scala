@@ -175,6 +175,53 @@ object SourceQueries {
         .orderBy("pid")
     }),
 
+    // Small-file compaction — the operational reality of any 100 TB
+    // ingest: streaming/micro-batch writers leave thousands of tiny
+    // files whose per-file open/footer cost eventually dominates the
+    // scan. Stage 1 manufactures the problem (round-robin
+    // repartition(64) → 64 tiny parquet files); stage 2 compacts with
+    // coalesce(4) — a NARROW rebalance: readers merge existing splits
+    // with no shuffle, the right trade for IO-bound compaction
+    // (repartition would re-hash every byte across the network; at
+    // cluster scale you compact per partition directory, sizing file
+    // groups by bytes). The gate pins conservation end-to-end: the
+    // small-side file count (real directory listing vs literal 64),
+    // the compacted count shrinking to ≤ 4, exact row count, an
+    // order-independent 60-bit content-digest sum, and the exact price
+    // total — a compaction that drops, duplicates, or corrupts rows
+    // cannot pass. The digest covers only int/string columns (double
+    // → string rendering is not cross-engine stable); the price rides
+    // separately through exact DECIMAL.
+    "q_sink_compaction" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def nFiles(p: String): Int =
+        new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+      val small = scratch(d, "compact_small")
+      val packed = scratch(d, "compact_packed")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(small)
+      s.read.parquet(small).coalesce(4)
+        .write.mode("overwrite").parquet(packed)
+      val nS = nFiles(small)
+      val nP = nFiles(packed)
+      val digest = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))))
+      s.read.parquet(packed)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(digest.cast("decimal(38,0)")).cast("double").as("digest_sum"),
+          sum(col("l_extendedprice").cast(Dec2)).cast("double").as("sum_price"))
+        .select(lit(nS).as("n_files_small"),
+          // file-split packing varies with sf (openCost merges tiny
+          // splits), so the compacted count is gated as a bound, not
+          // an exact literal
+          lit(nP >= 1 && nP <= 4 && nP < nS).as("compacted"),
+          col("n_rows"), col("digest_sum"), col("sum_price"))
+    }),
+
     // Schema evolution — the append-only data-lake reality: snapshot 1
     // was written before the n_regionkey column existed, snapshot 2
     // after. mergeSchema=true unions the footers into one superset
@@ -345,6 +392,16 @@ object SourceQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY pid""".stripMargin,
+
+    // file counts are physical facts the oracle can't see — the Spark
+    // side folds them to a literal count + a boolean bound over the
+    // real directory listings, and DuckDB re-derives the content
+    // (rows, digest sum, price total) straight from lineitem
+    "q_sink_compaction" ->
+      """SELECT 64 AS n_files_small, true AS compacted, count(*) AS n_rows,
+        |  CAST(CAST(sum(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag)), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",
