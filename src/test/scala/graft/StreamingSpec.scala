@@ -198,4 +198,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming rolling median (flatMapGroupsWithState) == batch window median") {
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.RollMedianStream.medians(spark, sf), "t_rollmedian")
+      .select("event_id", "user_id", "n_frame", "roll_median")
+    val batch = operators.TimeWindowQueries.queries("q_win_rollmedian")(spark, sf)
+      .select("event_id", "user_id", "n_frame", "roll_median")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
