@@ -359,4 +359,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
     assert(scans <= 3, s"expected <= 3 parquet scans, got $scans:\n$plan")
   }
+
+  test("q_text_dupspans: one corpus scan, map-side-combined gram aggregate") {
+    val plan = planOf("q_text_dupspans")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    // partial+final split on (gram, doc_id) means the explode fan-out
+    // is combined BEFORE its exchange — the 100 TB claim in the query
+    assert(plan.contains("HashAggregate"), plan)
+    // exchanges: (gram, doc_id) agg, gram window, doc_id agg — never a
+    // join back to the corpus for n_windows (it rides as a column)
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 3, s"expected <= 3 hash exchanges, got $hashExchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"dupspans must not join back to the corpus:\n$plan")
+  }
+
+  test("q_stats_corr: whole matrix from ONE scan and one 1-row aggregate") {
+    val plan = planOf("q_stats_corr")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"corr matrix needs no keyed shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_sim_mips: broadcast-only joins, no shuffled join") {
+    val plan = planOf("q_sim_mips")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"MIPS candidate scan must not shuffle:\n$plan")
+  }
 }
