@@ -430,6 +430,81 @@ object DedupQueries {
             x => x.getField("chunk")), " ").as("clean"))
         .orderBy("doc_id")
     }),
+
+    // Incremental ingestion dedup: a small new batch (delta = the two
+    // newest sources) is deduplicated against the full historical
+    // corpus by content fingerprint (md5 of the 3-token prefix — the
+    // corpus has no full-text duplicates, so the prefix fingerprint is
+    // the deterministic stand-in for a content digest). The scale
+    // asymmetry is the whole point: |delta| ≪ |corpus|, so the corpus
+    // must never be shuffled or broadcast. Shape: (1) build a bloom
+    // filter over the DELTA fingerprints (one tiny aggregate); (2) the
+    // corpus scan is pruned MAP-SIDE by bloom might-contain down to
+    // ~|delta| candidate rows (false positives only weaken pruning,
+    // never correctness); (3) the surviving candidates broadcast into
+    // a LEFT ANTI join that drops delta rows whose fingerprint already
+    // exists. At a 100 TB corpus with a daily delta this is one
+    // full-scan-with-filter and zero corpus shuffles — the exact
+    // incremental form of q_dedup_exact. Sizing rides Spark's own
+    // runtime-filter conf, as in q_join_bloom.
+    "q_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      val deltaSrc = Seq("src18", "src19")
+      val delta = documents(s, d).filter(col("source").isin(deltaSrc: _*))
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+      val expectedItems = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000000").toLong
+      val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("fp"))), expectedItems)
+        .toAggregateExpression()
+      val bloomDf = delta.select(ColumnBridge.column(bloomAgg).as("bf"))
+      val candidates = documents(s, d).filter(!col("source").isin(deltaSrc: _*))
+        .select(fp.as("cfp"))
+        .filter(ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            ColumnBridge.scalarSubquery(bloomDf),
+            ColumnBridge.expression(xxhash64(col("cfp"))))))
+      delta.join(broadcast(candidates), col("fp") === col("cfp"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Containment near-dup (asymmetric overlap): pairs where the
+    // SMALLER document's distinct 3-gram set is ≥ 50% inside the
+    // other's — catches quotes, excerpts, and expanded re-posts that
+    // symmetric Jaccard (q_dedup_ngram) misses, because adding text to
+    // a copy drives Jaccard to zero but containment stays 1. The
+    // blocking therefore deliberately DROPS q_dedup_ngram's length
+    // bucket (containment pairs have very different lengths by
+    // nature); candidate generation is the same inverted gram index,
+    // blocked on (lang, gram) only, both sides shuffled on identical
+    // keys so ReuseExchange computes the postings once. At 100 TB the
+    // posting join is bounded by gram document-frequency, not corpus
+    // size — stop-gram capping (drop grams with df above a cutoff)
+    // is the standard pressure valve and composes here unchanged.
+    "q_dedup_contain" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val gramHashes = ColumnBridge.column(
+        graft.gen.NgramHashesExpr(ColumnBridge.expression(col("text")), 3))
+      val postings = documents(s, d)
+        .select(col("doc_id"), col("lang"), gramHashes.as("g"))
+        .select(col("doc_id"), col("lang"),
+          size(col("g")).as("ng"), explode(col("g")).as("gram"))
+      val a = postings.select(col("doc_id").as("a_id"), col("lang"),
+        col("ng").as("na"), col("gram"))
+      val b = postings.select(col("doc_id").as("b_id"), col("lang").as("lang2"),
+        col("ng").as("nb"), col("gram").as("gram2"))
+      a.join(b.hint("shuffle_hash"),
+          col("gram") === col("gram2") && col("lang") === col("lang2")
+            && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("cont", col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("cont"))
+        .orderBy("a_id", "b_id")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -637,6 +712,34 @@ object DedupQueries {
           |  coalesce(string_agg(CASE WHEN f.nd < 3 THEN ch.chunk END, ' ' ORDER BY ch.pos), '') AS clean
           |FROM ch JOIN f ON ch.chunk = f.chunk
           |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
+      "q_dedup_incremental" ->
+        """WITH f AS (
+          |  SELECT doc_id, source,
+          |    md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp
+          |  FROM documents)
+          |SELECT doc_id, source FROM f a
+          |WHERE a.source IN ('src18', 'src19')
+          |  AND NOT EXISTS (SELECT 1 FROM f b
+          |    WHERE b.source NOT IN ('src18', 'src19') AND b.fp = a.fp)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_contain" ->
+        """WITH base AS (
+          |  SELECT doc_id, lang,
+          |    list_distinct(list_transform(
+          |      generate_series(1, len(string_split(text, ' ')) - 2),
+          |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS g
+          |  FROM documents
+          |)
+          |SELECT a_id, b_id, cont FROM (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    len(list_filter(a.g, x -> list_contains(b.g, x)))::DOUBLE
+          |      / least(len(a.g), len(b.g)) AS cont
+          |  FROM base a JOIN base b
+          |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+          |  WHERE least(len(a.g), len(b.g)) > 0)
+          |WHERE cont >= 0.5 ORDER BY a_id, b_id""".stripMargin,
     )
   }
 }

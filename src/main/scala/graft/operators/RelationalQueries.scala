@@ -667,6 +667,48 @@ object RelationalQueries {
         .orderBy("var_x", "var_y")
     }),
 
+    // Standardized PCA: top principal component of the 4-measure
+    // correlation matrix by fixed-count power iteration — the
+    // dimensionality-screening step after q_stats_corr's redundancy
+    // screen. The DATA pass is exactly q_stats_corr's: ONE map-side-
+    // combined scan producing 14 exact decimal co-moments (constant
+    // state per task, one 1-row shuffle). Everything after — the
+    // correlation entries, PcaIter.Iters matrix-vector iterations, the
+    // Rayleigh-quotient eigenvalue — is a chain of projections over
+    // that single row: zero additional passes, so at 100 TB the cost
+    // is the one scan, same as any aggregate. Cross-engine exactness:
+    // both engines run THE SAME expression strings (pcaStages
+    // generates the Spark selectExpr chain and the DuckDB CTE chain
+    // from one builder), all ops are exactly-rounded IEEE doubles over
+    // exact-moment inputs ⇒ bit-identical loadings with no rounding.
+    // Power iteration from a fixed v0 (no RNG) is deterministic; sign
+    // and convergence state are identical by construction, and evr
+    // (eigval / trace, trace = 4 for a correlation matrix) reports how
+    // much variance the component explains.
+    "q_stats_pca" -> ((s, d) => {
+      val dec = PcaIter.Vars.map { case (nm, c0) => nm -> col(c0).cast(Dec2) }
+      val pairs = for { i <- dec.indices; j <- i + 1 until dec.size }
+        yield (dec(i)._1, dec(j)._1)
+      val moments = Seq(count(lit(1)).as("n")) ++
+        dec.map { case (nm, c) => sum(c).as(s"s_$nm") } ++
+        dec.map { case (nm, c) => sum((c * c).cast(Dec384)).as(s"ss_$nm") } ++
+        pairs.map { case (nx, ny) =>
+          val x = dec.find(_._1 == nx).get._2; val y = dec.find(_._1 == ny).get._2
+          sum((x * y).cast(Dec384)).as(s"sp_${nx}_$ny")
+        }
+      val m = lineitem(s, d).agg(moments.head, moments.tail: _*)
+      val chain = (PcaIter.corrEntries(c => s"CAST($c AS DOUBLE)") +: PcaIter.stages)
+        .foldLeft(m)((df, sel) => df.selectExpr(sel: _*))
+      val outRows = PcaIter.Vars.map(_._1).zipWithIndex.map { case (nm, i) =>
+        struct(lit(nm).as("variable"), col(s"v${i + 1}").as("loading"))
+      }
+      chain
+        .select(explode(array(outRows: _*)).as("r"), col("lam"))
+        .select(col("r.variable"), col("r.loading"), col("lam").as("eigval"),
+          (col("lam") / lit(4.0)).as("evr"))
+        .orderBy("variable")
+    }),
+
     // Wide→long unpivot (Dataset.unpivot / SQL UNPIVOT): the melt step
     // that turns a metrics-per-column aggregate into (key, metric,
     // value) rows. Runs AFTER aggregation, so the expand is over
@@ -1357,6 +1399,99 @@ object RelationalQueries {
     }),
   )
 
+  /** Shared expression-string builders for q_stats_pca: ONE generator
+    * emits the post-moment computation for BOTH engines (the Spark
+    * selectExpr chain and the DuckDB CTE chain), so the token order of
+    * every double op — and therefore the IEEE result bits — cannot
+    * drift between the query and its oracle.
+    */
+  private object PcaIter {
+    val Vars: Seq[(String, String)] = Seq(
+      "disc" -> "l_discount", "price" -> "l_extendedprice",
+      "qty" -> "l_quantity", "tax" -> "l_tax")
+    val K: Int = Vars.size
+    val Iters = 10
+
+    private def cn(i: Int, j: Int): String =
+      if (i <= j) s"c$i$j" else s"c$j$i"
+    private val carry: Seq[String] =
+      for { i <- 1 to K; j <- i to K } yield cn(i, j)
+
+    /** Correlation-matrix entries from the moment row; d2 is the
+      * engine's exact decimal→double cast (plain CAST in Spark, the
+      * VARCHAR round-trip in DuckDB — Tables.scala rule 6).
+      */
+    def corrEntries(d2: String => String): Seq[String] = {
+      val nd = "CAST(n AS DOUBLE)"
+      val names = Vars.map(_._1)
+      for { i <- 0 until K; j <- i until K } yield {
+        if (i == j) s"CAST(1 AS DOUBLE) AS ${cn(i + 1, j + 1)}"
+        else {
+          val nx = names(i); val ny = names(j)
+          s"($nd * ${d2(s"sp_${nx}_$ny")} - ${d2(s"s_$nx")} * ${d2(s"s_$ny")}) / " +
+            s"(sqrt($nd * ${d2(s"ss_$nx")} - ${d2(s"s_$nx")} * ${d2(s"s_$nx")}) * " +
+            s"sqrt($nd * ${d2(s"ss_$ny")} - ${d2(s"s_$ny")} * ${d2(s"s_$ny")})) " +
+            s"AS ${cn(i + 1, j + 1)}"
+        }
+      }
+    }
+
+    /** Select lists for every post-entry stage: v0 init, Iters ×
+      * (mat-vec, normalize), one final mat-vec, then the Rayleigh
+      * quotient. Each list references only the previous stage's
+      * columns; the strings are engine-agnostic (doubles in, doubles
+      * out, fixed left-to-right term order).
+      */
+    def stages: Seq[Seq[String]] = {
+      def matvec(i: Int) =
+        (1 to K).map(j => s"${cn(i, j)} * v$j").mkString(" + ") + s" AS w$i"
+      val nrm = (1 to K).map(i => s"w$i * w$i").mkString(" + ")
+      val init = carry ++ (1 to K).map(i => s"CAST(0.5 AS DOUBLE) AS v$i")
+      val one = Seq(
+        carry ++ (1 to K).map(matvec),
+        carry ++ (1 to K).map(i => s"w$i / sqrt($nrm) AS v$i"))
+      val finalMatvec = (1 to K).map(i => s"v$i") ++ (1 to K).map(matvec)
+      val rayleigh = (1 to K).map(i => s"v$i") :+
+        ((1 to K).map(i => s"v$i * w$i").mkString(" + ") + " AS lam")
+      (init +: (1 to Iters).flatMap(_ => one)) ++ Seq(finalMatvec, rayleigh)
+    }
+  }
+
+  /** DuckDB mirror of q_stats_pca: the same moment block as
+    * statsCorrSql, then the PcaIter stages verbatim as a CTE chain —
+    * the oracle runs the identical expression strings the Spark side
+    * runs through selectExpr.
+    */
+  private def statsPcaSql: String = {
+    def dc(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val vars = PcaIter.Vars
+    val pairs = for { i <- vars.indices; j <- i + 1 until vars.size }
+      yield (vars(i), vars(j))
+    val sums = vars.map { case (nm, c) => s"sum(${dc(c)}) AS s_$nm" } ++
+      vars.map { case (nm, c) =>
+        s"sum(CAST(${dc(c)} * ${dc(c)} AS DECIMAL(38,4))) AS ss_$nm" } ++
+      pairs.map { case ((nx, cx), (ny, cy)) =>
+        s"sum(CAST(${dc(cx)} * ${dc(cy)} AS DECIMAL(38,4))) AS sp_${nx}_$ny" }
+    def d2(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+    val stages = PcaIter.corrEntries(d2) +: PcaIter.stages
+    val ctes = stages.zipWithIndex.map { case (sel, i) =>
+      val from = if (i == 0) "m" else s"t${i - 1}"
+      s"t$i AS (SELECT ${sel.mkString(",\n  ")} FROM $from)"
+    }
+    val last = s"t${stages.size - 1}"
+    val branches = vars.map(_._1).zipWithIndex.map { case (nm, i) =>
+      s"SELECT '$nm' AS variable, v${i + 1} AS loading, lam AS eigval, " +
+        s"lam / CAST(4 AS DOUBLE) AS evr FROM $last"
+    }
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem),
+       |${ctes.mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY variable""".stripMargin
+  }
+
   /** DuckDB mirror of q_stats_corr, generated from the same variable
     * list so the moment set and the token order of every corr
     * expression cannot drift from the Spark side.
@@ -1391,6 +1526,7 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = Map(
     "q_stats_corr" -> statsCorrSql,
+    "q_stats_pca" -> statsPcaSql,
 
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate

@@ -359,6 +359,37 @@ object TimeWindowQueries {
             .as("roll_median"))
         .orderBy("event_id")
     }),
+
+    // LOCF imputation (last observation carried forward): per-entity
+    // time-ordered fill of missing measurements with the most recent
+    // observed value — the standard sensor/feature-pipeline repair
+    // before model training (q_win_gapfill densifies missing ROWS;
+    // this repairs missing VALUES on existing rows). Missingness is
+    // synthesized deterministically (event_id mod 7 < 3 → NULL, the
+    // corpus has no natural nulls) so the gate exercises real fills at
+    // every SF. last(ignoreNulls) over an unbounded-preceding row
+    // frame is computed in one forward pass per entity — running
+    // state is ONE value per user. Leading nulls (no prior
+    // observation) fall back to 0.0. No arithmetic touches the carried
+    // double — it's the source bit pattern — so cross-engine equality
+    // is exact. Scale: ONE user-keyed window shuffle, O(1) per-row
+    // state; at 100 TB this is the same shape as any per-entity
+    // cumulative window.
+    "q_impute_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          when(pmod(col("event_id"), lit(7)) < 3, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("v").isNull.as("was_missing"),
+          coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
+            .as("v_filled"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -490,6 +521,19 @@ object TimeWindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_impute_locf" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN event_id % 7 < 3 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, tus,
+        |  v IS NULL AS was_missing,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    CAST(0 AS DOUBLE)) AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_drift" ->
       s"""WITH c AS (
