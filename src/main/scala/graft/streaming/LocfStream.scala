@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming LOCF imputation via flatMapGroupsWithState — the
+  * unbounded-stream form of TimeWindowQueries.q_impute_locf. State per
+  * user is ONE Option[Double] (the last observed value) — the smallest
+  * possible keyed state, O(1) regardless of stream length; each
+  * incoming event emits exactly one row, filled with the carried value
+  * when its own measurement is missing (the same deterministic
+  * event_id mod 7 mask as the batch query). No arithmetic touches the
+  * carried double, so stream == batch bitwise (StreamingSpec asserts
+  * both directions).
+  *
+  * Watermarked with the standard 30-minute bound and an event-time
+  * idle eviction 24 h past the user's last activity. Evicting LOCF
+  * state is a real semantic choice at 100 TB (a user returning after
+  * eviction restarts from the 0.0 fallback) — the 24 h horizon is the
+  * documented staleness bound on carried observations, which a
+  * training pipeline wants anyway: a day-old sensor reading is not a
+  * fill, it's a lie. Over the single-batch file source no timeout
+  * fires and parity with batch is exact.
+  */
+object LocfStream {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                event_id: Long, v: Option[Double])
+  case class Carry(last: Option[Double], lastTsUs: Long)
+  case class Out(event_id: Long, user_id: Long, tus: Long,
+                 was_missing: Boolean, v_filled: Double)
+
+  private val IdleEvictMs = 86400000L
+
+  private def step(uid: Long, events: Iterator[Ev],
+                   state: GroupState[Carry]): Iterator[Out] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(Carry(None, 0L))
+    val out = sorted.map { e =>
+      val filled = e.v.orElse(st.last).getOrElse(0.0)
+      st = Carry(e.v.orElse(st.last), e.ts_us)
+      Out(e.event_id, uid, e.ts_us, e.v.isEmpty, filled)
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(st.lastTsUs / 1000L + IdleEvictMs)
+    out.iterator
+  }
+
+  /** Streaming per-event LOCF fills, append mode (one output row per
+    * input event).
+    */
+  def fills(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    EventsStreaming.eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        when(pmod(col("event_id"), lit(7)) < 3, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(step)
+      .toDF()
+  }
+}

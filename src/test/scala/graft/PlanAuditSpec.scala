@@ -390,4 +390,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"MIPS candidate scan must not shuffle:\n$plan")
   }
+
+  test("q_stats_pca: one scan, one 1-row aggregate, iteration is pure projection") {
+    val plan = planOf("q_stats_pca")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+    // the power iteration must stay a projection chain over the 1-row
+    // moment aggregate — no keyed shuffle anywhere
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"PCA needs no keyed shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_dedup_incremental: bloom-pruned corpus scan feeds a broadcast anti join") {
+    val plan = planOf("q_dedup_incremental")
+    // the corpus scan is pruned map-side by the delta bloom BEFORE any join
+    assert(plan.contains("might_contain"), plan)
+    // the anti join builds on the pruned candidate set — the corpus is
+    // never shuffled
+    assert(plan.contains("BroadcastHashJoin LeftAnti BuildRight"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"incremental dedup must not shuffle the corpus:\n$plan")
+  }
+
+  test("q_dedup_contain: posting join is shuffled-hash, never broadcast") {
+    val plan = planOf("q_dedup_contain")
+    // the posting list is the exploded corpus — broadcasting it is the
+    // scale bug q_dedup_ngram's comment warns about
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("NestedLoop"),
+      s"containment posting join must shuffle both sides:\n$plan")
+  }
+
+  test("q_impute_locf: one scan, one user-keyed window shuffle") {
+    val plan = planOf("q_impute_locf")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"LOCF is ONE user-keyed partitioning, got $hashExchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
 }

@@ -209,4 +209,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming LOCF imputation (flatMapGroupsWithState) == batch window fill") {
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.LocfStream.fills(spark, sf), "t_locf")
+      .select("event_id", "user_id", "tus", "was_missing", "v_filled")
+    val batch = operators.TimeWindowQueries.queries("q_impute_locf")(spark, sf)
+      .select("event_id", "user_id", "tus", "was_missing", "v_filled")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
