@@ -52,7 +52,8 @@ object ScaleBench {
     build(spark, sfDir, bigDir)
 
     val names = Seq("q_text_ngram_lm", "q_sink_rangeparts", "q_dedup_cluster",
-      "q_profile", "q_sim_ivf", "q_graph_triangles", "q_text_perplexity")
+      "q_profile", "q_sim_ivf", "q_graph_triangles", "q_text_perplexity",
+      "q_dedup_contain", "q_impute_locf")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 
@@ -120,6 +121,14 @@ object ScaleBench {
       l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
         .withColumn("l_partkey", col("l_partkey") + i * Stride)
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // disjoint per-copy user spaces: 10× users with identical per-user
+    // event structure, so per-entity windows (LOCF) scale honestly
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    copies(ev) { (e, i) =>
+      e.withColumn("event_id", col("event_id") + i * Stride)
+        .withColumn("user_id", col("user_id") + i * Stride)
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
     new java.io.File(out, "_built").createNewFile()
     ()
