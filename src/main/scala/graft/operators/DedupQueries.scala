@@ -505,6 +505,53 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), col("cont"))
         .orderBy("a_id", "b_id")
     }),
+
+    // MinHash estimator accuracy audit — the q_sim_recall of the dedup
+    // family: for every LSH candidate pair, the signature-agreement
+    // estimate (matching components / 16) against the EXACT Jaccard of
+    // the distinct hashed-shingle sets, plus the absolute error. This
+    // is the evaluation harness that makes the banding scheme tunable:
+    // hash count and band geometry trade recall for cost, and this
+    // query measures the estimator the trade rides on, per pair, under
+    // the oracle gate. Shape: candidate pairs come from the same
+    // banded join as q_dedup_minhash (never all-pairs); the tiny pair
+    // set then broadcasts twice against per-doc signature/shingle rows
+    // — two linear passes, no corpus shuffle. Every output is an exact
+    // integer-ratio double (k/16, |∩|/|∪|), so cross-engine equality
+    // is exact.
+    "q_dedup_minhash_est" -> ((s, d) => {
+      val hsd = expr(
+        s"""array_distinct(transform(
+           |  array_distinct(transform(
+           |    sequence(1, greatest(char_length(text) - ${LshBanding.ShingleLen - 1}, 1)),
+           |    i -> substring(text, i, ${LshBanding.ShingleLen}))),
+           |  x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+           |    % ${graft.gen.MinHashImpl.P}L))""".stripMargin)
+      val base = documents(s, d)
+        .select(col("doc_id"),
+          LshBanding.minhashSigs(col("text")).as("sigs"), hsd.as("hs"))
+      val pairs = minhashPairs(s, d)
+      val a = base.select(col("doc_id").as("ad"), col("sigs").as("asigs"),
+        col("hs").as("ahs"))
+      val b = base.select(col("doc_id").as("bd"), col("sigs").as("bsigs"),
+        col("hs").as("bhs"))
+      val inter = size(array_intersect(col("ahs"), col("bhs")))
+      // pairs (tiny) broadcast against the per-doc rows, then the
+      // joined pair rows (still tiny) broadcast against the corpus
+      // again — two linear passes, the corpus is never shuffled
+      val withA = a.join(broadcast(pairs), col("ad") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("asigs"), col("ahs"))
+      b.join(broadcast(withA), col("bd") === col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(filter(zip_with(col("asigs"), col("bsigs"), (x, y) => (x === y)),
+            v => v)).cast("double") / lit(16.0).cast("double")).as("est_j"),
+          (inter.cast("double") /
+            (size(col("ahs")) + size(col("bhs")) - inter).cast("double"))
+            .as("exact_j"))
+        .select(col("a_id"), col("b_id"), col("est_j"), col("exact_j"),
+          abs(col("est_j") - col("exact_j")).as("abs_err"))
+        .orderBy("a_id", "b_id")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -740,6 +787,33 @@ object DedupQueries {
           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
           |  WHERE least(len(a.g), len(b.g)) > 0)
           |WHERE cont >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+      "q_dedup_minhash_est" -> {
+        val matchTerms = (0 until LshBanding.NumHashes)
+          .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $pairCtes,
+           |hsd AS (SELECT doc_id, list_distinct(hs) AS hs FROM sh),
+           |est AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST($matchTerms AS DOUBLE) / CAST(16 AS DOUBLE) AS est_j
+           |  FROM pairs p
+           |  JOIN sig a ON a.doc_id = p.a_id
+           |  JOIN sig b ON b.doc_id = p.b_id),
+           |ex AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+           |      / CAST(len(a.hs) + len(b.hs)
+           |          - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+           |      AS exact_j
+           |  FROM pairs p
+           |  JOIN hsd a ON a.doc_id = p.a_id
+           |  JOIN hsd b ON b.doc_id = p.b_id)
+           |SELECT e.a_id, e.b_id, e.est_j, x.exact_j,
+           |  abs(e.est_j - x.exact_j) AS abs_err
+           |FROM est e JOIN ex x ON e.a_id = x.a_id AND e.b_id = x.b_id
+           |ORDER BY e.a_id, e.b_id""".stripMargin
+      },
     )
   }
 }
