@@ -210,6 +210,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static anti-join incremental dedup == batch incremental dedup") {
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.IncrementalDedupStream.survivors(spark, sf), "t_incdedup")
+    val batch = operators.DedupQueries.queries("q_dedup_incremental")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming LOCF imputation (flatMapGroupsWithState) == batch window fill") {
     val streamed = EventsStreaming.runAppendToCompletion(spark,
       streaming.LocfStream.fills(spark, sf), "t_locf")
