@@ -531,6 +531,27 @@ object TextQueries {
           col("n_dup").cast("double") / col("n_windows").cast("double"))
         .orderBy("doc_id")
     }),
+
+    // Hashing-trick vectorization (HashingTF / Weinberger et al.):
+    // tokens hash into a fixed 64-bucket space and each document
+    // becomes a sparse (bucket, count) vector — the constant-memory
+    // featurizer that needs NO vocabulary build, so it runs in one
+    // pass on an unbounded corpus where a fitted vocabulary (q_text
+    // _topwords / tf-idf) needs a prior aggregation. Output is the
+    // sparse COO form (doc_id, bucket, n); the 60-bit md5 bucket hash
+    // is the engine-wide cross-engine hash convention. Scale: explode
+    // + ONE (doc_id, bucket)-keyed aggregate, map-side combined to at
+    // most 64 rows per doc before the exchange — shuffle volume is
+    // bounded by docs × 64 regardless of document length.
+    "q_text_hashtf" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint) % 64"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")),
   )
 
   def oracles: Map[String, String] = {
@@ -797,6 +818,16 @@ object TextQueries {
           |  CAST(sum(CASE WHEN nd > 1 THEN n_occ ELSE 0 END) AS DOUBLE)
           |    / CAST(any_value(n_windows) AS DOUBLE) AS dup_frac
           |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_text_hashtf" ->
+        """SELECT doc_id,
+          |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+          |  count(*) AS n
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |      FROM documents)
+          |WHERE tok <> ''
+          |GROUP BY doc_id, bucket
+          |ORDER BY doc_id, bucket""".stripMargin,
     )
   }
 }

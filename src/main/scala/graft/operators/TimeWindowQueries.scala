@@ -390,6 +390,39 @@ object TimeWindowQueries {
             .as("v_filled"))
         .orderBy("event_id")
     }),
+
+    // Per-entity CUSUM change detection: the sequential-analysis
+    // complement of q_drift (which compares two fixed windows
+    // globally) — here every event carries the user's cumulative
+    // excess over the corpus mean, and an alarm fires when sustained
+    // positive deviation accumulates. The textbook recursive form
+    // S_t = max(0, S_{t-1} + dev_t) is not window-expressible, but its
+    // closed form is: S_t = cumsum(dev) - running_min(cumsum(dev)) —
+    // two windows over ONE user-keyed partitioning. Exactness: the
+    // mean is never divided out — dev is scaled through by n
+    // (dev_t = n·x_t - Σx, all DECIMAL integer arithmetic), so cumsum
+    // and running-min are exact and the alarm threshold compares
+    // decimals to integers; the only double is the output cast.
+    // Scale: one 1-row broadcast aggregate + one keyed shuffle, O(1)
+    // per-row window state — the same 100 TB envelope as any
+    // per-entity cumulative window.
+    "q_win_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value").cast(Dec2).as("x"))
+      val tot = ev.agg(sum(col("x")).cast(Dec382).as("sx"),
+        count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.crossJoin(broadcast(tot))
+        .withColumn("dev", (col("x") * col("n")).cast(Dec382) - col("sx"))
+        .withColumn("cs", sum(col("dev")).over(w))
+        .withColumn("stat", col("cs") - min(col("cs")).over(w))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("stat").cast("double").as("cusum"),
+          (col("stat") > col("n") * lit(500L)).as("alarm"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -534,6 +567,29 @@ object TimeWindowQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    CAST(0 AS DOUBLE)) AS v_filled
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "q_win_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events),
+        |t AS (SELECT CAST(sum(x) AS DECIMAL(38,2)) AS sx, count(*) AS n FROM ev),
+        |c AS (
+        |  SELECT event_id, user_id, tus, n,
+        |    sum(CAST(x * n AS DECIMAL(38,2)) - sx) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM ev CROSS JOIN t),
+        |s AS (
+        |  SELECT event_id, user_id, tus, n, cs,
+        |    cs - min(cs) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stat
+        |  FROM c)
+        |SELECT event_id, user_id, tus,
+        |  CAST(CAST(stat AS VARCHAR) AS DOUBLE) AS cusum,
+        |  stat > n * 500 AS alarm
+        |FROM s ORDER BY event_id""".stripMargin,
 
     "q_drift" ->
       s"""WITH c AS (
