@@ -422,6 +422,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"containment posting join must shuffle both sides:\n$plan")
   }
 
+  test("q_win_cusum: both windows share ONE user-keyed partitioning; stats broadcast") {
+    val plan = planOf("q_win_cusum")
+    // cumsum and running-min must ride the same hash exchange — a
+    // second keyed shuffle would double the network cost of the scan
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"CUSUM is ONE user-keyed partitioning, got $hashExchanges:\n$plan")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 Window nodes, got $windows:\n$plan")
+    // the corpus-mean row joins in via broadcast, never a shuffle
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q_text_hashtf: one scan, map-side-combined (doc, bucket) aggregate") {
+    val plan = planOf("q_text_hashtf")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    // partial+final split: the explode fan-out combines to <= 64 rows
+    // per doc BEFORE the exchange
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"hashtf is ONE keyed shuffle, got $hashExchanges:\n$plan")
+  }
+
   test("q_impute_locf: one scan, one user-keyed window shuffle") {
     val plan = planOf("q_impute_locf")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size

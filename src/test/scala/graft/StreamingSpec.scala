@@ -219,6 +219,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming CUSUM (flatMapGroupsWithState) == batch closed-form windows, bitwise") {
+    val (n, sumCents) = streaming.CusumStream.referenceStats(spark, sf)
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.CusumStream.stats(spark, sf, n, sumCents), "t_cusum")
+      .select("event_id", "user_id", "tus", "cusum", "alarm")
+    val batch = operators.TimeWindowQueries.queries("q_win_cusum")(spark, sf)
+      .select("event_id", "user_id", "tus", "cusum", "alarm")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming LOCF imputation (flatMapGroupsWithState) == batch window fill") {
     val streamed = EventsStreaming.runAppendToCompletion(spark,
       streaming.LocfStream.fills(spark, sf), "t_locf")
