@@ -552,6 +552,38 @@ object DedupQueries {
           abs(col("est_j") - col("exact_j")).as("abs_err"))
         .orderBy("a_id", "b_id")
     }),
+
+    // Survivorship (golden-record merge) — the final stage of the
+    // entity-resolution pipeline the dedup family builds: blocking
+    // (q_join_fuzzy), matching (q_dedup_minhash), clustering
+    // (q_dedup_cluster), and now MERGE: one golden row per entity,
+    // assembled from its members by deterministic survivorship rules
+    // (representative = min id; best source = the member with the
+    // longest text, ties to the highest id — picked by a rank-1
+    // window, never a nondeterministic max_by). Docs in no cluster
+    // are their own golden record (coalesce to doc_id), so the output
+    // is the deduplicated corpus manifest. Scale: component labels
+    // come from the bounded Pregel loop; survivorship itself is one
+    // cluster-keyed window + one aggregate on the SAME partitioning —
+    // a single shuffle beyond the clustering it consumes.
+    "q_dedup_golden" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val comp = queries("q_dedup_cluster")(s, d)
+        .select(col("doc_id").as("cdoc"), col("cluster_id"))
+      val lab = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(broadcast(comp), col("doc_id") === col("cdoc"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      val rn = row_number().over(
+        Window.partitionBy("cid").orderBy(col("n_chars").desc, col("doc_id").desc))
+      lab.withColumn("rn", rn)
+        .groupBy(col("cid").as("cluster_id"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("max_chars"),
+          max(when(col("rn") === 1, col("source"))).as("src_best"))
+        .orderBy("cluster_id")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -814,6 +846,36 @@ object DedupQueries {
            |FROM est e JOIN ex x ON e.a_id = x.a_id AND e.b_id = x.b_id
            |ORDER BY e.a_id, e.b_id""".stripMargin
       },
+
+      "q_dedup_golden" ->
+        s"""WITH RECURSIVE $pairCtes,
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT b_id AS src, a_id AS dst FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT src AS id FROM edges
+           |), reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+           |), comp AS (
+           |  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           |  FROM reach GROUP BY id
+           |), lab AS (
+           |  SELECT d.doc_id, d.source, d.n_chars,
+           |    coalesce(c.cluster_id, d.doc_id) AS cid
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+           |), rk AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY cid ORDER BY n_chars DESC, doc_id DESC) AS rn
+           |  FROM lab)
+           |SELECT cid AS cluster_id,
+           |  min(doc_id) AS rep_id,
+           |  count(*) AS n_members,
+           |  max(n_chars) AS max_chars,
+           |  max(CASE WHEN rn = 1 THEN source END) AS src_best
+           |FROM rk GROUP BY cid ORDER BY cluster_id""".stripMargin,
     )
   }
 }

@@ -1178,6 +1178,29 @@ object RelationalQueries {
             .as("span_us"))
         .orderBy("user_id")),
 
+    // Per-group quantile (rank) normalization — the robust feature
+    // scaling that maps a raw measure onto [0, 1] by its within-group
+    // empirical CDF: qn = percent_rank = (rank − 1)/(n − 1), ties
+    // sharing the first rank of their run. Rank transforms are the
+    // standard defense against heavy-tailed features (min-max and
+    // z-score both follow outliers; the rank does not), and the
+    // per-group form normalizes fairly across subpopulations of
+    // different scales (here: per-language doc lengths — 'is this doc
+    // long FOR ITS LANGUAGE'). Exactness: percent_rank is an integer
+    // ratio evaluated as one double division — bit-identical
+    // cross-engine, no rounding. Scale: ONE lang-keyed shuffle;
+    // per-partition sort, O(1) state per row. The global-sort-free
+    // cousin of q_curriculum's HOF binning: this one keeps the full
+    // resolution of the CDF instead of 4 bins.
+    "q_feature_qnorm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("qn",
+          percent_rank().over(Window.partitionBy("lang").orderBy("n_chars")))
+        .orderBy("doc_id")
+    }),
+
     // Class-balanced downsampling: per-class keep rates DERIVED from
     // the data (rate = min_class_count / class_count in exact ppm
     // integer arithmetic), then the usual md5-deterministic membership
@@ -2057,6 +2080,11 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_feature_qnorm" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS qn
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sample_balanced" ->
       """WITH c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1),
