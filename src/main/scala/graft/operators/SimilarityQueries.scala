@@ -542,6 +542,69 @@ object SimilarityQueries {
           expr("aggregate(cemb, 0D, (a, x) -> a + x)").as("c_sum"))
         .orderBy("cell")
     }),
+
+    // IVF+PQ composed index — the FAISS-IVFPQ shape that serves
+    // billion-vector corpora: IVF coarse cells bound WHERE a query
+    // looks (NProbe of NCentroids cells), PQ codes bound WHAT each
+    // candidate costs once found (PqSub table lookups instead of
+    // 64-dim math — the 32× memory cut that keeps the index resident).
+    // This is the `by_residual=false` IVFPQ variant (codes quantize
+    // the raw vectors, not cell residuals): the composition of routing
+    // and compression is identical, without a per-cell codebook
+    // oracle. Build side is ONE shuffle-free corpus pass — cell
+    // assignment (row-local argmax over the broadcast centroid array,
+    // the assignCells pass shared with q_sim_ivf/q_dedup_semantic) and
+    // PQ encoding (row-local argmin over the broadcast codebook)
+    // happen in the same scan stage. Query side: probe cells from the
+    // same centroid array, precompute the ADC table per query, then an
+    // EQUI-join probe-cell = candidate-cell (a candidate's single cell
+    // meets at most one of a query's distinct probes — no dup pairs),
+    // ADC rank in a bounded per-query window. Determinism: same
+    // ascending folds and lowest-id tie-breaks as q_sim_ivf/q_sim_pq.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e0 = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val centArr = centArrOf(e0)
+      val ev = assignCells(e0, centArr)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val cb = broadcast(
+        ev.filter(col("vec_id") >= PqBase && col("vec_id") < PqBase + PqK)
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("cbs"))
+          .select(expr("transform(cbs, c -> c.v)").as("cb")))
+      // same squared-distance table as q_sim_pq (dimensions fold
+      // ascending within each subspace)
+      val dmExpr = expr(
+        s"""transform(sequence(0, ${PqSub - 1}), m ->
+           |  transform(sequence(0, ${PqK - 1}), c ->
+           |    aggregate(sequence(0, ${PqDim - 1}), 0D, (a, i) ->
+           |      a + (v[m * $PqDim + i] - cb[c][m * $PqDim + i])
+           |        * (v[m * $PqDim + i] - cb[c][m * $PqDim + i]))))""".stripMargin)
+      val coded = ev.filter(col("vec_id") >= NumQueries).crossJoin(cb)
+        .withColumn("dm", dmExpr)
+        .select(col("vec_id").as("cand_id"), col("cell"), expr(
+          "transform(dm, ds -> CAST(array_position(ds, array_min(ds)) AS INT) - 1)")
+          .as("codes"))
+      // ADC table is computed BEFORE the probe explode — one table per
+      // query, not one per (query, probe)
+      val q = e0.filter(col("vec_id") < NumQueries).crossJoin(centArr)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .crossJoin(cb)
+        .withColumn("qd", dmExpr)
+        .withColumn("probe", explode(slice(array_sort(
+          transform(col("cents"), c => struct(
+            (-(dotD(col("embedding"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm")))).as("nscore"),
+            c.getField("cid").as("cid")))), 1, NProbe)))
+        .select(col("vec_id").as("q_id"), col("probe").getField("cid").as("pcell"), col("qd"))
+      val byDist = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
+      broadcast(q).join(coded, col("pcell") === col("cell") && col("q_id") =!= col("cand_id"))
+        .withColumn("adc", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0D, (a, m) -> a + qd[m][codes[m]])"))
+        .withColumn("rnk", row_number().over(byDist))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -870,6 +933,60 @@ object SimilarityQueries {
            |SELECT cid AS cell, n_members,
            |  list_reduce(list_prepend(CAST(0 AS DOUBLE), cemb), (x, y) -> x + y) AS c_sum
            |FROM c2 ORDER BY cell""".stripMargin
+      },
+
+      "q_sim_ivfpq" -> {
+        // same dm table as q_sim_pq's oracle, over the cell-assigned
+        // vector CTE `ev` (columns v, cb in scope)
+        val dmSql =
+          s"""list_transform(generate_series(0, ${PqSub - 1}), m ->
+             |      list_transform(generate_series(0, ${PqK - 1}), c ->
+             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |          list_transform(generate_series(1, $PqDim), i ->
+             |            (v[m * $PqDim + i] - cb[c + 1][m * $PqDim + i])
+             |              * (v[m * $PqDim + i] - cb[c + 1][m * $PqDim + i]))),
+             |          (x, y) -> x + y)))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), cents AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}
+           |), ranked AS (
+           |  SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
+           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> en.embedding[i]::DOUBLE * cents.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (en.nrm * cents.cnrm) DESC, cents.cid) AS cr
+           |  FROM en CROSS JOIN cents
+           |), ev AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, cid AS cell
+           |  FROM ranked WHERE cr = 1
+           |), cbt AS (
+           |  SELECT list(v ORDER BY vec_id) AS cb FROM ev
+           |  WHERE vec_id >= $PqBase AND vec_id < ${PqBase + PqK}
+           |), coded AS (
+           |  SELECT vec_id AS cand_id, cell,
+           |    list_transform($dmSql,
+           |      ds -> CAST(list_position(ds, list_min(ds)) AS INT) - 1) AS codes
+           |  FROM ev CROSS JOIN cbt WHERE vec_id >= $NumQueries
+           |), q AS (
+           |  SELECT ev.vec_id AS q_id, r.cid AS pcell, $dmSql AS qd
+           |  FROM ranked r JOIN ev ON ev.vec_id = r.vec_id CROSS JOIN cbt
+           |  WHERE r.vec_id < $NumQueries AND r.cr <= $NProbe
+           |), scored AS (
+           |  SELECT q.q_id, coded.cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(generate_series(1, $PqSub), m -> qd[m][codes[m] + 1])),
+           |        (x, y) -> x + y) ASC, coded.cand_id) AS rnk
+           |  FROM q JOIN coded ON q.pcell = coded.cell AND q.q_id <> coded.cand_id)
+           |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
+           |ORDER BY q_id, rnk""".stripMargin
       },
     )
   }

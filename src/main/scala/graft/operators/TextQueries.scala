@@ -552,6 +552,102 @@ object TextQueries {
         .groupBy("doc_id", "bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("doc_id", "bucket")),
+
+    // Within-document repetition signals (the Gopher quality-filter
+    // family's repetition axis, complementing q_text_dupspans' CROSS-
+    // document axis): type-token ratio, most-frequent-token fraction,
+    // and most-frequent-BIGRAM fraction per doc. High top-gram
+    // fractions mark boilerplate/listicle/keyword-stuffed docs that
+    // length and punctuation filters miss. Scale: two doc-keyed
+    // aggregate branches (unigram and bigram), each map-side combined
+    // before its exchange, joined on doc_id — shuffle volume is the
+    // distinct-gram table, never the token stream; all fractions are
+    // exact integer ratios in one double division ⇒ bit-identical
+    // cross-engine. Bigrams derive row-local from the token array
+    // (guarded: Spark sequence(1, 0) DESCENDS, so size < 2 maps to an
+    // explicit empty array — DuckDB generate_series is empty there).
+    "q_text_repetition" -> ((s, d) => {
+      val ft = documents(s, d)
+        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("ft"))
+      val ua = ft.select(col("doc_id"), explode(col("ft")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_cnt"))
+      val bga = ft
+        .select(col("doc_id"), explode(when(size(col("ft")) >= 2,
+          expr("transform(sequence(1, size(ft) - 1), i -> concat(ft[i - 1], ' ', ft[i]))"))
+          .otherwise(expr("cast(array() as array<string>)"))).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_big_cnt"))
+      ua.join(bga.withColumnRenamed("doc_id", "bdoc"),
+          col("doc_id") === col("bdoc"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+          (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"),
+          (col("top_big_cnt").cast("double") / (col("n_tokens") - 1)).as("top_big_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture reweighting — the data-mixing pass that turns a
+    // raw crawl into a training corpus with TARGET source proportions
+    // (Pile/DoReMi-style mixture weights, no upsampling): per-source
+    // char budgets toks_s, integer target weights w_s (derived
+    // deterministically from the source id here; a config table at
+    // deployment), achievable total budget B = min_s ⌊toks_s·W/w_s⌋
+    // (the largest total where every source can fill its w_s/W share),
+    // per-source keep rate = ⌊targetₛ·1e6/toksₛ⌋ ppm, then the
+    // engine-wide md5-deterministic doc membership filter. All-integer
+    // rate derivation ⇒ exact cross-engine (headroom: rates overflow
+    // BIGINT past ~9e12 chars/source — switch the ppm product to
+    // DECIMAL(38) there, one cast). Scale: the source distribution
+    // collapses map-side to |sources| rows, rates broadcast back, and
+    // the filter is row-local — one scan + one tiny aggregate, the
+    // q_sample_balanced posture with char (token-proxy) budgets
+    // instead of row counts.
+    "q_mix_target" -> ((s, d) => {
+      val srcw = documents(s, d)
+        .groupBy("source").agg(sum(col("n_chars")).as("toks"))
+        .filter(col("toks") > 0)
+        .withColumn("w",
+          expr("coalesce(try_cast(substring(source, 4, 8) AS INT) % 3, 0) + 1"))
+      val caps = srcw.crossJoin(broadcast(srcw.agg(sum("w").cast("long").as("tw"))))
+      val bmin = broadcast(caps.agg(min(expr("toks * tw div w")).as("budget")))
+      val rates = caps.crossJoin(bmin)
+        .select(col("source"), col("w"), col("toks"),
+          expr("((w * budget div tw) * 1000000) div toks").as("rate_ppm"))
+      val kept = documents(s, d)
+        .join(broadcast(rates.select("source", "rate_ppm")), Seq("source"))
+        .filter(expr(
+          "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+          < col("rate_ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+      rates.join(broadcast(kept), Seq("source"), "left")
+        .select(col("source"), col("w"), col("toks"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+        .orderBy("source")
+    }),
+
+    // Deterministic train/val/test split assignment — the reproducible
+    // 90/5/5 partition every training pipeline needs: membership is a
+    // pure function of doc_id (md5 bucket mod 100, salted with
+    // '#split' so it is INDEPENDENT of every sampling hash in the
+    // engine), so reruns, backfills, and incremental ingests land each
+    // doc in the same split forever — no stored assignment table, no
+    // rand(). Output is the split manifest (per split × lang doc and
+    // char counts — the form a tokenizer shards from). Row-local
+    // hash + ONE map-side-combined aggregate to |splits|·|langs| rows.
+    "q_split_assign" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bkt", expr(
+          "cast(conv(substr(md5(concat(cast(doc_id as string), '#split')), 1, 15), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("bkt") < 90, "train").when(col("bkt") < 95, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("split", "lang")),
   )
 
   def oracles: Map[String, String] = {
@@ -828,6 +924,61 @@ object TextQueries {
           |WHERE tok <> ''
           |GROUP BY doc_id, bucket
           |ORDER BY doc_id, bucket""".stripMargin,
+
+      "q_text_repetition" ->
+        """WITH ft AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ft
+          |  FROM documents),
+          |uni AS (
+          |  SELECT doc_id, tok, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(ft) AS tok FROM ft) GROUP BY doc_id, tok),
+          |ua AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+          |    max(c) AS top_cnt
+          |  FROM uni GROUP BY doc_id),
+          |bg AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(generate_series(2, len(ft)), i -> ft[i - 1] || ' ' || ft[i])) AS b
+          |  FROM ft),
+          |bga AS (
+          |  SELECT doc_id, max(c) AS top_big_cnt FROM (
+          |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id)
+          |SELECT u.doc_id, u.n_tokens, u.n_distinct,
+          |  CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS ttr,
+          |  CAST(u.top_cnt AS DOUBLE) / u.n_tokens AS top_frac,
+          |  CAST(b.top_big_cnt AS DOUBLE) / (u.n_tokens - 1) AS top_big_frac
+          |FROM ua u LEFT JOIN bga b ON u.doc_id = b.doc_id
+          |ORDER BY u.doc_id""".stripMargin,
+
+      "q_mix_target" ->
+        """WITH srcw AS (
+          |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks,
+          |    coalesce(TRY_CAST(substr(source, 4) AS INT) % 3, 0) + 1 AS w
+          |  FROM documents GROUP BY source HAVING sum(n_chars) > 0),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM srcw),
+          |bmin AS (SELECT min(toks * tw // w) AS budget FROM srcw CROSS JOIN tot),
+          |rates AS (
+          |  SELECT source, w, toks, ((w * budget // tw) * 1000000) // toks AS rate_ppm
+          |  FROM srcw CROSS JOIN tot CROSS JOIN bmin),
+          |kept AS (
+          |  SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+          |  FROM documents d JOIN rates r ON d.source = r.source
+          |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+          |        < r.rate_ppm
+          |  GROUP BY d.source)
+          |SELECT r.source, r.w, r.toks, r.rate_ppm,
+          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.chars_kept, 0) AS chars_kept
+          |FROM rates r LEFT JOIN kept k ON r.source = k.source
+          |ORDER BY r.source""".stripMargin,
+
+      "q_split_assign" ->
+        """WITH a AS (
+          |  SELECT lang, n_chars,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT % 100 AS bkt
+          |  FROM documents)
+          |SELECT CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+          |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM a GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     )
   }
 }

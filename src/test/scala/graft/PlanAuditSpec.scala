@@ -455,4 +455,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LOCF is ONE user-keyed partitioning, got $hashExchanges:\n$plan")
     assert(plan.contains("Window"), plan)
   }
+
+  test("q_sim_ivfpq: assignment and coding are row-local — only the per-query rank window") {
+    // the IVFPQ build side must keep the q_sim_ivf property: cell
+    // assignment AND PQ encoding happen inside the corpus scan stage
+    // (broadcast centroid array + broadcast codebook), never via a
+    // corpus-partitioned window; the probe is an equi-join
+    val plan = planOf("q_sim_ivfpq")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected at most the per-query rank window, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"probe must equi-join on the cell id:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"queries broadcast — the corpus side must not shuffle for the probe:\n$plan")
+  }
+
+  test("q_mix_target: rates broadcast back; the corpus never shuffles for a join") {
+    val plan = planOf("q_mix_target")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast into the membership filter:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_split_assign: one scan, one map-side-combined aggregate exchange") {
+    val plan = planOf("q_split_assign")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"split manifest is ONE keyed shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_text_repetition: gram tables combine map-side — two doc-keyed branches, no corpus window") {
+    val plan = planOf("q_text_repetition")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 0, s"repetition signals need no window, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
