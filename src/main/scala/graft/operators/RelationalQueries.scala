@@ -1420,6 +1420,66 @@ object RelationalQueries {
         .orderBy(col("r_scaled").desc, col("part"))
         .limit(20)
     }),
+
+    // Neighbor-set Jaccard similarity over the co-purchase graph — the
+    // node-similarity / link-strength score behind collaborative
+    // filtering and graph-cleanup passes: for each EDGE (a, b),
+    // |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded as
+    // da + db − common. Common-neighbor counting runs as the
+    // triangle-through-edge closure (expand N(a) per edge, probe the
+    // b–x edge set — two vertex-keyed equi-joins, Σ_edges deg(a) work,
+    // never an all-pairs comparison), and edges/deg are
+    // localCheckpoint-ed once (the q_graph_pagerank rule: the
+    // co-purchase self-join must not be re-derived per consumer).
+    // Output keeps edges IN at least one triangle (common ≥ 1 — the
+    // pairs a recommender would score); fractions are exact integer
+    // ratios in one double division.
+    "q_graph_jaccard" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      val common = edges
+        .join(und.as("na"), col("a") === col("na.u"))
+        .join(und.as("nb"), col("b") === col("nb.u") && col("na.v") === col("nb.v"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("da"), col("db"), col("common"),
+          (col("common").cast("double") / (col("da") + col("db") - col("common")))
+            .as("jacc"))
+        .orderBy("a", "b")
+    }),
+
+    // k-anonymity audit — the privacy-compliance pass a corpus with
+    // user-derived rows needs before release: group by the quasi-
+    // identifier tuple (nation, market segment, overdrawn flag — the
+    // generalized attributes a re-identification attack would join
+    // on), flag groups smaller than k = 5, and report the per-group
+    // re-identification risk 1/n. Suppression/generalization then
+    // filters or coarsens the flagged groups; this query is the audit
+    // that DRIVES it (the flag is the gate, the risk the ranking).
+    // ONE map-side-combined aggregate to |QI-combinations| rows; risk
+    // is an exact integer-ratio double.
+    "q_privacy_kanon" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("overdrawn", col("c_acctbal") < 0)
+        .groupBy("c_nationkey", "c_mktsegment", "overdrawn")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("overdrawn"),
+          col("n"), (col("n") >= 5).as("k_anonymous"),
+          (lit(1.0) / col("n")).as("risk"))
+        .orderBy("c_nationkey", "c_mktsegment", "overdrawn")),
   )
 
   /** Shared expression-string builders for q_stats_pca: ONE generator
@@ -2179,6 +2239,36 @@ object RelationalQueries {
         |  FROM wedges w JOIN edges e3 ON w.wa = e3.a AND w.wc = e3.b)
         |SELECT n_vertices, n_edges, n_wedges, n_triangles
         |FROM verts, ne, nw, nt""".stripMargin,
+
+    "q_graph_jaccard" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+        |und AS (
+        |  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        |cmn AS (
+        |  SELECT e.a, e.b, count(*) AS common
+        |  FROM edges e
+        |  JOIN und na ON e.a = na.u
+        |  JOIN und nb ON e.b = nb.u AND na.v = nb.v
+        |  GROUP BY e.a, e.b)
+        |SELECT c.a, c.b, da.dg AS da, db.dg AS db, c.common,
+        |  CAST(c.common AS DOUBLE) / (da.dg + db.dg - c.common) AS jacc
+        |FROM cmn c
+        |JOIN deg da ON c.a = da.u
+        |JOIN deg db ON c.b = db.u
+        |ORDER BY c.a, c.b""".stripMargin,
+
+    "q_privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, (c_acctbal < 0) AS overdrawn,
+        |  count(*) AS n, (count(*) >= 5) AS k_anonymous,
+        |  CAST(1.0 AS DOUBLE) / count(*) AS risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, overdrawn""".stripMargin,
 
     "q_graph_pagerank" -> {
       // five unrolled power-iteration CTEs, generated by the same loop

@@ -605,6 +605,45 @@ object SimilarityQueries {
         .select(col("q_id"), col("cand_id"), col("rnk"))
         .orderBy("q_id", "rnk")
     }),
+
+    // Contrastive-pair mining — the training-data op behind embedding-
+    // model fine-tuning (SimCSE/DPR-style): for each query vector, the
+    // HARD NEGATIVE (highest-cosine candidate with a DIFFERENT label —
+    // the confusable impostor) and the HARD POSITIVE (lowest-cosine
+    // candidate with the SAME label — the far in-class example), plus
+    // the class-balance counts. Unlabeled rows are excluded up front
+    // (label comparisons and tie-breaks must be engine-agnostic, the
+    // q_knn_label rule). Plan shape: broadcast query batch × one
+    // corpus scan, then BOTH extremes rank inside ONE (q_id, same)
+    // partitioning — two row_number orders share one exchange+sort
+    // stage — and the final pivot aggregates on the same key. At
+    // 100 TB: query batches stay bounded (broadcast), the corpus scan
+    // is single-pass, and per-group state is O(1).
+    "q_mine_hardneg" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0 && col("label").isNotNull)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("ql"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("cand_id"), col("label").as("cl"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+      val j = broadcast(q).join(c)
+        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("same", col("cl") === col("ql"))
+      val wHi = Window.partitionBy("q_id", "same").orderBy(col("cos").desc, col("cand_id"))
+      val wLo = Window.partitionBy("q_id", "same").orderBy(col("cos").asc, col("cand_id"))
+      j.withColumn("rn_hi", row_number().over(wHi))
+        .withColumn("rn_lo", row_number().over(wLo))
+        .groupBy("q_id")
+        .agg(max(when(!col("same") && col("rn_hi") === 1, col("cand_id"))).as("hn_id"),
+          max(when(col("same") && col("rn_lo") === 1, col("cand_id"))).as("hp_id"),
+          sum(when(col("same"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("same"), 1L).otherwise(0L)).as("n_neg"))
+        .orderBy("q_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -988,6 +1027,35 @@ object SimilarityQueries {
            |SELECT q_id, cand_id, rnk FROM scored WHERE rnk <= $TopK
            |ORDER BY q_id, rnk""".stripMargin
       },
+
+      "q_mine_hardneg" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, label, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0 AND label IS NOT NULL
+           |), q AS (
+           |  SELECT vec_id AS q_id, label AS ql, embedding AS qe, nrm AS qn
+           |  FROM en WHERE vec_id < $NumQueries
+           |), c AS (
+           |  SELECT vec_id AS cand_id, label AS cl, embedding AS ce, nrm AS cn
+           |  FROM en WHERE vec_id >= $NumQueries
+           |), j AS (
+           |  SELECT q.q_id, c.cand_id, (c.cl = q.ql) AS same, $cosSql AS cos
+           |  FROM q CROSS JOIN c
+           |), r AS (
+           |  SELECT q_id, cand_id, same,
+           |    row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, cand_id) AS rn_hi,
+           |    row_number() OVER (PARTITION BY q_id, same ORDER BY cos ASC, cand_id) AS rn_lo
+           |  FROM j)
+           |SELECT q_id,
+           |  max(CASE WHEN NOT same AND rn_hi = 1 THEN cand_id END) AS hn_id,
+           |  max(CASE WHEN same AND rn_lo = 1 THEN cand_id END) AS hp_id,
+           |  CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |  CAST(sum(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+           |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin,
     )
   }
 }

@@ -494,4 +494,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows == 0, s"repetition signals need no window, got $windows:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_graph_jaccard: common-neighbor closure reuses checkpointed edges — no parquet rescan") {
+    // the co-purchase self-join is derived once (edges/und/deg all
+    // checkpointed, the q_graph_pagerank rule); the closure and the
+    // two degree joins run off the checkpointed RDDs
+    val plan = planOf("q_graph_jaccard")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"closure must reuse the checkpointed edge list ($scans scans):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_mine_hardneg: both extremes share ONE (q_id, same) window partitioning") {
+    val plan = planOf("q_mine_hardneg")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"query batch broadcasts — the corpus must not shuffle for the join:\n$plan")
+    // one exchange for the two same-partitioned windows + one for the
+    // final q_id pivot aggregate
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"hard-pos and hard-neg ranks must share a partitioning, got $hashExchanges:\n$plan")
+  }
+
+  test("q_privacy_kanon: one scan, one aggregate exchange") {
+    val plan = planOf("q_privacy_kanon")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 customer scan, got $scans:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"k-anon audit is ONE keyed shuffle, got $hashExchanges:\n$plan")
+  }
 }
