@@ -1461,6 +1461,24 @@ object RelationalQueries {
         .orderBy("a", "b")
     }),
 
+    // Fixed-size deterministic global sample — "give me exactly N
+    // docs, the same N forever": rank the corpus by a salted md5 hash
+    // and keep the N smallest. The rate-free cousin of q_sample_hash
+    // (exact COUNT instead of expected rate — what eval sets and
+    // debugging corpora need), stable under reruns AND under corpus
+    // growth in expectation (a new doc displaces at most one old pick).
+    // Plans as TakeOrderedAndProject (PlanAuditSpec pins it): per-
+    // partition top-N heaps + a driver merge of N·partitions candidates
+    // — never a global sort, the only scalable exactly-N shape.
+    "q_sample_topn" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("hk", expr(
+          "cast(conv(substr(md5(concat(cast(doc_id as string), '#topn')), 1, 15), 16, 10) as bigint)"))
+        .orderBy(col("hk"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // k-anonymity audit — the privacy-compliance pass a corpus with
     // user-derived rows needs before release: group by the quasi-
     // identifier tuple (nation, market segment, overdrawn flag — the
@@ -2262,6 +2280,15 @@ object RelationalQueries {
         |JOIN deg da ON c.a = da.u
         |JOIN deg db ON c.b = db.u
         |ORDER BY c.a, c.b""".stripMargin,
+
+    "q_sample_topn" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents
+        |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#topn'), 1, 15))::BIGINT,
+        |    doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_privacy_kanon" ->
       """SELECT c_nationkey, c_mktsegment, (c_acctbal < 0) AS overdrawn,

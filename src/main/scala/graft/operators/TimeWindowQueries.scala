@@ -423,9 +423,55 @@ object TimeWindowQueries {
           (col("stat") > col("n") * lit(500L)).as("alarm"))
         .orderBy("event_id")
     }),
+
+    // Time-bar (OHLC) resampling — the downsample-to-bars pass that
+    // turns an event stream into fixed-interval features (open/high/
+    // low/close/volume per event_type × hour): the standard form for
+    // rate dashboards and time-series model inputs. Determinism:
+    // open/close pick exact row values through two row_number orders
+    // over the SAME (event_type, bar) partitioning — one exchange, two
+    // sorts (the q_mine_hardneg pattern) — tie-broken by the unique
+    // (ts, event_id); high/low are exact comparisons; the volume total
+    // aggregates in exact decimal. Scale: one keyed shuffle, O(1)
+    // state per row; bars grow with time × types, never with events.
+    "q_win_bars" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = events(s, d)
+        .withColumn("ws_us", expr("(unix_micros(ts) div 3600000000) * 3600000000"))
+      val wAsc = Window.partitionBy("event_type", "ws_us")
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy("event_type", "ws_us")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base.withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy("event_type", "ws_us")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          max("value").as("high"), min("value").as("low"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
+        .orderBy("event_type", "ws_us")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q_win_bars" ->
+      """WITH b AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |    epoch_us(ts) AS tus, event_id, value FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, ws_us ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, ws_us ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, ws_us,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM r GROUP BY event_type, ws_us
+        |ORDER BY event_type, ws_us""".stripMargin,
+
     "q_win_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us, event_type,
         |  count(*) AS n,

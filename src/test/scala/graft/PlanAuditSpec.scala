@@ -517,6 +517,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hard-pos and hard-neg ranks must share a partitioning, got $hashExchanges:\n$plan")
   }
 
+  test("q_sample_topn: exactly-N sample plans as TakeOrdered, never a global sort") {
+    val plan = planOf("q_sample_topn")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-N hash sample must ride per-partition top-N heaps:\n$plan")
+  }
+
+  test("q_win_bars: open/close ranks and the bar aggregate share ONE partitioning") {
+    val plan = planOf("q_win_bars")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 1,
+      s"both rank orders and the aggregate share the bar key, got $hashExchanges:\n$plan")
+  }
+
   test("q_privacy_kanon: one scan, one aggregate exchange") {
     val plan = planOf("q_privacy_kanon")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
