@@ -644,6 +644,61 @@ object SimilarityQueries {
           sum(when(!col("same"), 1L).otherwise(0L)).as("n_neg"))
         .orderBy("q_id")
     }),
+
+    // Hybrid retrieval fusion — the lexical-candidates ∪ semantic-
+    // candidates merge every RAG/retrieval stack runs: a term-count
+    // lexical ranker and a cosine ranker against a query embedding
+    // (vec 0) each yield top-K=100 candidates, fused by Reciprocal
+    // Rank Fusion. Determinism: RRF contributions are EXACT fixed-
+    // point integers, 1e12 div (60 + rank) — integer division on
+    // positive operands is identical in both engines, so the fused
+    // score needs no float-summation-order agreement (the usual RRF
+    // 1/(60+r) double sum would not hash-match). Scale shape: each
+    // ranker ends in TakeOrderedAndProject (per-partition heaps, no
+    // global sort); ranks WITHIN the bounded K-row candidate sets come
+    // from a better-than theta-join count (K² = 10⁴ rows) — never a
+    // single-partition window (PlanAuditSpec pins both properties). At
+    // 100 TB: two corpus scans, two top-K heaps, bounded fusion.
+    "q_rank_fusion" -> ((s, d) => {
+      val K = 100
+      val terms = Seq("table", "spark", "query")
+      val base = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val lexScore = terms.map(t =>
+        size(filter(col("t"), x => x === t)).cast("long")).reduce(_ + _)
+      val lex = base.select(col("doc_id"), lexScore.as("ls"))
+        .orderBy(col("ls").desc, col("doc_id")).limit(K)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val sem = e.crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(K)
+      // rank within a bounded candidate set = 1 + |strictly better|,
+      // computed as a left theta-join count (no window, no exchange to
+      // one partition); tie order is (score DESC, doc_id ASC)
+      def ranked(df: DataFrame, sc: String): DataFrame = {
+        val b = df.select(col("doc_id").as("b_id"), col(sc).as("b_s"))
+        df.join(b,
+            col("b_s") > col(sc) ||
+              (col("b_s") === col(sc) && col("b_id") < col("doc_id")),
+            "left")
+          .groupBy("doc_id").agg((count(col("b_id")) + 1L).as("rnk"))
+      }
+      val lr = ranked(lex, "ls").select(col("doc_id"), col("rnk").as("r_lex"))
+      val sr = ranked(sem, "cs").select(col("doc_id").as("s_id"), col("rnk").as("r_sem"))
+      lr.join(sr, col("doc_id") === col("s_id"), "full")
+        .select(coalesce(col("doc_id"), col("s_id")).as("doc_id"),
+          col("r_lex"), col("r_sem"))
+        .withColumn("rrf_fp",
+          coalesce(expr("1000000000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000000 div (60 + r_sem)"), lit(0L)))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1056,6 +1111,38 @@ object SimilarityQueries {
            |  CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            |  CAST(sum(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
            |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin,
+
+      // ranks via row_number over the bounded top-K CTEs — equivalent
+      // to the Spark side's better-than join count by construction;
+      // RRF terms mirrored as 1e12 // (60 + rank) integer division
+      "q_rank_fusion" ->
+        """WITH lex AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'table'))
+          |      + len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+          |      + len(list_filter(string_split(text, ' '), t -> t = 'query')) AS BIGINT) AS ls
+          |  FROM documents ORDER BY ls DESC, doc_id LIMIT 100
+          |), e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+          |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+          |  FROM embeddings
+          |), en AS (SELECT * FROM e WHERE nrm > 0
+          |), q0 AS (SELECT embedding AS qe, nrm AS qn FROM en WHERE vec_id = 0
+          |), sem AS (
+          |  SELECT vec_id AS doc_id,
+          |    list_reduce(list_transform(generate_series(1, 64),
+          |      i -> q0.qe[i]::DOUBLE * en.embedding[i]::DOUBLE), (x, y) -> x + y)
+          |      / (q0.qn * en.nrm) AS cs
+          |  FROM en CROSS JOIN q0 ORDER BY cs DESC, doc_id LIMIT 100
+          |), lr AS (
+          |  SELECT doc_id, row_number() OVER (ORDER BY ls DESC, doc_id) AS r_lex FROM lex
+          |), sr AS (
+          |  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_sem FROM sem)
+          |SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id, r_lex, r_sem,
+          |  COALESCE(1000000000000 // (60 + r_lex), 0) + COALESCE(1000000000000 // (60 + r_sem), 0) AS rrf_fp
+          |FROM lr FULL JOIN sr ON lr.doc_id = sr.doc_id
+          |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
     )
   }
 }

@@ -648,6 +648,83 @@ object TextQueries {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
         .orderBy("split", "lang")),
+
+    // Lexical-diversity quality signals — the vocabulary-richness
+    // scores (type-token ratio, hapax-legomena rate, and a Gini
+    // token-concentration index) that separate template/spam corpora
+    // (few types repeated) from natural text. Determinism: every
+    // double is division/subtraction of EXACT integers in a fixed op
+    // order (ttr = distinct/total; hapax = once-only/distinct; gini
+    // impurity = 1 − Σcnt²/total² with Σcnt² an exact BIGINT) — each
+    // IEEE op is exactly defined, so bits match cross-engine; no
+    // float accumulation anywhere. Scale: explode → two keyed
+    // aggregations ((doc, token) then doc), both map-side-combined;
+    // the second shuffles only one row per (doc, token) — linear, no
+    // broadcast, no window.
+    "q_text_diversity" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_hapax"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_distinct")).as("hapax_ratio"),
+          (lit(1.0) - col("ss").cast("double") / (col("n_tokens") * col("n_tokens"))).as("gini"))
+        .orderBy("doc_id")),
+
+    // BPE pair-count — the inner step of byte-pair-encoding tokenizer
+    // training: count adjacent character pairs inside words across the
+    // corpus and surface the top merge candidates. The full trainer
+    // iterates (merge the winner, recount); one exact global count IS
+    // the distributed primitive it repeats. Scale: chars explode to
+    // ~corpus-bytes rows but partial aggregation combines map-side
+    // before the single pair-keyed shuffle, and the top-20 is a
+    // TakeOrderedAndProject (per-partition heaps), never a full sort.
+    "q_bpe_pairs" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
+
+    // Deterministic epoch shuffle with a SCALABLE global ordinal — the
+    // "shuffle the corpus, then cut it into batches" pass every
+    // training run needs, reproducible across runs and engines. Each
+    // doc gets a salted 60-bit md5 position key; the global ordinal is
+    // computed WITHOUT a single-partition sort window: the 2^60 key
+    // space is cut into 64 ordered range buckets (bkt = hk div 2^54 is
+    // monotone in hk, so (bkt, hk, doc_id) order IS (hk, doc_id)
+    // order), per-bucket counts (a 64-row aggregate) become exclusive
+    // prefix offsets via a tiny bucket×bucket theta-join, and the
+    // ordinal is offset + rank-within-bucket — the distributed
+    // zipWithIndex shape. batch_id = ordinal div 32. Scale: ONE keyed
+    // shuffle for per-bucket ranks plus a 64-row broadcast; no
+    // Exchange SinglePartition anywhere (PlanAuditSpec pins it).
+    // Epoch 2 is one salt change away.
+    "q_shuffle_epoch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = documents(s, d)
+        .withColumn("hk", expr(
+          "cast(conv(substr(md5(concat(cast(doc_id as string), '#epoch1')), 1, 15), 16, 10) as bigint)"))
+        .withColumn("bkt", expr(s"hk div ${1L << 54}"))
+      val cnt = h.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      val lower = cnt.select(col("bkt").as("b2"), col("bn").as("bn2"))
+      val offs = cnt.join(lower, col("b2") < col("bkt"), "left")
+        .groupBy("bkt").agg(coalesce(sum("bn2"), lit(0L)).as("off"))
+      val w = Window.partitionBy("bkt").orderBy(col("hk"), col("doc_id"))
+      h.join(broadcast(offs), "bkt")
+        .withColumn("pos", col("off") + row_number().over(w) - lit(1L))
+        .withColumn("batch_id", expr("pos div 32"))
+        .select(col("doc_id"), col("pos"), col("batch_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -979,6 +1056,48 @@ object TextQueries {
           |SELECT CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
           |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM a GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+      // Σcnt² in DuckDB is HUGEINT → cast BIGINT before the double
+      // division; op order mirrored exactly (divide, then 1 −)
+      "q_text_diversity" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          |), c AS (
+          |  SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
+          |), g AS (
+          |  SELECT doc_id,
+          |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          |    count(*) AS n_distinct,
+          |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+          |  FROM c GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_distinct, n_hapax,
+          |  n_distinct::DOUBLE / n_tokens AS ttr,
+          |  n_hapax::DOUBLE / n_distinct AS hapax_ratio,
+          |  1.0 - ss::DOUBLE / (n_tokens * n_tokens) AS gini
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      "q_bpe_pairs" ->
+        """WITH tk AS (
+          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+          |), p AS (
+          |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+          |    i -> substr(tok, i, 2))) AS pair
+          |  FROM tk WHERE length(tok) >= 2)
+          |SELECT pair, count(*) AS n FROM p
+          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+      // global row_number over the hash order — equivalent to the
+      // Spark side's bucket-offset + within-bucket rank because the
+      // bucket id is monotone in hk
+      "q_shuffle_epoch" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch1'), 1, 15))::BIGINT AS hk
+          |  FROM documents)
+          |SELECT doc_id, pos, pos // 32 AS batch_id FROM (
+          |  SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM h)
+          |ORDER BY doc_id""".stripMargin,
     )
   }
 }

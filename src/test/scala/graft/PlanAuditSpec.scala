@@ -538,4 +538,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges == 1,
       s"k-anon audit is ONE keyed shuffle, got $hashExchanges:\n$plan")
   }
+
+  test("q_shuffle_epoch: global ordinal without any single-partition exchange") {
+    val plan = planOf("q_shuffle_epoch")
+    assert(!plan.contains("SinglePartition"),
+      s"the distributed zipWithIndex must never collapse to one partition:\n$plan")
+    assert(plan.contains("Window"),
+      s"per-bucket ranks ride a bucket-partitioned window:\n$plan")
+  }
+
+  test("q_rank_fusion: both rankers are TakeOrdered heaps; no window, no single partition") {
+    val plan = planOf("q_rank_fusion")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate generation must ride per-partition top-K heaps:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"),
+      s"ranks come from the bounded theta-join count, never a global window:\n$plan")
+  }
+
+  test("q_bpe_pairs: top-20 merge candidates plan as TakeOrdered, never a full sort") {
+    val plan = planOf("q_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pair counts reduce map-side and top-20 is a heap merge:\n$plan")
+  }
+
+  test("q_text_diversity: two keyed aggregations, no extra exchanges") {
+    val plan = planOf("q_text_diversity")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"(doc, token) counts then doc rollup — at most two keyed shuffles, got $hashExchanges:\n$plan")
+  }
 }
