@@ -584,6 +584,68 @@ object DedupQueries {
           max(when(col("rn") === 1, col("source"))).as("src_best"))
         .orderBy("cluster_id")
     }),
+
+    // Near-dup threshold calibration sweep — the pass you run BEFORE
+    // committing a 100 TB dedup to one cosine cutoff: count candidate
+    // pairs at each threshold in {0.30 … 0.50} bracketing the
+    // committed 0.45 cutoff (q_dedup_embedding), in ONE pass over the
+    // pair space, so the retention curve (pairs vs cutoff) is known
+    // before the destructive keep/drop run. Rides
+    // the same block-pair replication as q_dedup_embedding_blocked
+    // (B=4 blocks, per-task 2·N/B vectors, no broadcast, no driver
+    // collect) and the same double arithmetic (index-order dot,
+    // lower-id norm first), so the counts are exactly the oracle's
+    // all-pairs counts. Thresholds compare the identical IEEE double
+    // both engines (decimal literal → nearest double).
+    "q_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val thresholds = Seq(0.30, 0.35, 0.40, 0.45, 0.50)
+      val B = 4
+      val pairsIdx = for { bi <- 0 until B; bj <- bi until B } yield (bi, bj)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val replicated = e.flatMap { case (id, v) =>
+        val b = Math.floorMod(id, B.toLong).toInt
+        pairsIdx.iterator.zipWithIndex.collect {
+          case ((bi, bj), pid) if bi == b || bj == b => (pid, id, v)
+        }
+      }
+      val hits = replicated.groupByKey(_._1).flatMapGroups {
+        (pid: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+          val (bi, bj) = pairsIdx(pid)
+          val rows = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          val norms = rows.map { case (_, v) =>
+            var i = 0; var sum = 0.0
+            while (i < v.length) { sum += v(i).toDouble * v(i).toDouble; i += 1 }
+            math.sqrt(sum)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i < rows.length) {
+            val av = rows(i)._2
+            var j = i + 1
+            while (j < rows.length) {
+              if (bi == bj ||
+                Math.floorMod(rows(i)._1, B.toLong) != Math.floorMod(rows(j)._1, B.toLong)) {
+                if (norms(i) > 0 && norms(j) > 0) {
+                  val bv = rows(j)._2
+                  var dot = 0.0
+                  var k = 0
+                  while (k < av.length) { dot += av(k).toDouble * bv(k).toDouble; k += 1 }
+                  val cos = dot / (norms(i) * norms(j))
+                  thresholds.foreach { t => if (cos >= t) out += math.round(t * 1e6) }
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+      }.toDF("thr_ppm")
+      hits.groupBy("thr_ppm").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("thr_ppm")
+    }),
   )
 
   /** DuckDB mirrors. The simhash bit expressions are generated by the
@@ -876,6 +938,30 @@ object DedupQueries {
            |  max(n_chars) AS max_chars,
            |  max(CASE WHEN rn = 1 THEN source END) AS src_best
            |FROM rk GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
+      // all-pairs cosine recomputed exactly (same fold order), counted
+      // per threshold via a 5-row cross join
+      "q_dedup_sweep" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+          |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+          |  FROM embeddings
+          |), p AS (
+          |  SELECT list_reduce(list_transform(generate_series(1, 64),
+          |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+          |      / (a.nrm * b.nrm) AS cs
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |  WHERE a.nrm > 0 AND b.nrm > 0
+          |), thr(thr_ppm, t) AS (VALUES
+          |  (CAST(300000 AS BIGINT), CAST(0.30 AS DOUBLE)),
+          |  (CAST(350000 AS BIGINT), CAST(0.35 AS DOUBLE)),
+          |  (CAST(400000 AS BIGINT), CAST(0.40 AS DOUBLE)),
+          |  (CAST(450000 AS BIGINT), CAST(0.45 AS DOUBLE)),
+          |  (CAST(500000 AS BIGINT), CAST(0.50 AS DOUBLE)))
+          |SELECT thr_ppm, count(*) AS n_pairs
+          |FROM p CROSS JOIN thr WHERE cs >= t
+          |GROUP BY thr_ppm ORDER BY thr_ppm""".stripMargin,
     )
   }
 }

@@ -1498,6 +1498,72 @@ object RelationalQueries {
           col("n"), (col("n") >= 5).as("k_anonymous"),
           (lit(1.0) / col("n")).as("risk"))
         .orderBy("c_nationkey", "c_mktsegment", "overdrawn")),
+
+    // Market-basket association rules — the directed support /
+    // confidence / lift mining pass (Agrawal-style, support-pruned)
+    // over co-purchase baskets: for parts a → b in the same order,
+    // confidence = sup(ab)/sup(a) and lift = conf / P(b). Determinism:
+    // confidence ships as exact fixed-point ppm (integer div on
+    // positive operands — identical both engines); lift is ONE double
+    // division of two exact integer products (each < 2^53). Scale:
+    // the basket table is localCheckpoint-ed once (the pagerank rule —
+    // three consumers must not re-derive the distinct scan), item
+    // supports are one map-side-combined aggregate, the pair self-join
+    // shuffles on the order key only, and the 1-row basket count joins
+    // back as a broadcast. Top-50 by confidence is a TakeOrdered heap.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true)
+      val isup = items.groupBy("p").agg(count(lit(1)).as("sup"))
+      val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 2)
+      pairs
+        .join(isup.select(col("p").as("a"), col("sup").as("sa")), Seq("a"))
+        .join(isup.select(col("p").as("b"), col("sup").as("sb")), Seq("b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("sab"), col("sa"), col("sb"),
+          expr("sab * 1000000 div sa").as("conf_ppm"),
+          ((col("sab") * col("n_orders")).cast("double")
+            / (col("sa") * col("sb"))).as("lift"))
+        .orderBy(col("conf_ppm").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // Degree distribution of the co-purchase graph — the log2-bucketed
+    // degree histogram that tells you whether the graph is skewed
+    // enough to need salting/skew-join handling BEFORE running the
+    // expensive closure queries (triangles/jaccard/pagerank) on it.
+    // The bucket is length(bin(deg)) = floor(log2)+1 computed by
+    // EXACT integer/string arithmetic — never floating log2, whose
+    // libm results differ across engines near power-of-two boundaries.
+    // Scale: one self-join (shuffled on the order key), one edge
+    // aggregate — localCheckpoint-ed once (the pagerank rule: the
+    // a-side and b-side union branches must not re-derive the
+    // co-purchase join; PlanAuditSpec pins ≤ 2 scans) — then one
+    // vertex-keyed count and one ≤64-row rollup.
+    "q_graph_degdist" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val und = edges.select(col("a").as("u")).union(edges.select(col("b").as("u")))
+      und.groupBy("u").agg(count(lit(1)).as("dg"))
+        .withColumn("bucket", length(bin(col("dg"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vertices"), min("dg").as("min_deg"),
+          max("dg").as("max_deg"), sum("dg").as("sum_deg"))
+        .orderBy("bucket")
+    }),
   )
 
   /** Shared expression-string builders for q_stats_pca: ONE generator
@@ -2322,5 +2388,40 @@ object RelationalQueries {
          |  CAST(r AS DOUBLE) / 1000000000000.0 AS pr
          |FROM r5 ORDER BY r_scaled DESC, part LIMIT 20""".stripMargin
     },
+
+    // conf as integer ppm (// floors = Spark div on positive
+    // operands); lift numerator/denominator are exact BIGINT products
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |isup AS (SELECT p, count(*) AS sup FROM items GROUP BY p),
+        |no AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+        |pairs AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS sab
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p <> y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2)
+        |SELECT a, b, sab, sa.sup AS sa, sb.sup AS sb,
+        |  sab * 1000000 // sa.sup AS conf_ppm,
+        |  (sab * no.n_orders)::DOUBLE / (sa.sup * sb.sup) AS lift
+        |FROM pairs
+        |JOIN isup sa ON pairs.a = sa.p
+        |JOIN isup sb ON pairs.b = sb.p
+        |CROSS JOIN no
+        |ORDER BY conf_ppm DESC, a, b LIMIT 50""".stripMargin,
+
+    // bucket = length(bin(deg)) — exact integer log2 both engines
+    "q_graph_degdist" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+        |und AS (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges),
+        |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u)
+        |SELECT length(bin(dg)) AS bucket, count(*) AS n_vertices,
+        |  min(dg) AS min_deg, max(dg) AS max_deg,
+        |  CAST(sum(dg) AS BIGINT) AS sum_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -725,6 +725,58 @@ object TextQueries {
         .select(col("doc_id"), col("pos"), col("batch_id"))
         .orderBy("doc_id")
     }),
+
+    // Filter-cascade accounting — the FineWeb/Gopher-style quality
+    // gate report: five row-local keep rules (too short, too long,
+    // mean-token-length band, distinct-token ratio, top-token
+    // fraction), each doc gets a fail bitmask, and the output is the
+    // per-rule drop ledger: how many docs fail each rule at all, and
+    // how many are dropped BY it (first failing rule in cascade
+    // order) — the numbers that tell you which filter to tune before
+    // re-running a 100 TB pass. Determinism: every rule is a pure
+    // integer comparison (mean-len band as sl vs 2n/12n, ratios
+    // cross-multiplied — no float thresholds anywhere). Scale: one
+    // narrow scan, one map-side-combined 1-row aggregate, a 6-row
+    // stack reshape; zero keyed shuffles (PlanAuditSpec pins it).
+    "q_quality_gate" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n"),
+          expr("cast(aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x) as bigint)").as("sl"),
+          size(array_distinct(col("t"))).cast("long").as("nd"),
+          expr("cast(array_max(transform(array_distinct(t), u -> size(filter(t, x -> x = u)))) as bigint)").as("mx"))
+      val flags = base.select(
+        (col("n") < 10).as("r0"),
+        (col("n") > 1000).as("r1"),
+        (col("sl") < lit(2) * col("n") || col("sl") > lit(12) * col("n")).as("r2"),
+        (lit(5) * col("nd") <= col("n")).as("r3"),
+        (lit(5) * col("mx") > col("n")).as("r4"))
+      val ff = when(col("r0"), 0).when(col("r1"), 1).when(col("r2"), 2)
+        .when(col("r3"), 3).when(col("r4"), 4).otherwise(-1)
+      flags
+        .agg(
+          sum(when(col("r0"), 1L).otherwise(0L)).as("f0"),
+          sum(when(col("r1"), 1L).otherwise(0L)).as("f1"),
+          sum(when(col("r2"), 1L).otherwise(0L)).as("f2"),
+          sum(when(col("r3"), 1L).otherwise(0L)).as("f3"),
+          sum(when(col("r4"), 1L).otherwise(0L)).as("f4"),
+          sum(when(ff === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(ff === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(ff === 2, 1L).otherwise(0L)).as("d2"),
+          sum(when(ff === 3, 1L).otherwise(0L)).as("d3"),
+          sum(when(ff === 4, 1L).otherwise(0L)).as("d4"),
+          sum(when(ff === -1, 1L).otherwise(0L)).as("np"))
+        .select(expr(
+          """stack(6,
+            |  'pass',        np, np,
+            |  'r0_short',    f0, d0,
+            |  'r1_long',     f1, d1,
+            |  'r2_meanlen',  f2, d2,
+            |  'r3_distinct', f3, d3,
+            |  'r4_toptok',   f4, d4) as (rule, n_failed, n_dropped_by)""".stripMargin))
+        .orderBy("rule")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1098,6 +1150,50 @@ object TextQueries {
           |SELECT doc_id, pos, pos // 32 AS batch_id FROM (
           |  SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM h)
           |ORDER BY doc_id""".stripMargin,
+
+      // the 'pass' row reports the surviving count in both ledger
+      // columns; rule rows are (failed-at-all, dropped-by-first-fail)
+      "q_quality_gate" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+          |), m AS (
+          |  SELECT doc_id,
+          |    len(s)::BIGINT AS n,
+          |    CAST(list_sum(list_transform(s, x -> length(x))) AS BIGINT) AS sl,
+          |    len(list_distinct(s))::BIGINT AS nd,
+          |    CAST(list_max(list_transform(list_distinct(s),
+          |      u -> len(list_filter(s, x -> x = u)))) AS BIGINT) AS mx
+          |  FROM t
+          |), f AS (
+          |  SELECT n < 10 AS r0, n > 1000 AS r1,
+          |    (sl < 2 * n OR sl > 12 * n) AS r2,
+          |    5 * nd <= n AS r3, 5 * mx > n AS r4,
+          |    CASE WHEN n < 10 THEN 0 WHEN n > 1000 THEN 1
+          |         WHEN sl < 2 * n OR sl > 12 * n THEN 2
+          |         WHEN 5 * nd <= n THEN 3 WHEN 5 * mx > n THEN 4
+          |         ELSE -1 END AS ff
+          |  FROM m
+          |), g AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+          |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          |    CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          |    CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+          |    CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+          |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+          |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+          |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+          |    CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+          |    CAST(sum(CASE WHEN ff = -1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+          |  FROM f)
+          |SELECT 'pass' AS rule, np AS n_failed, np AS n_dropped_by FROM g
+          |UNION ALL SELECT 'r0_short', f0, d0 FROM g
+          |UNION ALL SELECT 'r1_long', f1, d1 FROM g
+          |UNION ALL SELECT 'r2_meanlen', f2, d2 FROM g
+          |UNION ALL SELECT 'r3_distinct', f3, d3 FROM g
+          |UNION ALL SELECT 'r4_toptok', f4, d4 FROM g
+          |ORDER BY rule""".stripMargin,
     )
   }
 }

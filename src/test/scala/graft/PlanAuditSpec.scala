@@ -567,4 +567,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges <= 2,
       s"(doc, token) counts then doc rollup — at most two keyed shuffles, got $hashExchanges:\n$plan")
   }
+
+  test("q_quality_gate: row-local rules into one 1-row aggregate, zero keyed shuffles") {
+    val plan = planOf("q_quality_gate")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"the cascade ledger is map-side-combined — no keyed shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_assoc_rules: 1-row basket count broadcasts; top-50 is a TakeOrdered heap") {
+    val plan = planOf("q_assoc_rules")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 by confidence must be per-partition heaps, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row n_orders aggregate joins back as a broadcast:\n$plan")
+  }
+
+  test("q_graph_degdist: edge list checkpointed — union branches never rescan parquet") {
+    val plan = planOf("q_graph_degdist")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"degree rollup must not re-derive the co-purchase join per branch, got $scans scans:\n$plan")
+  }
 }
