@@ -49,17 +49,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw nanos Long is
-    * floor-divided to microseconds (matching DuckDB's ns→us truncation
-    * on read) and re-typed as a session-TZ (UTC) timestamp.
-    * `div` keeps the arithmetic in Long — `/` would go through Double
-    * and lose precision above 2^53.
+  /** events.ts normalization — the testdata has shipped two physical
+    * encodings of this column, so the loader adapts to the schema it
+    * finds rather than assuming one:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    *    surfaces a raw nanos Long. Floor-`div` 1000 → microseconds
+    *    (matching DuckDB's ns→us truncation on read; `div` keeps the
+    *    arithmetic in Long — `/` would go through Double and lose
+    *    precision above 2^53), re-typed as a session-TZ (UTC)
+    *    timestamp.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+    *    TIMESTAMP_NTZ; cast to session-TZ timestamp (sessions pin UTC,
+    *    so the instant is unchanged and unix_micros ≡ DuckDB epoch_us).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

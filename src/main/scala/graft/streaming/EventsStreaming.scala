@@ -30,12 +30,18 @@ object EventsStreaming {
     * failure.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same ts normalization as Tables.events: nanos-Long or NTZ micros.
+    schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Tumbling 1-hour counts per event type with a 30-minute watermark. */
