@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
   val Dec2: DecimalType  = DecimalType(18, 2)
+  val Dec380: DecimalType = DecimalType(38, 0)
   val Dec382: DecimalType = DecimalType(38, 2)
   val Dec384: DecimalType = DecimalType(38, 4)
 

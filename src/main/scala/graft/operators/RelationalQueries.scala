@@ -1564,6 +1564,80 @@ object RelationalQueries {
           max("dg").as("max_deg"), sum("dg").as("sum_deg"))
         .orderBy("bucket")
     }),
+
+    // Closed-form simple linear regression (OLS) per group — the
+    // trend-fitting / feature-engineering primitive: fit
+    // extendedprice ~ quantity within each returnflag from the five
+    // exact decimal co-moments (n, Σx, Σy, Σxx, Σxy, Σyy), then
+    // slope / intercept / R² as token-order-matched double
+    // expressions over those moments — the q_agg_stats determinism
+    // contract applied to model fitting. Scale shape: ONE
+    // map-side-combined scan, constant state per group, one 3-row
+    // shuffle; a gradient-descent fit would need I full passes and
+    // order-sensitive double accumulation — the closed form is both
+    // exact and 1-pass, which is why distributed linear models
+    // aggregate sufficient statistics (normal equations), not rows.
+    "q_stats_ols" -> ((s, d) => {
+      val x = col("l_quantity").cast(Dec2)
+      val y = col("l_extendedprice").cast(Dec2)
+      def d2(c: String) = col(c).cast("double")
+      val nd = col("n").cast("double")
+      val sxx = nd * d2("sxx0") - d2("sx0") * d2("sx0")
+      val sxy = nd * d2("sxy0") - d2("sx0") * d2("sy0")
+      val syy = nd * d2("syy0") - d2("sy0") * d2("sy0")
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx0"), sum(y).as("sy0"),
+          sum((x * x).cast(Dec384)).as("sxx0"),
+          sum((x * y).cast(Dec384)).as("sxy0"),
+          sum((y * y).cast(Dec384)).as("syy0"))
+        .select(col("l_returnflag"), col("n"),
+          (sxy / sxx).as("slope"),
+          ((d2("sy0") - (sxy / sxx) * d2("sx0")) / nd).as("intercept"),
+          ((sxy * sxy) / (sxx * syy)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // k-core decomposition (k=2, three fixed peeling rounds) over the
+    // min-support-2 co-purchase graph — the graph-cleanup pass that
+    // strips low-degree fringe before the expensive closure queries
+    // (a vertex in no cycle can't be in a triangle or a dense
+    // community). Each round: degree count → keep deg ≥ k → retain
+    // edges with BOTH endpoints kept; output one (round, n_vertices,
+    // n_edges) row per round, so the convergence profile is visible.
+    // Scale shape: the co-purchase edge list is derived once and
+    // localCheckpoint-ed, and each round's survivor edge set is
+    // checkpointed before the next round re-aggregates it (the
+    // pagerank rule — lineage stays flat, no re-derivation per round);
+    // per round it is one vertex-keyed count plus two semi-joins, all
+    // equi-shuffles. Fixed round count (not run-to-fixpoint) keeps the
+    // plan static and the oracle expressible as a finite CTE chain —
+    // at 100 TB the same 3 rounds remove the overwhelming mass of
+    // degree-1 fringe (each round is a full Pregel superstep).
+    "q_graph_kcore" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      var e = items.as("x").join(items.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val rounds = (1 to 3).map { r =>
+        val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= 2).select("v").localCheckpoint(true)
+        e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint(true)
+        keep.agg(count(lit(1)).as("n_vertices"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r).cast("long").as("round"), col("n_vertices"), col("n_edges"))
+      }
+      rounds.reduce(_.union(_)).orderBy("round")
+    }),
   )
 
   /** Shared expression-string builders for q_stats_pca: ONE generator
@@ -2423,5 +2497,66 @@ object RelationalQueries {
         |  min(dg) AS min_deg, max(dg) AS max_deg,
         |  CAST(sum(dg) AS BIGINT) AS sum_deg
         |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // same moment set and token order as the Spark side (q_agg_stats
+    // contract): slope/intercept/r2 are pure IEEE expressions over
+    // exact decimal sums, repeated verbatim where Spark reuses a val
+    "q_stats_ols" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx0,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy0,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx0,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy0,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy0
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxx0 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) AS cxx,
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxy0 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS cxy,
+        |    CAST(n AS DOUBLE) * CAST(CAST(syy0 AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) * CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS cyy,
+        |    CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  cxy / cxx AS slope,
+        |  (syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE) AS intercept,
+        |  (cxy * cxy) / (cxx * cyy) AS r2
+        |FROM e ORDER BY l_returnflag""".stripMargin,
+
+    // three unrolled peeling rounds, each a CTE pair (deg -> keep ->
+    // surviving edges) — the finite mirror of the Spark loop
+    "q_graph_kcore" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+        |d1 AS (SELECT v, count(*) AS dg FROM
+        |  (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE dg >= 2),
+        |e1 AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, count(*) AS dg FROM
+        |  (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE dg >= 2),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+        |d3 AS (SELECT v, count(*) AS dg FROM
+        |  (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+        |k3 AS (SELECT v FROM d3 WHERE dg >= 2),
+        |e3 AS (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+        |SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_vertices,
+        |  (SELECT count(*) FROM e1) AS n_edges
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+        |ORDER BY round""".stripMargin,
   )
 }

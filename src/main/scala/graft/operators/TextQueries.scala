@@ -777,6 +777,34 @@ object TextQueries {
             |  'r4_toptok',   f4, d4) as (rule, n_failed, n_dropped_by)""".stripMargin))
         .orderBy("rule")
     }),
+
+    // Inverted-index posting statistics — the search/RAG index-build
+    // primitive: per term, document frequency, total term frequency,
+    // and the head posting (the doc a ranked posting list serves
+    // first: max tf, doc_id tie-break). Output is the df ≥ 5 head of
+    // the vocabulary, top-50 by (df, term) — the slice an index
+    // planner inspects for stop-term cutoffs and posting-skew before
+    // committing a 100 TB index build. Shape: explode → ONE
+    // map-side-combined (term, doc) count — the data reduction; the
+    // row_number and the term-level rollup share ONE term-keyed
+    // partitioning (the q_win_bars pattern: window then groupBy on the
+    // same key, one exchange); top-50 rides TakeOrderedAndProject
+    // per-partition heaps, never a global sort.
+    "q_text_invindex" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("rn", row_number().over(w))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+          max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+          max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+        .filter(col("df") >= 5)
+        .orderBy(col("df").desc, col("term"))
+        .limit(50)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1194,6 +1222,23 @@ object TextQueries {
           |UNION ALL SELECT 'r3_distinct', f3, d3 FROM g
           |UNION ALL SELECT 'r4_toptok', f4, d4 FROM g
           |ORDER BY rule""".stripMargin,
+
+      "q_text_invindex" ->
+        """WITH words AS (
+          |  SELECT doc_id, u.w AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+          |       UNNEST(t.l) AS u(w)),
+          |tf AS (
+          |  SELECT term, doc_id, count(*) AS tf FROM words GROUP BY 1, 2),
+          |r AS (
+          |  SELECT term, doc_id, tf,
+          |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+          |  FROM tf)
+          |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+          |  max(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+          |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf
+          |FROM r GROUP BY term HAVING count(*) >= 5
+          |ORDER BY df DESC, term LIMIT 50""".stripMargin,
     )
   }
 }

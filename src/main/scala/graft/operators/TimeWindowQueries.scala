@@ -452,6 +452,78 @@ object TimeWindowQueries {
           sum(col("value").cast(Dec2)).cast(Dec382).as("total"))
         .orderBy("event_type", "ws_us")
     }),
+
+    // Hour-of-day seasonality profile per event type — the diurnal
+    // baseline a monitoring/forecasting pass subtracts before looking
+    // for anomalies (and the feature a time-aware sampler stratifies
+    // on): mean value per (type, hour-of-day) plus its deviation from
+    // the type's overall mean. Determinism: both means are one double
+    // division of exact decimal/integer sums; the type-level totals
+    // come from re-aggregating the 24-row hour level through a window
+    // (sum over the type's partition), so no second scan of the data.
+    // Scale: ONE map-side-combined shuffle on (type, hod) — 24·|types|
+    // groups of constant state — then a window over ≤ 24 rows per
+    // type; the fact table is read once.
+    "q_win_seasonal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec2)).cast(Dec382).as("sv"))
+      val w = Window.partitionBy("event_type")
+      hourly
+        .withColumn("tn", sum(col("n")).over(w))
+        .withColumn("tsv", sum(col("sv")).over(w))
+        .select(col("event_type"), col("hod"), col("n"),
+          (col("sv").cast("double") / col("n")).as("hour_mean"),
+          (col("sv").cast("double") / col("n")
+            - col("tsv").cast("double") / col("tn")).as("dev"))
+        .orderBy("event_type", "hod")
+    }),
+
+    // Lag-1/lag-2 autocorrelation of the hourly event-count series per
+    // type — the time-series health probe (is traffic self-similar
+    // hour over hour?) that sizes forecasting windows and flags
+    // periodicity loss after an ingestion change. Shape: aggregate to
+    // the hourly series FIRST (the data reduction — counts are exact
+    // integers), then lag via a window over ONE type-keyed
+    // partitioning of the tiny series table, then Pearson r over
+    // (c, lag_k(c)) pairs from exact decimal co-moments with the
+    // q_agg_stats token-order contract. Products are cast to
+    // DECIMAL(38,0) BEFORE summing so hour counts of any magnitude
+    // (10⁹ rows/hour at 100 TB) cannot overflow long arithmetic.
+    // Scale: one map-side-combined shuffle on (type, hour); everything
+    // after runs on |types|·|hours| rows.
+    "q_ts_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hb"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hb")
+      val lagged = hourly
+        .withColumn("l1", lag(col("c"), 1).over(w))
+        .withColumn("l2", lag(col("c"), 2).over(w))
+        .localCheckpoint(true)
+      def d2(c: String) = col(c).cast("double")
+      val nd = col("n").cast("double")
+      val acOf = (nd * d2("sxy") - d2("sx") * d2("sy")) /
+        (sqrt(nd * d2("sxx") - d2("sx") * d2("sx")) *
+          sqrt(nd * d2("syy") - d2("sy") * d2("sy")))
+      val branches = Seq(1 -> col("l1"), 2 -> col("l2")).map { case (k, lc) =>
+        val x = col("c").cast(Dec380)
+        val y = lc.cast(Dec380)
+        lagged.filter(lc.isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * x).cast(Dec380)).as("sxx"),
+            sum((x * y).cast(Dec380)).as("sxy"),
+            sum((y * y).cast(Dec380)).as("syy"))
+          .select(col("event_type"), lit(k).cast("long").as("lag_k"),
+            col("n"), acOf.as("autocorr"))
+      }
+      branches.reduce(_.union(_)).orderBy("event_type", "lag_k")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -667,6 +739,64 @@ object TimeWindowQueries {
         |  f_last_view_value, f_last_click_value, f_n_signups
         |FROM e WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    // hour() on a timestamp is hour-of-day in both engines (session TZ
+    // UTC); type-level totals re-aggregate the 24-row hour level
+    "q_win_seasonal" ->
+      """WITH h AS (
+        |  SELECT event_type, hour(ts) AS hod, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    sum(n) OVER (PARTITION BY event_type) AS tn,
+        |    sum(sv) OVER (PARTITION BY event_type) AS tsv
+        |  FROM h)
+        |SELECT event_type, hod, n,
+        |  CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n AS hour_mean,
+        |  CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n
+        |    - CAST(CAST(tsv AS VARCHAR) AS DOUBLE) / tn AS dev
+        |FROM t ORDER BY event_type, hod""".stripMargin,
+
+    // hourly series first (the data reduction), then Pearson r of
+    // (c, lag_k(c)) from exact co-moments — token order matches Spark
+    "q_ts_autocorr" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, c,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY hb) AS l1,
+        |    lag(c, 2) OVER (PARTITION BY event_type ORDER BY hb) AS l2
+        |  FROM h),
+        |m1 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(c) AS sx, sum(l1) AS sy, sum(c*c) AS sxx,
+        |    sum(c*l1) AS sxy, sum(l1*l1) AS syy
+        |  FROM l WHERE l1 IS NOT NULL GROUP BY event_type),
+        |m2 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(c) AS sx, sum(l2) AS sy, sum(c*c) AS sxx,
+        |    sum(c*l2) AS sxy, sum(l2*l2) AS syy
+        |  FROM l WHERE l2 IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, 1 AS lag_k, n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS autocorr
+        |FROM m1
+        |UNION ALL
+        |SELECT event_type, 2, n,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS autocorr
+        |FROM m2
+        |ORDER BY event_type, lag_k""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an

@@ -589,4 +589,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 0,
       s"degree rollup must not re-derive the co-purchase join per branch, got $scans scans:\n$plan")
   }
+
+  test("q_stats_ols: one map-side-combined scan, one keyed shuffle") {
+    val plan = planOf("q_stats_ols")
+    // formatted mode prints each scan in the tree AND as a detail
+    // section — count the numbered detail headers
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(scans == 1, s"closed-form OLS is one pass, got $scans scans:\n$plan")
+    assert(hashExchanges == 1,
+      s"five co-moments ride the one returnflag shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_ts_autocorr: hourly series checkpointed — lag branches never rescan parquet") {
+    val plan = planOf("q_ts_autocorr")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"both lag branches must read the checkpointed series, got $scans scans:\n$plan")
+  }
+
+  test("q_win_seasonal: hour rollup + type window, at most two keyed shuffles") {
+    val plan = planOf("q_win_seasonal")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"(type, hod) aggregate then 24-row type window, got $hashExchanges:\n$plan")
+  }
+
+  test("q_text_invindex: window and rollup share the term partitioning; top-50 is a heap") {
+    val plan = planOf("q_text_invindex")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 by df must be per-partition heaps, not a global sort:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"(term, doc) count then ONE term exchange shared by window+rollup, got $hashExchanges:\n$plan")
+  }
 }
