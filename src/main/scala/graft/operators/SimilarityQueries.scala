@@ -699,6 +699,45 @@ object SimilarityQueries {
         .orderBy(col("rrf_fp").desc, col("doc_id"))
         .limit(20)
     }),
+
+    // Per-cell silhouette audit of the IVF/SemDeDup cell geometry —
+    // the cluster-quality gate you read BEFORE trusting a partition
+    // of the corpus into k cells (bad silhouette = the dedup/ANN cell
+    // boundaries are cutting through dense regions): for each vector,
+    // a = cosine distance to its own (argmax) centroid, b = distance
+    // to the nearest OTHER centroid, s = (b−a)/b ∈ [0,1] (a ≤ b by
+    // argmax construction). Reuses the SAME broadcast centroid array
+    // and fold-exact cosine as q_sim_ivf/q_dedup_semantic, so the
+    // audit measures exactly the geometry those operators use.
+    // Determinism: s is quantized to ppm by floor() BEFORE the
+    // cell-level aggregation — integer sums are order-independent
+    // where double sums are not; the b = 0 degenerate row (duplicate
+    // of a centroid direction) scores 0 without dividing. Scale: one
+    // corpus scan × broadcast k centroids (row-local sort of a
+    // k-array), ONE cell-keyed map-side-combined shuffle of k rows.
+    "q_sim_silhouette" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("nrm", normD(col("embedding")))
+        .filter(col("nrm") > 0)
+      e.crossJoin(centArrOf(e))
+        .withColumn("cand", array_sort(cellScores(col("embedding"), col("nrm"))))
+        .withColumn("best", element_at(col("cand"), -1))
+        .withColumn("second", element_at(col("cand"), -2))
+        .select((-col("best").getField("ncid")).as("cell"),
+          (lit(1.0) - col("best").getField("cscore")).as("a"),
+          (lit(1.0) - col("second").getField("cscore")).as("b"))
+        .withColumn("sppm", when(col("b") > 0,
+            floor(((col("b") - col("a")) / col("b")) * lit(1000000.0)))
+          .otherwise(0L))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(col("sppm").cast(Dec380)).cast("double").as("sum_sppm"),
+          sum(when(col("sppm") < 100000, 1L).otherwise(0L)).as("n_boundary"))
+        .select(col("cell"), col("n"), col("sum_sppm"),
+          (col("sum_sppm") / col("n") / lit(1000000.0)).as("mean_sil"),
+          col("n_boundary"))
+        .orderBy("cell")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1143,6 +1182,46 @@ object SimilarityQueries {
           |  COALESCE(1000000000000 // (60 + r_lex), 0) + COALESCE(1000000000000 // (60 + r_sem), 0) AS rrf_fp
           |FROM lr FULL JOIN sr ON lr.doc_id = sr.doc_id
           |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+      // same fold-exact cosine + (score DESC, cid ASC) total order as
+      // the q_sim_ivf oracle; s quantized to ppm before aggregation
+      "q_sim_silhouette" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), cents AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}
+           |), cand AS (
+           |  SELECT en.vec_id, cents.cid,
+           |    list_reduce(list_transform(generate_series(1, 64),
+           |      i -> en.embedding[i]::DOUBLE * cents.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |      / (en.nrm * cents.cnrm) AS cs,
+           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> en.embedding[i]::DOUBLE * cents.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (en.nrm * cents.cnrm) DESC, cents.cid) AS cr
+           |  FROM en CROSS JOIN cents
+           |), ab AS (
+           |  SELECT vec_id,
+           |    max(CASE WHEN cr = 1 THEN cid END) AS cell,
+           |    1.0 - max(CASE WHEN cr = 1 THEN cs END) AS a,
+           |    1.0 - max(CASE WHEN cr = 2 THEN cs END) AS b
+           |  FROM cand GROUP BY vec_id
+           |), sp AS (
+           |  SELECT cell,
+           |    CASE WHEN b > 0 THEN CAST(floor(((b - a) / b) * 1000000.0) AS BIGINT)
+           |         ELSE 0 END AS sppm
+           |  FROM ab)
+           |SELECT cell, count(*) AS n,
+           |  CAST(CAST(sum(sppm) AS VARCHAR) AS DOUBLE) AS sum_sppm,
+           |  CAST(CAST(sum(sppm) AS VARCHAR) AS DOUBLE) / count(*) / 1000000.0 AS mean_sil,
+           |  CAST(sum(CASE WHEN sppm < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+           |FROM sp GROUP BY cell ORDER BY cell""".stripMargin,
     )
   }
 }

@@ -222,6 +222,37 @@ object SourceQueries {
           col("n_rows"), col("digest_sum"), col("sum_price"))
     }),
 
+    // Compression-codec comparison sink — the storage-tuning probe run
+    // BEFORE committing a 100 TB layout: the same text-heavy
+    // projection written under snappy / zstd / gzip, each read back
+    // and gated on exact row count + order-independent content-digest
+    // sum (a codec that corrupts or drops anything cannot pass), with
+    // the measured on-disk byte total reported as a >0 invariant
+    // (absolute sizes are codec-version-dependent, so they are
+    // observability output, not gated values). Parquet pages compress
+    // per column chunk, so the write path exercises the real codec on
+    // executor threads — at cluster scale this exact probe (one
+    // representative partition per codec) decides the storage/CPU
+    // trade; zstd typically wins for text-heavy corpora.
+    "q_sink_codecs" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val digest = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(concat_ws("|", col("doc_id"), col("lang"), col("text")))))
+      val branches = Seq("gzip", "snappy", "zstd").map { codec =>
+        val p = scratch(d, s"codec_$codec")
+        documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").option("compression", codec).parquet(p)
+        val bytes = new java.io.File(p).listFiles
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        s.read.parquet(p)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(digest.cast("decimal(38,0)")).cast("double").as("digest_sum"))
+          .select(lit(codec).as("codec"), col("n_rows"), col("digest_sum"),
+            lit(bytes > 0).as("bytes_positive"))
+      }
+      branches.reduce(_.union(_)).orderBy("codec")
+    }),
+
     // Schema evolution — the append-only data-lake reality: snapshot 1
     // was written before the n_regionkey column existed, snapshot 2
     // after. mergeSchema=true unions the footers into one superset
@@ -402,6 +433,16 @@ object SourceQueries {
         |  CAST(CAST(sum(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag)), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem""".stripMargin,
+
+    "q_sink_codecs" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(CAST(sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, text)), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum
+        |  FROM documents)
+        |SELECT 'gzip' AS codec, n_rows, digest_sum, true AS bytes_positive FROM m
+        |UNION ALL SELECT 'snappy', n_rows, digest_sum, true FROM m
+        |UNION ALL SELECT 'zstd', n_rows, digest_sum, true FROM m
+        |ORDER BY codec""".stripMargin,
 
     "q_agg_approx" ->
       "SELECT true AS within_5pct, true AS nonempty",

@@ -65,6 +65,29 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("w.start")).as("ws_us"), col("n"))
 
+  /** OHLC time bars per event_type × hour — the streaming twin of
+    * q_win_bars. The batch form picks open/close through two
+    * row_number orders; windowed row_number is unsupported in
+    * streaming, so the stream uses min_by/max_by on the (ts, event_id)
+    * total order — the same unique tie-broken extremes, expressible as
+    * a mergeable aggregate whose state is O(1) per bar (one candidate
+    * row per extreme). high/low/count are plain aggregates; the volume
+    * total goes through exact DECIMAL like every money sum. Watermark
+    * closes a bar 30 min after its hour passes.
+    */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(graft.Tables.Dec2)).cast(graft.Tables.Dec382).as("total"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("ws_us"),
+        col("open"), col("close"), col("high"), col("low"), col("n"), col("total"))
+
   /** Native session windows (shared 10-min gap) per user — the
     * streaming form of q_win_session's built-in operator, completing
     * the pair with Sessionize's flatMapGroupsWithState form: same

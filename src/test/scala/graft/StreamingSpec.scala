@@ -40,6 +40,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming OHLC bars == batch OHLC bars") {
+    val streamed = EventsStreaming.runToCompletion(spark,
+      EventsStreaming.ohlcBars(spark, sf), "t_ohlc")
+    val batch = operators.TimeWindowQueries.queries("q_win_bars")(spark, sf)
+      .select("event_type", "ws_us", "open", "close", "high", "low", "n", "total")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join == batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = EventsStreaming.runAppendToCompletion(spark,
