@@ -53,7 +53,10 @@ object ScaleBench {
 
     val names = Seq("q_text_ngram_lm", "q_sink_rangeparts", "q_dedup_cluster",
       "q_profile", "q_sim_ivf", "q_graph_triangles", "q_text_perplexity",
-      "q_dedup_contain", "q_impute_locf")
+      "q_dedup_contain", "q_impute_locf",
+      // round-8 additions: the new graph/text/similarity/time-series
+      // members of the slow set
+      "q_graph_kcore", "q_text_invindex", "q_sim_silhouette", "q_ts_autocorr")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 
