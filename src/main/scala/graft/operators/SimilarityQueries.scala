@@ -738,6 +738,67 @@ object SimilarityQueries {
           col("n_boundary"))
         .orderBy("cell")
     }),
+
+    // Model-evaluation harness: per-class precision / recall / F1 of a
+    // nearest-centroid classifier against gold labels — the eval
+    // report every labeling/distillation pipeline ends with. The
+    // "model" is the per-label mean embedding (q_embed_centroid's
+    // deterministic ordered-fold construction, so centroid doubles are
+    // bit-identical cross-engine); prediction is a row-local argmin of
+    // exact squared L2 against the broadcast |labels|-entry centroid
+    // array (min distance, label tie-break — array_min over struct
+    // carries the same total order as the oracle's row_number).
+    // Metrics are exact-integer ratios: tp / predicted / gold counts
+    // from ONE confusion aggregation, each metric one double division
+    // (F1 = 2·tp / (n_pred + n_gold), algebraically the P/R harmonic
+    // mean but computed without intermediate rounding). Scale: one
+    // corpus scan for centroids (ordered fold — the exactness trade,
+    // documented at q_embed_centroid), one scan to predict, ONE
+    // (gold, pred) shuffle of |labels|² rows; the checkpointed
+    // confusion table feeds all three marginal branches.
+    "q_eval_confusion" -> ((s, d) => {
+      val e = embeddings(s, d).filter(col("label").isNotNull)
+      val cents = e.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))).as("docs"))
+        .select(col("label").as("cl"), expr(
+          """transform(sequence(0, 63), d ->
+            |  aggregate(docs, 0D, (a, x) -> a + x.emb[d])
+            |    / CAST(size(docs) AS DOUBLE))""".stripMargin).as("centroid"))
+      val carr = broadcast(cents
+        .agg(array_sort(collect_list(struct(col("cl"), col("centroid")))).as("cents")))
+      val pred = e.crossJoin(carr)
+        .withColumn("best", expr(
+          """array_min(transform(cents, c -> struct(
+            |  aggregate(sequence(0, 63), 0D, (a, i) ->
+            |    a + (CAST(embedding[i] AS DOUBLE) - c.centroid[i])
+            |      * (CAST(embedding[i] AS DOUBLE) - c.centroid[i])) AS dist,
+            |  c.cl AS cl)))""".stripMargin))
+        .select(col("label").as("gold"), col("best.cl").as("pred"))
+      val cm = pred.groupBy("gold", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val gc = cm.groupBy("gold").agg(sum("n").as("n_gold"))
+      val pc = cm.groupBy("pred").agg(sum("n").as("n_pred"))
+      val tp = cm.filter(col("gold") === col("pred"))
+        .select(col("gold").as("tg"), col("n").as("tp0"))
+      gc.join(tp, col("gold") === col("tg"), "left")
+        .join(pc, col("gold") === col("pred"), "left")
+        .select(col("gold").as("label"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          col("n_gold"))
+        // "prec", not "precision": DOUBLE PRECISION makes `precision`
+        // a reserved token in DuckDB's grammar
+        .withColumn("prec",
+          when(col("n_pred") > 0,
+            col("tp").cast("double") / col("n_pred")).otherwise(lit(0.0)))
+        .withColumn("recall", col("tp").cast("double") / col("n_gold"))
+        .withColumn("f1",
+          when(col("n_pred") + col("n_gold") > 0,
+            (lit(2L) * col("tp")).cast("double")
+              / (col("n_pred") + col("n_gold"))).otherwise(lit(0.0)))
+        .orderBy("label")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1222,6 +1283,50 @@ object SimilarityQueries {
            |  CAST(CAST(sum(sppm) AS VARCHAR) AS DOUBLE) / count(*) / 1000000.0 AS mean_sil,
            |  CAST(sum(CASE WHEN sppm < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
            |FROM sp GROUP BY cell ORDER BY cell""".stripMargin,
+
+      // centroid construction = the q_embed_centroid oracle (ordered
+      // fold, bit-identical doubles); argmin via (dist ASC, label ASC)
+      // row_number — the same total order as the Spark array_min
+      "q_eval_confusion" ->
+        """WITH e AS (SELECT * FROM embeddings WHERE label IS NOT NULL),
+          |g AS (
+          |  SELECT label,
+          |    list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS docs
+          |  FROM e GROUP BY label),
+          |c AS (
+          |  SELECT label AS cl,
+          |    list_transform(generate_series(1, 64), d ->
+          |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(docs, v -> v[d])),
+          |        (x, y) -> x + y) / CAST(len(docs) AS DOUBLE)) AS centroid
+          |  FROM g),
+          |ranked AS (
+          |  SELECT e.vec_id, e.label AS gold, c.cl,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |        list_transform(generate_series(1, 64),
+          |          i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+          |             * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+          |        (x, y) -> x + y) ASC, c.cl) AS r
+          |  FROM e CROSS JOIN c),
+          |p AS (SELECT gold, cl AS pred FROM ranked WHERE r = 1),
+          |cm AS (SELECT gold, pred, count(*) AS n FROM p GROUP BY 1, 2),
+          |gc AS (SELECT gold, CAST(sum(n) AS BIGINT) AS n_gold FROM cm GROUP BY 1),
+          |pc AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+          |tp AS (SELECT gold AS tg, n AS tp0 FROM cm WHERE gold = pred)
+          |SELECT gc.gold AS label,
+          |  COALESCE(tp0, 0) AS tp,
+          |  COALESCE(n_pred, 0) AS n_pred,
+          |  n_gold,
+          |  CASE WHEN COALESCE(n_pred, 0) > 0
+          |       THEN CAST(COALESCE(tp0, 0) AS DOUBLE) / COALESCE(n_pred, 0)
+          |       ELSE 0.0 END AS prec,
+          |  CAST(COALESCE(tp0, 0) AS DOUBLE) / n_gold AS recall,
+          |  CASE WHEN COALESCE(n_pred, 0) + n_gold > 0
+          |       THEN CAST(2 * COALESCE(tp0, 0) AS DOUBLE) / (COALESCE(n_pred, 0) + n_gold)
+          |       ELSE 0.0 END AS f1
+          |FROM gc LEFT JOIN tp ON gc.gold = tp.tg
+          |LEFT JOIN pc ON gc.gold = pc.pred
+          |ORDER BY label""".stripMargin,
     )
   }
 }

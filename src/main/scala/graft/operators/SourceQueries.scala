@@ -253,6 +253,31 @@ object SourceQueries {
       branches.reduce(_.union(_)).orderBy("codec")
     }),
 
+    // Line-oriented text source round trip — the rawest ingestion
+    // format (log shipping, WET/WARC-extracted text, JSONL prep):
+    // one "doc_id|text" line per document through the `text` format
+    // (single `value` column both ways). Newlines are scrubbed to
+    // spaces BEFORE the write (a line sink cannot represent embedded
+    // newlines — the scrub is part of the operator's contract, mirrored
+    // in the oracle), and the gate is exact line count + an
+    // order-independent 60-bit digest sum over reconstructed lines, so
+    // a source that drops, splits, or re-encodes a line cannot pass.
+    // Scale: the text source splits on line boundaries within files,
+    // so read parallelism is the same as CSV; no schema inference cost.
+    "q_source_text" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val p = scratch(d, "textfmt")
+      documents(s, d)
+        .select(concat_ws("|", col("doc_id"),
+          regexp_replace(col("text"), "\n", " ")).as("value"))
+        .write.mode("overwrite").text(p)
+      val digest = ColumnBridge.column(graft.gen.Md5Hash60Expr(
+        ColumnBridge.expression(col("value"))))
+      s.read.text(p)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(digest.cast("decimal(38,0)")).cast("double").as("digest_sum"))
+    }),
+
     // Schema evolution — the append-only data-lake reality: snapshot 1
     // was written before the n_regionkey column existed, snapshot 2
     // after. mergeSchema=true unions the footers into one superset
@@ -433,6 +458,11 @@ object SourceQueries {
         |  CAST(CAST(sum(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag)), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem""".stripMargin,
+
+    "q_source_text" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(CAST(sum(('0x' || substr(md5(doc_id || '|' || replace(text, chr(10), ' ')), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum
+        |FROM documents""".stripMargin,
 
     "q_sink_codecs" ->
       """WITH m AS (

@@ -524,6 +524,56 @@ object TimeWindowQueries {
       }
       branches.reduce(_.union(_)).orderBy("event_type", "lag_k")
     }),
+
+    // Two-sample Kolmogorov–Smirnov statistic between the pre-split
+    // and post-split value distributions — the rigorous companion to
+    // q_drift's rate deltas (KS detects SHAPE changes the mean-rate
+    // monitor misses; it is the standard train/serve skew test).
+    // Exactness: the sup is taken over per-distinct-value cumulative
+    // counts with the comparison done on EXACT integers — D's
+    // numerator |c1·n2 − c2·n1| in DECIMAL(38,0) — so the argmax is
+    // engine-independent; the only double is the final division.
+    // Scale shape: groupBy(value) is the data reduction (map-side
+    // combined, |distinct values| groups); the cumulative runs as 64
+    // fixed range buckets on the value grid — per-bucket counts → a
+    // 64×64 theta-join for exclusive prefix offsets + within-bucket
+    // window — the q_shuffle_epoch pattern, so there is NO
+    // single-partition exchange over the value table at any scale.
+    "q_stats_ks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val split = lit(DriftSplit).cast("timestamp")
+      val byVal = events(s, d)
+        .select(col("value").cast(Dec2).as("v"), (col("ts") < split).as("pre"))
+        .groupBy("v")
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("pre"), 1L).otherwise(0L)).as("c2"))
+        .withColumn("bkt", least(lit(63L), floor(col("v") / 10).cast("long")))
+        .localCheckpoint(true)
+      val tot = byVal.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val bt = byVal.groupBy("bkt")
+        .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+      val off = bt.as("l").join(bt.as("r"), col("r.bkt") < col("l.bkt"), "left")
+        .groupBy(col("l.bkt").as("obkt"))
+        .agg(coalesce(sum(col("r.b1")), lit(0L)).as("o1"),
+          coalesce(sum(col("r.b2")), lit(0L)).as("o2"))
+      val w = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("w1", sum("c1").over(w))
+        .withColumn("w2", sum("c2").over(w))
+        .join(off, col("bkt") === col("obkt"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("n1"), col("n2"),
+          ((col("o1") + col("w1")).cast(Dec380) * col("n2")
+            - (col("o2") + col("w2")).cast(Dec380) * col("n1")).as("sd"))
+        .withColumn("d_num", when(col("sd") < 0, -col("sd")).otherwise(col("sd")))
+        .orderBy(col("d_num").desc, col("v"))
+        .limit(1)
+        .select(col("n1"), col("n2"), col("v").cast("double").as("v_at"),
+          col("d_num").cast("double").as("d_num"),
+          (col("d_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("ks"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -797,6 +847,29 @@ object TimeWindowQueries {
         |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS autocorr
         |FROM m2
         |ORDER BY event_type, lag_k""".stripMargin,
+
+    // single window over distinct values — same math as the bucketed
+    // prefix form (exact integer sup), argmax tie-broken by lowest v
+    "q_stats_ks" ->
+      s"""WITH b AS (
+         |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         |    sum(CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END) AS c1,
+         |    sum(CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 0 ELSE 1 END) AS c2
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM b),
+         |cum AS (
+         |  SELECT v,
+         |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w1,
+         |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2
+         |  FROM b),
+         |d AS (
+         |  SELECT v, abs(w1 * n2 - w2 * n1) AS d_num
+         |  FROM cum CROSS JOIN t)
+         |SELECT n1, n2, CAST(v AS DOUBLE) AS v_at,
+         |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) AS d_num,
+         |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
+         |FROM d CROSS JOIN t ORDER BY d_num DESC, v LIMIT 1""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an

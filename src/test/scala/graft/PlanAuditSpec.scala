@@ -615,6 +615,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"(type, hod) aggregate then 24-row type window, got $hashExchanges:\n$plan")
   }
 
+  test("q_stats_ks: sup over checkpointed value counts — no parquet rescan, argmax is a heap") {
+    val plan = planOf("q_stats_ks")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"the bucketed-prefix cumulative must read the checkpointed value table, got $scans scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the argmax of |c1*n2 - c2*n1| must be a limit-1 heap, not a global sort:\n$plan")
+  }
+
+  test("q_eval_confusion: marginals read the checkpointed confusion table, never parquet") {
+    // the two real corpus scans (centroid fold + predict) run eagerly
+    // inside the localCheckpoint(true); the final plan must show the
+    // three marginal branches reading ONLY the checkpointed cm table
+    val plan = planOf("q_eval_confusion")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"gc/pc/tp must read the checkpointed confusion table, got $scans parquet scans:\n$plan")
+  }
+
   test("q_text_invindex: window and rollup share the term partitioning; top-50 is a heap") {
     val plan = planOf("q_text_invindex")
     assert(plan.contains("TakeOrderedAndProject"),
