@@ -805,6 +805,45 @@ object TextQueries {
         .orderBy(col("df").desc, col("term"))
         .limit(50)
     }),
+
+    // BPE merge application — the apply step that closes the
+    // tokenizer-training loop q_bpe_pairs opens: take the corpus-wide
+    // top merge pair, apply it greedily left-to-right inside every
+    // word, and recount adjacent SYMBOL pairs over the merged
+    // vocabulary — one full BPE training iteration (count → pick →
+    // merge → recount), the distributed primitive a trainer loops.
+    // Merge mechanics: each word becomes a '  '-separated char
+    // sequence and the merge is a plain ' A  B ' → ' AB ' replace —
+    // the doubled separator leaves one space on each side after a
+    // match, so CONSECUTIVE occurrences merge in one pass exactly
+    // like the reference greedy scan (no lookbehind regex, which
+    // DuckDB's RE2 lacks); symbols re-parse by splitting on spaces
+    // and dropping empties. Determinism: all-occurrence left-to-right
+    // replace is identical cross-engine; the top pair picks by
+    // (count DESC, pair ASC). Scale: the merge is row-local against a
+    // broadcast 1-row pair; the pick and the recount are the only two
+    // shuffles (both map-side-combined); top-10 rides TakeOrdered.
+    "q_bpe_apply" -> ((s, d) => {
+      val toks = documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
+      val top = toks.filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("mp"))
+        .groupBy("mp").agg(count(lit(1)).as("mn"))
+        .orderBy(col("mn").desc, col("mp")).limit(1)
+      toks.crossJoin(broadcast(top))
+        .withColumn("seq", concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  ")))
+        .withColumn("merged", expr(
+          """replace(seq,
+            |  concat(' ', substring(mp, 1, 1), '  ', substring(mp, 2, 1), ' '),
+            |  concat(' ', mp, ' '))""".stripMargin))
+        .withColumn("sym", expr("filter(split(merged, ' '), x -> x != '')"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("mp").as("merge_pair"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), i -> concat(sym[i-1], sym[i]))")).as("sym_pair"))
+        .groupBy("merge_pair", "sym_pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sym_pair"))
+        .limit(10)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1239,6 +1278,33 @@ object TextQueries {
           |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf
           |FROM r GROUP BY term HAVING count(*) >= 5
           |ORDER BY df DESC, term LIMIT 50""".stripMargin,
+
+      // same doubled-separator merge (plain replace, no lookbehind —
+      // RE2 has none); lists are 1-based where Spark brackets are
+      // 0-based, hence sym[i] || sym[i+1] vs sym[i-1] || sym[i]
+      "q_bpe_apply" ->
+        """WITH tk AS (
+          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+          |), top AS (
+          |  SELECT pair AS mp FROM (
+          |    SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+          |      i -> substr(tok, i, 2))) AS pair
+          |    FROM tk WHERE length(tok) >= 2)
+          |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1
+          |), m AS (
+          |  SELECT mp,
+          |    list_filter(string_split(
+          |      replace('  ' || regexp_replace(tok, '(.)', '\1  ', 'g'),
+          |        ' ' || substr(mp, 1, 1) || '  ' || substr(mp, 2, 1) || ' ',
+          |        ' ' || mp || ' '), ' '), x -> x != '') AS sym
+          |  FROM tk CROSS JOIN top
+          |), pr AS (
+          |  SELECT mp AS merge_pair,
+          |    unnest(list_transform(generate_series(1, len(sym) - 1),
+          |      i -> sym[i] || sym[i+1])) AS sym_pair
+          |  FROM m WHERE len(sym) >= 2)
+          |SELECT merge_pair, sym_pair, count(*) AS n FROM pr
+          |GROUP BY 1, 2 ORDER BY n DESC, sym_pair LIMIT 10""".stripMargin,
     )
   }
 }
