@@ -136,6 +136,43 @@ object MicroBench {
       time("ndv_distinct", 3) { viaDistinct.count() }
     }
 
+    // edges_selfjoin vs edges_basket: the co-purchase edge derivation
+    // under all five graph queries + assoc_rules. Self-join form:
+    // distinct (o, p) then x.o = y.o equi-join then (a, b) support
+    // count — three keyed shuffles (distinct, join, count), pair rows
+    // cross the wire. Basket form: ONE groupBy(o) builds the sorted
+    // distinct basket (map-side-combined collect_set), C(k,2) pairs
+    // explode ROW-LOCALLY, then the (a, b) count — two shuffles, and
+    // the shuffled basket rows are smaller than the pair stream.
+    // Same result set by construction (require pins it).
+    locally {
+      val items = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      def viaSelfJoin: DataFrame = {
+        val it = items.distinct()
+        it.as("x").join(it.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("a", "b")
+      }
+      def viaBasket: DataFrame = items
+        .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("a", "b")
+      val nS = viaSelfJoin.count(); val nB = viaBasket.count()
+      require(nS == nB, s"edge mismatch: selfjoin=$nS basket=$nB")
+      time("edges_selfjoin", 3) { viaSelfJoin.count() }
+      time("edges_basket", 3) { viaBasket.count() }
+    }
+
     spark.stop()
   }
 }

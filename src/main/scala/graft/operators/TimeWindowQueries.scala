@@ -574,6 +574,43 @@ object TimeWindowQueries {
           (col("d_num").cast("double")
             / (col("n1").cast("double") * col("n2").cast("double"))).as("ks"))
     }),
+
+    // Sequence-pattern cohort matching — the MATCH_RECOGNIZE-style
+    // behavioral query: each user's full event history collapses to an
+    // ordered initial string (v/c/p/s/e per event), and cohorts are
+    // counted by regex over that sequence — conversion paths, repeated
+    // errors, single-event bounces. This is the free-form complement
+    // to q_win_funnel's fixed three-stage ladder. Determinism: the
+    // sequence orders by the unique (ts, event_id); every initial is
+    // distinct per type; the three regexes use only '.'/'*'/anchors —
+    // semantics identical between Java regex and DuckDB's RE2. Scale:
+    // ONE user-keyed shuffle builds the per-user string (bounded by a
+    // user's history, the same envelope as sessionization); the
+    // pattern probes are row-local over |users| rows into one 1-row
+    // aggregate, reshaped by stack().
+    "q_win_pattern" -> ((s, d) => {
+      val seqs = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+        .groupBy("user_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(tus, event_id, c))), x -> x.c)"),
+          "").as("seq"))
+      val pats = Seq(
+        "p_conversion" -> "v.*c.*p",
+        "p_error_pair" -> "ee",
+        "p_bounce" -> "^.$")
+      val aggs = count(lit(1)).as("n_users") +:
+        pats.map { case (nm, re) =>
+          sum(when(col("seq").rlike(re), 1L).otherwise(0L)).as(s"m_$nm") }
+      val stackArgs = pats.map { case (nm, _) => s"'$nm', m_$nm" }.mkString(", ")
+      seqs.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_users"), expr(
+          s"stack(${pats.size}, $stackArgs) as (pattern, n_match)"))
+        .select(col("pattern"), col("n_match"), col("n_users"),
+          (col("n_match").cast("double") / col("n_users")).as("share"))
+        .orderBy("pattern")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -870,6 +907,28 @@ object TimeWindowQueries {
          |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
          |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
          |FROM d CROSS JOIN t ORDER BY d_num DESC, v LIMIT 1""".stripMargin,
+
+    // ordered string_agg builds the same (ts, event_id)-ordered
+    // initial sequence; regexp_matches (RE2) agrees with Java rlike
+    // on these '.'/'*'/anchor-only patterns
+    "q_win_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m_conv,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END) AS BIGINT) AS m_err,
+        |    CAST(sum(CASE WHEN regexp_matches(seq, '^.$') THEN 1 ELSE 0 END) AS BIGINT) AS m_bounce
+        |  FROM s)
+        |SELECT 'p_bounce' AS pattern, m_bounce AS n_match, n_users,
+        |  CAST(m_bounce AS DOUBLE) / n_users AS share FROM m
+        |UNION ALL
+        |SELECT 'p_conversion', m_conv, n_users, CAST(m_conv AS DOUBLE) / n_users FROM m
+        |UNION ALL
+        |SELECT 'p_error_pair', m_err, n_users, CAST(m_err AS DOUBLE) / n_users FROM m
+        |ORDER BY pattern""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an
