@@ -611,6 +611,47 @@ object TimeWindowQueries {
           (col("n_match").cast("double") / col("n_users")).as("share"))
         .orderBy("pattern")
     }),
+
+    // Event debouncing / notification throttling — the
+    // stream-cleaning pass that collapses repeats before counting
+    // anything: within each (user, event_type), events closer than
+    // 12 h to their predecessor chain into one burst, and only the
+    // burst's FIRST event survives (carrying the burst size, so
+    // downstream can distinguish "one signup" from "one signup
+    // reported 14 times" — repeated-error suppression, digest
+    // batching, at-least-once source dedup). Mechanics: the
+    // sessionize pattern at a tighter gap — a break flag, a running
+    // burst id, then keep-first per burst via the rn = 1 filter, which
+    // the TopKRewriteRule plans as the bounded-heap TopKPerGroup
+    // operator (no full window sort for the keep-first pick). The
+    // burst-size count shares the same (user, type) partitioning.
+    // Scale: ONE keyed shuffle; O(1) per-row window state.
+    "q_win_debounce" -> ((s, d) => {
+      graft.plans.TopKPerGroupStrategy.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 43200000000L // 12 h suppression window
+      val wo = Window.partitionBy("user_id", "event_type")
+        .orderBy("tus", "event_id")
+      val flagged = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(wo))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tus") - col("prev") >= gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wb = Window.partitionBy("user_id", "event_type", "sid")
+      flagged
+        .withColumn("burst_n", count(lit(1)).over(wb))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type", "sid")
+            .orderBy("tus", "event_id")))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("tus"), col("burst_n"))
+        .orderBy("event_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -929,6 +970,31 @@ object TimeWindowQueries {
         |UNION ALL
         |SELECT 'p_error_pair', m_err, n_users, CAST(m_err AS DOUBLE) / n_users FROM m
         |ORDER BY pattern""".stripMargin,
+
+    // sessionize pattern at a 12 h gap; keep-first per burst + the
+    // burst size from the same grouping
+    "q_win_debounce" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id)
+        |), numbered AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), sized AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY user_id, event_type, sid) AS burst_n,
+        |    row_number() OVER (PARTITION BY user_id, event_type, sid
+        |      ORDER BY tus, event_id) AS rn
+        |  FROM numbered)
+        |SELECT event_id, user_id, event_type, tus,
+        |  CAST(burst_n AS BIGINT) AS burst_n
+        |FROM sized WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 
   // sessions via the same gaps-and-islands as sessionOracle, then an
