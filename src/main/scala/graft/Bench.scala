@@ -84,28 +84,38 @@ object Bench {
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
+    // Min-of-2 like the queries: the gen numbers feed bench_vs_baseline
+    // directly, and round 8 showed a one-shot measurement hands a single
+    // GC/scheduling spike straight to the headline (27% apparent drop
+    // with zero gen-code change).
     val genSpec = "key,bigint,int(11),varchar(50),double,date,bigint(20)"
     val genRows = 10000000L
     gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus.toInt)
       .write.format("noop").mode("overwrite").save() // gen warm-up
-    val g0 = System.nanoTime()
-    gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
-      .write.format("noop").mode("overwrite").save()
-    val genSec = (System.nanoTime() - g0) / 1e9
+    def genOnce(): Double = {
+      val g0 = System.nanoTime()
+      gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - g0) / 1e9
+    }
+    val genSec = math.min(genOnce(), genOnce())
     val genRate = (genRows / genSec).toLong
 
     // End-to-end CSV sink (the reference's actual operation: format +
     // write), through the BYTE-parity projection (%g float text) so
     // the throughput claim vs BASELINE.md is apples-to-apples down to
-    // the output bytes.
+    // the output bytes. Min-of-2 for the same reason as above.
     val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
     val csvRate = try {
-      val c0 = System.nanoTime()
-      gen.SqloadGen.textParity(
-          gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
-        .write.mode("overwrite").option("header", "false").option("emptyValue", "")
-        .csv(csvDir.getAbsolutePath)
-      (genRows / ((System.nanoTime() - c0) / 1e9)).toLong
+      def csvOnce(): Double = {
+        val c0 = System.nanoTime()
+        gen.SqloadGen.textParity(
+            gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
+          .write.mode("overwrite").option("header", "false").option("emptyValue", "")
+          .csv(csvDir.getAbsolutePath)
+        (System.nanoTime() - c0) / 1e9
+      }
+      (genRows / math.min(csvOnce(), csvOnce())).toLong
     } catch { case e: Throwable =>
       System.err.println(s"[bench] csv sink failed: ${e.getMessage}"); -1L
     } finally {

@@ -56,7 +56,11 @@ object ScaleBench {
       "q_dedup_contain", "q_impute_locf",
       // round-8 additions: the new graph/text/similarity/time-series
       // members of the slow set
-      "q_graph_kcore", "q_text_invindex", "q_sim_silhouette", "q_ts_autocorr")
+      "q_graph_kcore", "q_text_invindex", "q_sim_silhouette", "q_ts_autocorr",
+      // round-9 additions: the four newest operators — slope is the
+      // harness that catches an unbounded per-group collect or a
+      // dense-bucket pair blowup automatically
+      "q_win_pattern", "q_win_debounce", "q_bpe_apply", "q_multimodal_phash")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 

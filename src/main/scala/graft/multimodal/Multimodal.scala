@@ -70,6 +70,45 @@ object Multimodal {
     }
   }
 
+  case class PhashRow(doc_id: Long, media_type: String, sig: Long)
+
+  /** Header region the perceptual hash reads: a real pHash decodes and
+    * DOWNSAMPLES (a 32×32 DCT thumbnail), which makes it stable under
+    * small edits; the stub's analogue is hashing only the payload's
+    * first 64 bytes, so re-encoded variants that share their header
+    * collide while unrelated payloads land ~28/56 bits apart.
+    */
+  val PhashHeaderBytes = 64
+
+  /** STUB perceptual hash: 8 md5-derived features of the header region
+    * quantized to 7 bits each and packed into a 56-bit signature
+    * (sign-safe in a BIGINT on both engines; bit 63 stays clear). A
+    * real deployment swaps the body for a DCT over decoded pixels; the
+    * bytes-in/64-bit-signature-out contract and the per-partition
+    * digest-handle reuse are the production shape.
+    */
+  def phashSignatures(spark: SparkSession, sfDir: String): Dataset[PhashRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val header = r.payload.take(PhashHeaderBytes)
+        var sig = 0L
+        var i = 0
+        while (i < FeatureDim) {
+          md.reset()
+          md.update(header)
+          md.update(i.toString.getBytes("UTF-8"))
+          val hex = md.digest().map("%02x".format(_)).mkString
+          val f = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000L).toDouble / 1000.0
+          sig += math.floor(f * 128.0).toLong << (7 * i)
+          i += 1
+        }
+        PhashRow(r.doc_id, r.media_type, sig)
+      }
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_ms: Long,
                       ffeatures: Array[Double])
 

@@ -150,14 +150,14 @@ object DedupQueries {
       val pairs = minhashPairs(s, d)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       // init fuses the first propagation round: label = min(id, min
       // neighbor) is one groupBy — the same shuffle a bare distinct
       // would cost, but it starts the loop one round ahead
       var labels = edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       // convergence = the label sum stopped shrinking (labels only ever
       // decrease, so sum is strictly monotone until fixpoint). Exact
       // DECIMAL(38,0) sum: overflow-free at any id scale, and a
@@ -172,7 +172,7 @@ object DedupQueries {
         val prop = labels.join(edges, labels("id") === edges("src"))
           .select(col("dst").as("id"), col("lbl"))
         val next = labels.select("id", "lbl").union(prop)
-          .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+          .groupBy("id").agg(min("lbl").as("lbl")).transform(graft.Checkpoint.apply)
         val s = lblSum(next)
         changed = s.compareTo(prevSum) != 0
         prevSum = s

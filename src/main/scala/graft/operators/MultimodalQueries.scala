@@ -38,39 +38,40 @@ object MultimodalQueries {
 
     // Perceptual-hash near-duplicate detection over media payloads —
     // the image/audio dedup pass (re-encoded copies, thumbnails,
-    // watermarked variants) that text dedup cannot see. Signature: the
-    // decoder's 8 features quantize to 2 bits each (floor(f·4) — the
-    // 0.25/0.5/0.75 boundaries are exactly-representable doubles, so
-    // quantization is bit-deterministic) → a 16-bit pHash stand-in (a
-    // real deployment swaps the stub features for DCT coefficients;
-    // the signature/probe machinery is unchanged). Candidate
-    // generation is MULTI-PROBE, not bucket-join: each doc emits its
-    // signature XOR each of {0, 1<<b} (17 keys) and exact-matches
-    // other docs' raw signatures within the same media_type — every
-    // hamming ≤ 1 pair is found exactly once (the flipped-bit probe),
-    // with NO dense-bucket blowup however the signature space skews
-    // (the q_sim_ann probe pattern applied to dedup). Scale: one
-    // mapPartitions feature pass, 17·n probe rows into ONE keyed
-    // equi-join, aggregate output bounded by |types| × 2 rows.
+    // watermarked variants) that text dedup cannot see. Signature:
+    // Multimodal.phashSignatures — a 56-bit hash of the payload's
+    // HEADER region (the downsampling analogue that makes a real pHash
+    // locality-sensitive: variants sharing their header collide,
+    // unrelated payloads land ~28/56 bits apart; both engines derive
+    // the features from the same md5-mod arithmetic and the same IEEE
+    // multiply, so quantization is bit-identical). Candidate
+    // generation is BANDED, the SSDeep/FAISS-binary standard: the
+    // signature splits into 4 sub-keys of 14 bits, and by pigeonhole
+    // any pair with hamming ≤ 3 agrees EXACTLY on at least one band —
+    // so one self-equi-join on (media_type, band_idx, band_value)
+    // finds every radius-3 pair with 4 probe rows per doc, where
+    // single-bit multi-probe would need 1 + C(56,1) + C(56,2) +
+    // C(56,3) ≈ 29k probes. A pair sharing several bands surfaces
+    // once per shared band; DISTINCT collapses them before counting.
+    // Scale: one mapPartitions decode pass, 4·n band rows into ONE
+    // keyed equi-join (never a hamming theta-join), pair set filtered
+    // to hdist ≤ 3 row-locally; output bounded by |types| × 4 rows.
     "q_multimodal_phash" -> ((s, d) => {
-      val sig = expr(
-        """aggregate(sequence(0, 7), 0L, (a, i) ->
-          |  a + shiftleft(CAST(floor(element_at(features, i + 1) * 4.0D) AS BIGINT),
-          |    CAST(2 * i AS INT)))""".stripMargin)
-      val feats = Multimodal.extractFeatures(s, d).toDF()
-        .select(col("doc_id"), col("media_type"), sig.as("sig"))
-        .localCheckpoint(true)
-      val masks = lit(0L) +: (0 until 16).map(b => lit(1L << b))
-      val probes = feats.select(col("doc_id").as("p_id"),
-          col("media_type").as("p_type"), col("sig").as("p_sig"),
-          explode(array(masks: _*)).as("m"))
-        .select(col("p_id"), col("p_type"), col("p_sig"),
-          (col("p_sig").bitwiseXOR(col("m"))).as("probe"))
-      probes.join(feats,
-          col("probe") === col("sig") && col("p_type") === col("media_type")
-            && col("p_id") < col("doc_id"))
-        .select(col("media_type"),
-          bit_count(col("p_sig").bitwiseXOR(col("sig"))).cast("long").as("hdist"))
+      val feats = Multimodal.phashSignatures(s, d).toDF()
+        .transform(graft.Checkpoint.apply)
+      val bands = feats.select(col("doc_id"), col("media_type"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .select(col("doc_id"), col("media_type"), col("sig"), col("b"),
+          expr("(sig >> (14 * b)) & 16383").as("bv"))
+      bands.as("l").join(bands.as("r"),
+          col("l.media_type") === col("r.media_type")
+            && col("l.b") === col("r.b") && col("l.bv") === col("r.bv")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.media_type").as("media_type"),
+          col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long").as("hdist"))
+        .filter(col("hdist") <= 3)
+        .distinct()
         .groupBy("media_type", "hdist").agg(count(lit(1)).as("n_pairs"))
         .orderBy("media_type", "hdist")
     }),
@@ -109,29 +110,33 @@ object MultimodalQueries {
            |WHERE doc_id % 3 = 2
            |ORDER BY doc_id, frame_idx""".stripMargin,
 
-      // same md5 feature derivation as q_multimodal_features, 2-bit
-      // quantized (exact at the representable 0.25/0.5/0.75 bounds),
-      // multi-probe pair generation mirrored as the 17-mask unnest
+      // same md5-of-header feature derivation as phashSignatures
+      // (texts are ASCII, so the 64-byte header ≡ substr 64 chars),
+      // 7-bit quantized into the 56-bit signature; the 4×14-bit
+      // pigeonhole banding mirrored as the unnest([0..3]) self-join
+      // + DISTINCT
       "q_multimodal_phash" -> {
+        val hb = Multimodal.PhashHeaderBytes
         val sigTerms = (0 until Multimodal.FeatureDim).map { i =>
-          s"(CAST(floor(((('0x' || substr(md5(text || '$i'), 1, 15))::BIGINT % 1000) / 1000.0) * 4.0) AS BIGINT) << ${2 * i})"
+          s"(CAST(floor(((('0x' || substr(md5(substr(text, 1, $hb) || '$i'), 1, 15))::BIGINT % 1000) / 1000.0) * 128.0) AS BIGINT) << ${7 * i})"
         }.mkString(" + ")
-        val maskList = (0L +: (0 until 16).map(b => 1L << b)).mkString("[", ", ", "]")
         s"""WITH f AS (
            |  SELECT doc_id,
            |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            |    $sigTerms AS sig
            |  FROM documents),
-           |p AS (
-           |  SELECT doc_id AS p_id, media_type AS p_type, sig AS p_sig,
-           |    xor(sig, u.m) AS probe
-           |  FROM f, unnest($maskList::BIGINT[]) AS u(m))
-           |SELECT f.media_type,
-           |  CAST(bit_count(xor(p.p_sig, f.sig)) AS BIGINT) AS hdist,
-           |  count(*) AS n_pairs
-           |FROM p JOIN f ON p.probe = f.sig AND p.p_type = f.media_type
-           |  AND p.p_id < f.doc_id
-           |GROUP BY 1, 2 ORDER BY media_type, hdist""".stripMargin
+           |b AS (
+           |  SELECT doc_id, media_type, sig, CAST(u.j AS INT) AS j,
+           |    (sig >> (14 * CAST(u.j AS INT))) & 16383 AS bv
+           |  FROM f, unnest([0, 1, 2, 3]) AS u(j)),
+           |pr AS (
+           |  SELECT DISTINCT l.media_type, l.doc_id AS a_id, r.doc_id AS b_id,
+           |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hdist
+           |  FROM b l JOIN b r ON l.media_type = r.media_type AND l.j = r.j
+           |    AND l.bv = r.bv AND l.doc_id < r.doc_id
+           |  WHERE bit_count(xor(l.sig, r.sig)) <= 3)
+           |SELECT media_type, hdist, count(*) AS n_pairs
+           |FROM pr GROUP BY 1, 2 ORDER BY media_type, hdist""".stripMargin
       },
     )
   }

@@ -83,7 +83,7 @@ object RelationalQueries {
     val degs = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoint.apply)
     val verts = degs.agg(count(lit(1)).as("n_vertices"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val nWedges = edges.groupBy(col("b").as("v")).agg(count(lit(1)).as("ind"))
@@ -100,7 +100,7 @@ object RelationalQueries {
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("w"),
         when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoint.apply)
     val nTri = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dw") < col("e2.dw") ||
@@ -1363,7 +1363,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("a", "b")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       graphCounts(edges)
     }),
 
@@ -1395,12 +1395,12 @@ object RelationalQueries {
         .select("a", "b")
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       // deg is checkpointed too: it is re-referenced in every round and
       // the final projection, and relying on ReuseExchange to dedupe
       // the repeated aggregation is fragile (round-6 ADVICE)
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val nv = deg.agg(count(lit(1)).as("n"))
       var rank = deg.crossJoin(broadcast(nv))
         .select(col("u"), col("dg"), col("n"), expr("1000000000000 div n").as("r"))
@@ -1443,11 +1443,11 @@ object RelationalQueries {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("a", "b")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(true)
-      val deg = und.groupBy("u").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
+      val deg = und.groupBy("u").agg(count(lit(1)).as("dg")).transform(graft.Checkpoint.apply)
       val common = edges
         .join(und.as("na"), col("a") === col("na.u"))
         .join(und.as("nb"), col("b") === col("nb.u") && col("na.v") === col("nb.v"))
@@ -1514,7 +1514,7 @@ object RelationalQueries {
     "q_assoc_rules" -> ((s, d) => {
       val items = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val isup = items.groupBy("p").agg(count(lit(1)).as("sup"))
       val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
       val pairs = items.as("x").join(items.as("y"),
@@ -1555,7 +1555,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("a", "b")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val und = edges.select(col("a").as("u")).union(edges.select(col("b").as("u")))
       und.groupBy("u").agg(count(lit(1)).as("dg"))
         .withColumn("bucket", length(bin(col("dg"))).cast("long"))
@@ -1592,9 +1592,13 @@ object RelationalQueries {
           sum((x * y).cast(Dec384)).as("sxy0"),
           sum((y * y).cast(Dec384)).as("syy0"))
         .select(col("l_returnflag"), col("n"),
-          (sxy / sxx).as("slope"),
-          ((d2("sy0") - (sxy / sxx) * d2("sx0")) / nd).as("intercept"),
-          ((sxy * sxy) / (sxx * syy)).as("r2"))
+          // zero-variance guard (constant x or y in a group): NULL,
+          // not Inf/NaN — engines render IEEE div-by-zero differently,
+          // NULL identically; oracle mirrors the CASE
+          when(sxx > 0 && syy > 0, sxy / sxx).as("slope"),
+          when(sxx > 0 && syy > 0,
+            (d2("sy0") - (sxy / sxx) * d2("sx0")) / nd).as("intercept"),
+          when(sxx > 0 && syy > 0, (sxy * sxy) / (sxx * syy)).as("r2"))
         .orderBy("l_returnflag")
     }),
 
@@ -1623,15 +1627,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select("a", "b")
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val rounds = (1 to 3).map { r =>
         val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))
-        val keep = deg.filter(col("dg") >= 2).select("v").localCheckpoint(true)
+        val keep = deg.filter(col("dg") >= 2).select("v").transform(graft.Checkpoint.apply)
         e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint(true)
+          .transform(graft.Checkpoint.apply)
         keep.agg(count(lit(1)).as("n_vertices"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .select(lit(r).cast("long").as("round"), col("n_vertices"), col("n_edges"))
@@ -2522,9 +2526,11 @@ object RelationalQueries {
         |    CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) AS syd
         |  FROM m)
         |SELECT l_returnflag, n,
-        |  cxy / cxx AS slope,
-        |  (syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE) AS intercept,
-        |  (cxy * cxy) / (cxx * cyy) AS r2
+        |  CASE WHEN cxx > 0 AND cyy > 0 THEN cxy / cxx END AS slope,
+        |  CASE WHEN cxx > 0 AND cyy > 0
+        |       THEN (syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN cxx > 0 AND cyy > 0
+        |       THEN (cxy * cxy) / (cxx * cyy) END AS r2
         |FROM e ORDER BY l_returnflag""".stripMargin,
 
     // three unrolled peeling rounds, each a CTE pair (deg -> keep ->

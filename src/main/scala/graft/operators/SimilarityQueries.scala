@@ -776,7 +776,7 @@ object SimilarityQueries {
             |  c.cl AS cl)))""".stripMargin))
         .select(col("label").as("gold"), col("best.cl").as("pred"))
       val cm = pred.groupBy("gold", "pred").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val gc = cm.groupBy("gold").agg(sum("n").as("n_gold"))
       val pc = cm.groupBy("pred").agg(sum("n").as("n_pred"))
       val tp = cm.filter(col("gold") === col("pred"))

@@ -242,7 +242,10 @@ object SourceQueries {
         val p = scratch(d, s"codec_$codec")
         documents(s, d).select(col("doc_id"), col("lang"), col("text"))
           .write.mode("overwrite").option("compression", codec).parquet(p)
-        val bytes = new java.io.File(p).listFiles
+        // listFiles is null for a missing/non-directory path (e.g. a
+        // relocated URI-style scratch dir) — fail the gate cleanly via
+        // bytes_positive=false instead of NPE-ing at build time
+        val bytes = Option(new java.io.File(p).listFiles).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.endsWith(".parquet")).map(_.length).sum
         s.read.parquet(p)
           .agg(count(lit(1)).as("n_rows"),
@@ -269,7 +272,11 @@ object SourceQueries {
       val p = scratch(d, "textfmt")
       documents(s, d)
         .select(concat_ws("|", col("doc_id"),
-          regexp_replace(col("text"), "\n", " ")).as("value"))
+          // scrub CR as well as LF: the text source treats \n, \r and
+          // \r\n as line terminators on READ, so an embedded CR would
+          // split a line (and a trailing CR would be stripped) even
+          // though only \n breaks the write
+          regexp_replace(col("text"), "[\\r\\n]", " ")).as("value"))
         .write.mode("overwrite").text(p)
       val digest = ColumnBridge.column(graft.gen.Md5Hash60Expr(
         ColumnBridge.expression(col("value"))))
@@ -461,7 +468,7 @@ object SourceQueries {
 
     "q_source_text" ->
       """SELECT count(*) AS n_lines,
-        |  CAST(CAST(sum(('0x' || substr(md5(doc_id || '|' || replace(text, chr(10), ' ')), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum
+        |  CAST(CAST(sum(('0x' || substr(md5(doc_id || '|' || replace(replace(text, chr(13), ' '), chr(10), ' ')), 1, 15))::BIGINT) AS VARCHAR) AS DOUBLE) AS digest_sum
         |FROM documents""".stripMargin,
 
     "q_sink_codecs" ->

@@ -23,6 +23,14 @@ object TimeWindowQueries {
     */
   val DriftSplit = "2024-01-16 00:00:00"
 
+  /** Per-user sequence cap for q_win_pattern: only the first
+    * MaxSeqLen events (by ts, event_id) of a user's history enter the
+    * collapsed pattern string, bounding the aggregation buffer — and
+    * the window state, via the TopKPerGroup heap — regardless of
+    * per-user skew. Mirrored verbatim in the DuckDB oracle.
+    */
+  val MaxSeqLen = 512
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -503,12 +511,16 @@ object TimeWindowQueries {
       val lagged = hourly
         .withColumn("l1", lag(col("c"), 1).over(w))
         .withColumn("l2", lag(col("c"), 2).over(w))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       def d2(c: String) = col(c).cast("double")
       val nd = col("n").cast("double")
-      val acOf = (nd * d2("sxy") - d2("sx") * d2("sy")) /
-        (sqrt(nd * d2("sxx") - d2("sx") * d2("sx")) *
-          sqrt(nd * d2("syy") - d2("sy") * d2("sy")))
+      // zero-variance guard: a constant series (vx or vy = 0) yields
+      // NULL, not NaN/Inf — IEEE division-by-zero renders differently
+      // across engines, NULL identically (oracle mirrors the CASE)
+      val vx = nd * d2("sxx") - d2("sx") * d2("sx")
+      val vy = nd * d2("syy") - d2("sy") * d2("sy")
+      val acOf = when(vx > 0 && vy > 0,
+        (nd * d2("sxy") - d2("sx") * d2("sy")) / (sqrt(vx) * sqrt(vy)))
       val branches = Seq(1 -> col("l1"), 2 -> col("l2")).map { case (k, lc) =>
         val x = col("c").cast(Dec380)
         val y = lc.cast(Dec380)
@@ -548,7 +560,7 @@ object TimeWindowQueries {
         .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("c1"),
           sum(when(!col("pre"), 1L).otherwise(0L)).as("c2"))
         .withColumn("bkt", least(lit(63L), floor(col("v") / 10).cast("long")))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoint.apply)
       val tot = byVal.agg(sum("c1").as("n1"), sum("c2").as("n2"))
       val bt = byVal.groupBy("bkt")
         .agg(sum("c1").as("b1"), sum("c2").as("b2"))
@@ -584,14 +596,26 @@ object TimeWindowQueries {
     // sequence orders by the unique (ts, event_id); every initial is
     // distinct per type; the three regexes use only '.'/'*'/anchors —
     // semantics identical between Java regex and DuckDB's RE2. Scale:
-    // ONE user-keyed shuffle builds the per-user string (bounded by a
-    // user's history, the same envelope as sessionization); the
-    // pattern probes are row-local over |users| rows into one 1-row
-    // aggregate, reshaped by stack().
+    // per-user state is BOUNDED — only the first MaxSeqLen (512)
+    // events of a user's history (by ts, event_id) enter the
+    // sequence, enforced by a rn <= 512 filter that the
+    // TopKRewriteRule plans as the bounded-heap TopKPerGroup operator
+    // (a 512-slot heap per user: no full per-user sort and no
+    // unbounded collect buffer, so a 10^8-event bot user costs the
+    // same 512 slots as anyone else; the DuckDB oracle applies the
+    // identical bound). ONE user-keyed shuffle builds the per-user
+    // string; the pattern probes are row-local over |users| rows into
+    // one 1-row aggregate, reshaped by stack().
     "q_win_pattern" -> ((s, d) => {
+      graft.plans.TopKRewriteRule.register(s)
+      import org.apache.spark.sql.expressions.Window
       val seqs = events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("tus"),
           col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("tus", "event_id")))
+        .filter(col("rn") <= MaxSeqLen)
+        .drop("rn")
         .groupBy("user_id")
         .agg(array_join(expr(
           "transform(array_sort(collect_list(struct(tus, event_id, c))), x -> x.c)"),
@@ -627,9 +651,12 @@ object TimeWindowQueries {
     // burst-size count shares the same (user, type) partitioning.
     // Scale: ONE keyed shuffle; O(1) per-row window state.
     "q_win_debounce" -> ((s, d) => {
-      graft.plans.TopKPerGroupStrategy.register(s)
+      graft.plans.TopKRewriteRule.register(s)
       import org.apache.spark.sql.expressions.Window
-      val gapUs = 43200000000L // 12 h suppression window
+      // 12 h suppression window, single-sourced with the streaming twin
+      // (graft.streaming.DebounceStream) so the two forms can never
+      // silently debounce at different gaps
+      val gapUs = graft.streaming.DebounceStream.GapUs
       val wo = Window.partitionBy("user_id", "event_type")
         .orderBy("tus", "event_id")
       val flagged = events(s, d)
@@ -906,25 +933,24 @@ object TimeWindowQueries {
         |  SELECT event_type, count(*) AS n,
         |    sum(c) AS sx, sum(l2) AS sy, sum(c*c) AS sxx,
         |    sum(c*l2) AS sxy, sum(l2*l2) AS syy
-        |  FROM l WHERE l2 IS NOT NULL GROUP BY event_type)
-        |SELECT event_type, 1 AS lag_k, n,
-        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS autocorr
-        |FROM m1
-        |UNION ALL
-        |SELECT event_type, 2, n,
-        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS autocorr
-        |FROM m2
-        |ORDER BY event_type, lag_k""".stripMargin,
+        |  FROM l WHERE l2 IS NOT NULL GROUP BY event_type),
+        |u AS (
+        |  SELECT event_type, 1 AS lag_k, n, sx, sy, sxx, sxy, syy FROM m1
+        |  UNION ALL
+        |  SELECT event_type, 2, n, sx, sy, sxx, sxy, syy FROM m2),
+        |v AS (
+        |  SELECT event_type, lag_k, n,
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS cnum,
+        |    CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vy
+        |  FROM u)
+        |SELECT event_type, lag_k, n,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN cnum / (sqrt(vx) * sqrt(vy)) END AS autocorr
+        |FROM v ORDER BY event_type, lag_k""".stripMargin,
 
     // single window over distinct values — same math as the bucketed
     // prefix form (exact integer sup), argmax tie-broken by lowest v
@@ -950,18 +976,24 @@ object TimeWindowQueries {
          |FROM d CROSS JOIN t ORDER BY d_num DESC, v LIMIT 1""".stripMargin,
 
     // ordered string_agg builds the same (ts, event_id)-ordered
-    // initial sequence; regexp_matches (RE2) agrees with Java rlike
-    // on these '.'/'*'/anchor-only patterns
+    // initial sequence over the same first-MaxSeqLen-events bound;
+    // regexp_matches (RE2) agrees with Java rlike on these
+    // '.'/'*'/anchor-only patterns
     "q_win_pattern" ->
-      """WITH s AS (
+      s"""WITH capped AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) <= $MaxSeqLen),
+        |s AS (
         |  SELECT user_id,
-        |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
-        |  FROM events GROUP BY user_id),
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY tus, event_id) AS seq
+        |  FROM capped GROUP BY user_id),
         |m AS (
         |  SELECT count(*) AS n_users,
         |    CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m_conv,
         |    CAST(sum(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END) AS BIGINT) AS m_err,
-        |    CAST(sum(CASE WHEN regexp_matches(seq, '^.$') THEN 1 ELSE 0 END) AS BIGINT) AS m_bounce
+        |    CAST(sum(CASE WHEN regexp_matches(seq, '^.$$') THEN 1 ELSE 0 END) AS BIGINT) AS m_bounce
         |  FROM s)
         |SELECT 'p_bounce' AS pattern, m_bounce AS n_match, n_users,
         |  CAST(m_bounce AS DOUBLE) / n_users AS share FROM m

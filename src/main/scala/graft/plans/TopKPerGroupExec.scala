@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graft.SpillBridge
 
@@ -99,6 +99,13 @@ case class TopKPerGroupPartialExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // per-partition transform: rows never move, so the child's
+  // partitioning survives — without this override SparkPlan defaults to
+  // UnknownPartitioning and EnsureRequirements inserts a redundant
+  // exchange between the partial and final stages whenever the child
+  // was already clustered (e.g. below an upstream window)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, attrs) = (groupExprs, orderExprs, k, child.output)
     val maxRetained = TopKRewriteRule.maxRetained(conf)
@@ -137,6 +144,11 @@ case class TopKPerGroupFinalExec(
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr)
+
+  // group-local heap merge: rows never cross partitions, so the
+  // planner-inserted clustering below survives — downstream operators
+  // keyed on (a subset of) the group keys must NOT re-shuffle
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
     // empty grouping = one global group: like grouped aggregation's final

@@ -37,10 +37,14 @@ object EventsStreaming {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     // Same ts normalization as Tables.events: nanos-Long or NTZ micros.
+    // Any OTHER physical encoding throws, exactly like the batch twin —
+    // a third encoding must fail loudly, not stream silently-wrong rows.
     schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected physical type $other; expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 

@@ -642,4 +642,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges <= 2,
       s"(term, doc) count then ONE term exchange shared by window+rollup, got $hashExchanges:\n$plan")
   }
+
+  test("q_win_pattern: bounded per-user history via the TopKPerGroup heap, ONE keyed shuffle") {
+    val plan = planOf("q_win_pattern")
+    // the rn <= MaxSeqLen cap must plan as the bounded-heap operator —
+    // this is the pin that keeps the per-user collect bounded: if the
+    // rewrite stops firing, the stock window sorts each user's FULL
+    // history again
+    assert(plan.contains("TopKPerGroupFinal"),
+      s"the MaxSeqLen cap must ride the bounded-heap TopKPerGroup operator:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"cap + collect share ONE user_id shuffle (TopKPerGroup preserves partitioning), got $hashExchanges:\n$plan")
+  }
+
+  test("q_win_debounce: ONE keyed shuffle; keep-first-per-burst rides the TopKPerGroup heap") {
+    val plan = planOf("q_win_debounce")
+    assert(plan.contains("TopKPerGroupFinal"),
+      s"the rn = 1 keep-first must plan as the bounded-heap operator, not a full window sort:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"lag/burst windows + keep-first all share ONE (user, type) shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("q_bpe_apply: row-local merge against a broadcast pair; two map-side-combined shuffles") {
+    val plan = planOf("q_bpe_apply")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row top pair must broadcast — the corpus never shuffles for the merge:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"pair-count + post-merge recount are the only keyed shuffles, got $hashExchanges:\n$plan")
+  }
+
+  test("q_multimodal_phash: banded candidates via ONE keyed equi-join, never a hamming theta-join") {
+    val plan = planOf("q_multimodal_phash")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band matching must be an equi-join on (type, band, value) — a theta-join is the all-pairs blowup:\n$plan")
+    // count the numbered detail headers — the tree line would double-count
+    val joins = "\\(\\d+\\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1,
+      s"exactly one self-equi-join generates candidates, got $joins:\n$plan")
+  }
 }

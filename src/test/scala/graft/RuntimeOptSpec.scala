@@ -80,4 +80,40 @@ class RuntimeOptSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     }
   }
+
+  test("Checkpoint: local fallback without a dir, reliable checkpoint files once a dir is set") {
+    import spark.implicits._
+    // ORDER MATTERS: probe the fallback BEFORE any checkpoint dir is
+    // set on the shared context (setCheckpointDir is one-way).
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another suite already set a checkpoint dir on the shared context")
+    val df = (1 to 100).toDF("x")
+    val local = Checkpoint(df)
+    assert(local.count() === 100)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "no-dir path must not invent a checkpoint dir")
+
+    // now flip the cluster-grade switch: a reliable checkpoint must
+    // write recoverable RDD files under the configured dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val reliable = Checkpoint(df.select(col("x") * 2 as "y"))
+      assert(reliable.count() === 100)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(dir).nonEmpty,
+        s"reliable checkpoint must persist RDD blocks under $dir")
+    } finally {
+      // restore the shared context: Option(null) clears checkpointDir
+      // in local mode, so later suites keep the local fast path
+      try spark.sparkContext.setCheckpointDir(null)
+      catch { case _: Throwable => () }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

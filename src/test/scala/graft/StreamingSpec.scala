@@ -251,4 +251,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming debounce (flatMapGroupsWithState) == batch keep-first-per-burst, bitwise") {
+    val cols = Seq("event_id", "user_id", "event_type", "tus", "burst_n")
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.DebounceStream.survivors(spark, sf), "t_debounce")
+      .select(cols.head, cols.tail: _*)
+    val batch = operators.TimeWindowQueries.queries("q_win_debounce")(spark, sf)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
