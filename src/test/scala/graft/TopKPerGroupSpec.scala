@@ -60,6 +60,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
       s"expected final -> Exchange -> partial ordering in:\n$plan")
   }
 
+  test("plan shape: pre-clustered child needs NO exchange; downstream keyed agg reuses the partitioning") {
+    graft.plans.TopKPerGroupStrategy.register(spark)
+    // child repartitioned on the group key: the partial/final stages are
+    // per-partition transforms and MUST propagate that partitioning, so
+    // (a) no exchange appears between partial and final, and (b) a
+    // downstream groupBy on the same key plans without re-shuffling
+    val child = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .repartition(col("o_custkey"))
+    val topk = graft.plans.TopKPerGroup(
+      child, Seq("o_custkey"), Seq("o_orderkey" -> true), 2)
+    val agged = topk.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"one explicit repartition only — heap stages and the agg must reuse it, got $exchanges:\n$plan")
+    assert(agged.count() > 0)
+  }
+
   test("randomized differential: operator == pure-Scala model over seeded datasets") {
     graft.plans.TopKPerGroupStrategy.register(spark)
     import spark.implicits._
