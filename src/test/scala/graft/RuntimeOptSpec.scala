@@ -81,6 +81,33 @@ class RuntimeOptSpec extends AnyFunSuite {
     }
   }
 
+  test("Pregel-posture query is bit-identical under the reliable checkpoint path") {
+    // the cluster-grade switch must be a pure durability change: run an
+    // iterative query (connected components + golden record — ~4
+    // Checkpoint call sites) WITHOUT a dir, then WITH one, and require
+    // identical output
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another suite already set a checkpoint dir on the shared context")
+    val sf = "/root/testdata/sf0.001"
+    val localRows = operators.DedupQueries.queries("q_dedup_cluster")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_e2e").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val reliableRows = operators.DedupQueries.queries("q_dedup_cluster")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(reliableRows === localRows)
+    } finally {
+      try spark.sparkContext.setCheckpointDir(null)
+      catch { case _: Throwable => () }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("Checkpoint: local fallback without a dir, reliable checkpoint files once a dir is set") {
     import spark.implicits._
     // ORDER MATTERS: probe the fallback BEFORE any checkpoint dir is
