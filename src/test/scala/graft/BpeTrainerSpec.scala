@@ -81,6 +81,53 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(m2.isEmpty)
   }
 
+  test("randomized differential: trainer == pure-Scala BPE model over seeded corpora") {
+    // reference model: symbol lists, exact pair counts, (count DESC,
+    // a ASC, b ASC) pick, greedy left-to-right non-overlapping merge
+    def modelFit(ws: Seq[String], iters: Int): Seq[(String, String, Long)] = {
+      var corpus: Seq[Vector[String]] = ws.map(_.map(_.toString).toVector)
+      val out = Seq.newBuilder[(String, String, Long)]
+      var it = 0
+      var done = false
+      while (it < iters && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        corpus.foreach { w =>
+          var i = 0
+          while (i + 1 < w.length) {
+            counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+            i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+          out += ((a, b, n))
+          corpus = corpus.map { w =>
+            val nw = Vector.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+                nw += (a + b); i += 2
+              } else { nw += w(i); i += 1 }
+            }
+            nw.result()
+          }
+        }
+        it += 1
+      }
+      out.result()
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      // tiny alphabet forces heavy pair collisions and chained merges
+      val ws = Seq.fill(30 + rnd.nextInt(50))(
+        (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val (got, _) = BpeTrainer.fitEncoded(BpeTrainer.encode(words(ws: _*)), 4)
+      val want = modelFit(ws, 4)
+      assert(got.map(m => (m.a, m.b, m.n)) === want, s"seed=$seed corpus=$ws")
+    }
+  }
+
   test("multi-char merges chain: learned symbols participate in later pairs") {
     // after (a,b)->ab, the pair (ab, c) exists in 'abc'
     val (m, _) = BpeTrainer.fitEncoded(BpeTrainer.encode(
