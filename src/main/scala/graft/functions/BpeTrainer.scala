@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * strings — the KMeans-centroid posture: driver state is the merge
   * table only, never corpus rows); the merge itself is row-local.
   * After N iterations the merge table is the tokenizer artifact and
-  * the encoded corpus is the tokenized output.
+  * the encoded corpus is the tokenized output. At 100 TB one does not
+  * run 30k merge iterations against the full corpus — tokenizers are
+  * trained on a corpus SAMPLE: feed `fit` a deterministic slice (the
+  * q_sample_hash / q_sample_topn carvers) and apply the learned merge
+  * table corpus-wide; the per-iteration plan is unchanged either way.
   *
   * Determinism: the pick orders by (count DESC, a ASC, b ASC) — total,
   * engine-independent; merging is all-occurrence left-to-right
