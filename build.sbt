@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 205 queries × whole-stage-codegen classes × (warm-up + 2 timed runs)
+  // churn through the JDK-17 default 240 MB reserved code cache; once it
+  // fills, JIT compilation stalls/flushes and queries run 2-3× slower in
+  // sustained stretches (the r9 "regressions" on unchanged plans —
+  // SCALE.md §bench-noise). 512 MB keeps the full inventory compiled.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -70,17 +70,31 @@ object Bench {
     // 0.8 s in four runs and 3.0 s in a fifth with identical code),
     // and round-over-round comparisons read such spikes as
     // regressions; min-of-2 suppresses them at +~1 min bench cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+    //
+    // The two reps run as two FULL PASSES (A..Z, A..Z), not
+    // back-to-back (AA, BB..): the r9 "regressions" (q_dedup_minhash
+    // 1.38 s, q_attribution 1.05 s, both on unchanged code and pinned
+    // plan shapes) came from SUSTAINED slow windows — a query runs
+    // 2-3× its steady state for several consecutive seconds until the
+    // JIT finishes C2-compiling its hot path (RegressionDiag measured
+    // q_attribution at 1.13/1.13/1.18/1.06 then an abrupt 0.47).
+    // Back-to-back reps are perfectly correlated with such a window,
+    // so min-of-2 reported the slow number; a full pass (~40 s)
+    // between the reps decorrelates them, and the min is steady-state.
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         releaseState()
-        if (ok) dt else -1.0
-      }
-      val a = once()
-      name -> (if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) })
+        name -> (if (ok) dt else -1.0)
+      }.toMap
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val (a, b) = (pass1(name), pass2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.

@@ -40,14 +40,18 @@ object DedupQueries {
     val bands = sigs
       .select(col("doc_id"),
         posexplode(array(LshBanding.bandKeys: _*)).as(Seq("bidx", "bkey")))
-    val a = bands.select(col("doc_id").as("a_id"), col("bidx"), col("bkey"))
-    val b = bands.select(col("doc_id").as("b_id"), col("bidx").as("bidx2"), col("bkey").as("bkey2"))
     // shuffle-hash for the same reason as q_dedup_ngram: the band
     // rows are the ×Bands-amplified corpus — never broadcast-able at
-    // scale, and shuffling both sides lets the exchange be reused
-    a.join(b.hint("shuffle_hash"), col("bidx") === col("bidx2") && col("bkey") === col("bkey2")
-        && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // scale. The a_id/b_id renames happen AFTER the join (not on the
+    // join inputs) so both sides canonicalize identically and Spark's
+    // ReuseExchange materializes the band shuffle ONCE — the minhash
+    // signatures (the expensive per-doc work) are computed once, not
+    // twice (round-10 fix: the pre-join-rename form shuffled two
+    // separately-computed copies of the same band rows).
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
+        col("x.bidx") === col("y.bidx") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
   }
 
   /** Blocked all-pairs cosine near-dup — the 100 TB form, shared by

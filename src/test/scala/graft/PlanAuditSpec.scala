@@ -684,4 +684,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joins == 1,
       s"exactly one self-equi-join generates candidates, got $joins:\n$plan")
   }
+
+  test("q_dedup_minhash: band self-join reuses ONE exchange — signatures computed once") {
+    // Round-10 pin for the r9 bench-regression investigation: the
+    // a_id/b_id renames must stay ABOVE the join so both sides
+    // canonicalize identically and ReuseExchange materializes the band
+    // shuffle once (minhash signatures are the per-doc cost; the
+    // pre-fix shape computed them twice). Reuse is an AQE-time
+    // decision, so pin the FINAL executed plan, not the static one.
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"band exchange must be materialized once and reused:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band match must be a shuffled-hash equi-join (never broadcast at corpus scale):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"candidate pairs must come from the (bidx, bkey) equi-join, not an all-pairs scan:\n$plan")
+  }
+
+  test("q_attribution: window and rollup are the only keyed shuffles") {
+    val plan = planOf("q_attribution")
+    assert(plan.contains("last("),
+      s"last-touch credit must be a last(ignoreNulls) frame over the user window:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"ONE user_id window shuffle + the touch-type rollup, got $hashExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"), plan)
+  }
+
+  test("q_bpe_encode: corpus-wide encode is row-local — zero keyed shuffles") {
+    // the merge table is nested literal replaces inside a per-word
+    // lambda; the only exchange the encode plan may carry is the
+    // output sort's range partitioning
+    val plan = planOf("q_bpe_encode")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 0,
+      s"fixed-merge-table encode must not shuffle the corpus, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed for the encode pass:\n$plan")
+  }
 }
