@@ -844,7 +844,93 @@ object TextQueries {
         .orderBy(col("n").desc, col("sym_pair"))
         .limit(10)
     }),
+
+    // BPE corpus ENCODE — the inference path a pipeline actually runs
+    // corpus-wide after sample-training (q_bpe_apply gates one training
+    // iteration; this gates the apply-side): learn BpeMerges merges on
+    // a deterministic 10% sample (doc_id % 10 = 0 — the sample-then-
+    // apply posture from BpeTrainer's scaladoc: the driver loop touches
+    // only the sample), then encode EVERY document with the FIXED merge
+    // table and report per-doc token counts. The merge table rides into
+    // the plan as nested literal replaces inside a per-word lambda —
+    // fully row-local: the corpus-wide encode has ZERO keyed shuffles
+    // (PlanAuditSpec pins it; the only exchange is the output sort).
+    // At 100 TB the training cost is bounded by the sample and the
+    // encode is one narrow pass. Determinism: training picks by
+    // (count DESC, a, b); the oracle re-derives the same merges with
+    // chained CTE stages and applies the same nested replaces.
+    "q_bpe_encode" -> ((s, d) => {
+      val sample = documents(s, d).filter(col("doc_id") % 10 === 0)
+      val (merges, _) = graft.functions.BpeTrainer.fit(sample, BpeMerges)
+      def encWord(w: Column): Column =
+        merges.foldLeft(concat(lit("  "), regexp_replace(w, "(.)", "$1  "))) { (acc, m) =>
+          call_function("replace", acc, lit(s" ${m.a}  ${m.b} "), lit(s" ${m.a}${m.b} "))
+        }
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(transform(split(col("text"), " "),
+              w => size(filter(split(encWord(w), " "), x => x =!= "")).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_tokens"),
+          length(translate(col("text"), " ", "")).cast("long").as("n_chars"))
+        .withColumn("tokens_saved", col("n_chars") - col("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Fixed merge-table size for q_bpe_encode (Spark training loop and
+    * oracle CTE-chain derive exactly this many merges).
+    */
+  val BpeMerges = 8
+
+  /** q_bpe_encode oracle: re-derive the BpeMerges greedy merges from the
+    * same 10% sample with chained CTE stages (stage k: adjacent-symbol
+    * pair count over w(k-1), pick by (n DESC, a, b), apply as a literal
+    * replace), then encode every document's words with the same nested
+    * replace chain and roll up per-doc symbol counts.
+    */
+  private def bpeEncodeOracleSql: String = {
+    val stages = (1 to BpeMerges).map { k =>
+      val pick =
+        s"""p$k AS (
+           |  SELECT sym[i] AS a, sym[i+1] AS b, count(*) AS n
+           |  FROM (SELECT list_filter(string_split(seq, ' '), x -> x != '') AS sym
+           |        FROM w${k - 1}) s,
+           |       UNNEST(generate_series(1, len(s.sym) - 1)) AS t(i)
+           |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)""".stripMargin
+      val next =
+        if (k == BpeMerges) ""
+        else
+          s""",
+             |w$k AS (
+             |  SELECT replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS seq
+             |  FROM w${k - 1} CROSS JOIN p$k)""".stripMargin
+      pick + next
+    }.mkString(",\n")
+    val applied = (1 to BpeMerges).foldLeft(
+      """'  ' || regexp_replace(tok, '(.)', '\1  ', 'g')""") { (acc, k) =>
+      s"replace($acc, ' ' || p$k.a || '  ' || p$k.b || ' ', ' ' || p$k.a || p$k.b || ' ')"
+    }
+    val crossJoins = (1 to BpeMerges).map(k => s"CROSS JOIN p$k").mkString(" ")
+    s"""WITH w0 AS (
+       |  SELECT '  ' || regexp_replace(u.tok, '(.)', '\\1  ', 'g') AS seq
+       |  FROM (SELECT string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 = 0) t,
+       |       UNNEST(t.l) AS u(tok)),
+       |$stages,
+       |dw AS (
+       |  SELECT doc_id, u.tok AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+       |       UNNEST(t.l) AS u(tok)),
+       |enc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split($applied, ' '), x -> x != '')) AS nsym
+       |  FROM dw $crossJoins),
+       |agg AS (SELECT doc_id, CAST(sum(nsym) AS BIGINT) AS n_tokens FROM enc GROUP BY doc_id)
+       |SELECT d.doc_id, a.n_tokens,
+       |  CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
+       |  CAST(length(replace(d.text, ' ', '')) AS BIGINT) - a.n_tokens AS tokens_saved
+       |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val markerSql = (l: String, ws: Seq[String]) =>
@@ -1305,6 +1391,8 @@ object TextQueries {
           |  FROM m WHERE len(sym) >= 2)
           |SELECT merge_pair, sym_pair, count(*) AS n FROM pr
           |GROUP BY 1, 2 ORDER BY n DESC, sym_pair LIMIT 10""".stripMargin,
+
+      "q_bpe_encode" -> bpeEncodeOracleSql,
     )
   }
 }
