@@ -252,10 +252,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
-  test("streaming debounce (flatMapGroupsWithState) == batch keep-first-per-burst, bitwise") {
+  test("streaming debounce across 3 micro-batches == batch keep-first-per-burst, bitwise") {
+    // The round-9 advisor finding: the old replay-only implementation
+    // flushed + cleared state every invocation, so a burst spanning
+    // micro-batches silently split in two. This drives the REAL
+    // multi-batch path: events time-split into two files (bursts
+    // straddle the cut and must chain through state), processed one
+    // file per trigger, plus a far-future sentinel row (user -1, never
+    // emitted: its own burst stays open) whose only job is to push the
+    // watermark past every real burst's last_tus + gap so the
+    // event-time timeouts fire and flush them.
+    import org.apache.spark.sql.functions._
     val cols = Seq("event_id", "user_id", "event_type", "tus", "burst_n")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val Array(cutUs, maxUs) = ev
+      .agg(percentile_approx(unix_micros(col("ts")), lit(0.5), lit(100)),
+        max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("debounce_replay").toFile
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String, modMs: Long): Unit = {
+      val stage = new java.io.File(dir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(modMs) // file source replays oldest-first
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeFile(ev.filter(unix_micros(col("ts")) < cutUs), "b1", t0)
+    writeFile(ev.filter(unix_micros(col("ts")) >= cutUs), "b2", t0 + 10000)
+    val sentinel = ev.limit(1).select(lit(-1L).as("user_id"),
+      lit("view").as("event_type"), lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs + 46800000000L)).as("ts")) // +13 h
+    writeFile(sentinel, "b3", t0 + 20000)
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
     val streamed = EventsStreaming.runAppendToCompletion(spark,
-      streaming.DebounceStream.survivors(spark, sf), "t_debounce")
+      streaming.DebounceStream.survivorsOf(src), "t_debounce")
       .select(cols.head, cols.tail: _*)
     val batch = operators.TimeWindowQueries.queries("q_win_debounce")(spark, sf)
       .select(cols.head, cols.tail: _*)
