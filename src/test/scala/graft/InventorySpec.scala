@@ -44,6 +44,24 @@ class InventorySpec extends AnyFunSuite {
       s"SURVEY.md §2.3 must say '$n queries in `SparkEntry.queries`'")
   }
 
+  test("documents fixtures are pure ASCII at every SF (phash byte/char oracle coupling)") {
+    // q_multimodal_phash hashes the first 64 UTF-8 BYTES of the payload
+    // on the Spark side but substr(text, 1, 64) CHARACTERS in the
+    // DuckDB oracle — identical only while the corpus is ASCII. This
+    // guard makes that coupling fail loudly if the testdata ever ships
+    // non-ASCII text (the adversarial non-ASCII corpus is exercised
+    // separately by tools/edge_probe.py, which uses a byte-safe check).
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(s"$dir/documents.parquet").exists()) {
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii == 0, s"$dir has $nonAscii non-ASCII documents — " +
+        "the phash oracle's substr(text,1,64) no longer equals the 64-byte header")
+    }
+  }
+
   test("q_join_fuzzy recall is 1: every corrupted name links back to its source") {
     // the oracle gate proves cross-engine agreement; this proves the
     // SEMANTIC ground truth — symdel blocking never drops a true match
