@@ -71,9 +71,17 @@ object CusumStream {
       }
     }
 
-  def stats(spark: SparkSession, sfDir: String, n: Long, sumCents: Long): DataFrame = {
+  def stats(spark: SparkSession, sfDir: String, n: Long, sumCents: Long): DataFrame =
+    statsOf(EventsStreaming.eventsStream(spark, sfDir), n, sumCents)
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, value) — the entry point multi-micro-batch replay tests
+    * use to drive cross-batch state chaining and idle eviction.
+    */
+  def statsOf(stream: DataFrame, n: Long, sumCents: Long): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"),

@@ -55,9 +55,17 @@ object LocfStream {
   /** Streaming per-event LOCF fills, append mode (one output row per
     * input event).
     */
-  def fills(spark: SparkSession, sfDir: String): DataFrame = {
+  def fills(spark: SparkSession, sfDir: String): DataFrame =
+    fillsOf(EventsStreaming.eventsStream(spark, sfDir))
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, value) — the entry point multi-micro-batch replay tests
+    * use to drive cross-batch carry chaining and idle eviction.
+    */
+  def fillsOf(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"),

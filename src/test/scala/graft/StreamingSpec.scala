@@ -20,6 +20,22 @@ class StreamingSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Write `df` as a single parquet file `name.parquet` under `dir`
+    * with the given mtime — the file source replays oldest-first, so
+    * staged mtimes turn a directory into a deterministic multi-
+    * micro-batch replay (one file per trigger).
+    */
+  private def writeReplayFile(dir: java.io.File, df: org.apache.spark.sql.DataFrame,
+                              name: String, modMs: Long): Unit = {
+    val stage = new java.io.File(dir, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(dir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    target.setLastModified(modMs)
+    stage.listFiles().foreach(_.delete()); stage.delete()
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val streamed = EventsStreaming.runToCompletion(spark,
       EventsStreaming.tumblingCounts(spark, sf), "t_tumbling")
@@ -271,22 +287,13 @@ class StreamingSpec extends AnyFunSuite {
         max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val dir = java.nio.file.Files.createTempDirectory("debounce_replay").toFile
-    def writeFile(df: org.apache.spark.sql.DataFrame, name: String, modMs: Long): Unit = {
-      val stage = new java.io.File(dir, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val target = new java.io.File(dir, s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(modMs) // file source replays oldest-first
-      stage.listFiles().foreach(_.delete()); stage.delete()
-    }
     val t0 = System.currentTimeMillis() - 60000
-    writeFile(ev.filter(unix_micros(col("ts")) < cutUs), "b1", t0)
-    writeFile(ev.filter(unix_micros(col("ts")) >= cutUs), "b2", t0 + 10000)
+    writeReplayFile(dir, ev.filter(unix_micros(col("ts")) < cutUs), "b1", t0)
+    writeReplayFile(dir, ev.filter(unix_micros(col("ts")) >= cutUs), "b2", t0 + 10000)
     val sentinel = ev.limit(1).select(lit(-1L).as("user_id"),
       lit("view").as("event_type"), lit(-1L).as("event_id"),
       timestamp_micros(lit(maxUs + 46800000000L)).as("ts")) // +13 h
-    writeFile(sentinel, "b3", t0 + 20000)
+    writeReplayFile(dir, sentinel, "b3", t0 + 20000)
     val src = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -299,5 +306,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming sessionize across 3 micro-batches == batch custom-state sessions, bitwise") {
+    // Same protocol as the debounce test, for the custom-state
+    // sessionizer: sessions straddling the time-split cut must chain
+    // through state (an open session carries over and the next batch's
+    // events extend it), and the far-future sentinel (user -1, its own
+    // session never emitted) pushes the watermark past every real
+    // session's last_us + gap so the event-time timeouts flush them.
+    // Compared bitwise against q_session_state — the batch form of the
+    // SAME foldEvents chain rule, itself oracle-gated against DuckDB.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+    val Array(cutUs, maxUs) = ev
+      .agg(percentile_approx(unix_micros(col("ts")), lit(0.5), lit(100)),
+        max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("session_replay").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    writeReplayFile(dir, ev.filter(unix_micros(col("ts")) < cutUs), "b1", t0)
+    writeReplayFile(dir, ev.filter(unix_micros(col("ts")) >= cutUs), "b2", t0 + 10000)
+    val sentinel = ev.limit(1).select(lit(-1L).as("user_id"),
+      timestamp_micros(lit(maxUs + 3600000000L)).as("ts"), // +1 h > gap + wm delay
+      lit(0.0).as("value"))
+    writeReplayFile(dir, sentinel, "b3", t0 + 20000)
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val cols = Seq("user_id", "start_us", "end_us", "n", "total")
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.Sessionize.sessionsOfStream(src), "t_sessionize")
+      .select(cols.head, cols.tail: _*)
+    val batch = operators.TimeWindowQueries.queries("q_session_state")(spark, sf)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
+    // The two cross-batch behaviors a single-batch replay can never
+    // exercise, pinned on a crafted 4-batch replay shared by LOCF and
+    // CUSUM (both per-event carry streams with a 24 h idle eviction):
+    //  - CHAINING: user 1's batch-2 event must see the state from
+    //    batch 1 (LOCF fill = carried 5.0, not the 0.0 fallback;
+    //    CUSUM stat = carried cumsum, not a fresh 0).
+    //  - EVICTION: user 2 is idle > 24 h while user 3's events push
+    //    the watermark past its timeout in a batch where user 2 has
+    //    NO data (Spark only fires hasTimedOut for data-less groups);
+    //    user 2's later event must then fold from EMPTY state (LOCF
+    //    fill = 0.0 fallback where the carried value would be 7.0;
+    //    CUSUM stat = 0 where the carried cumsum would give 2.0).
+    import org.apache.spark.sql.functions._
+    val T0 = 1735689600000000L // 2025-01-01 00:00:00 UTC, micros
+    val H = 3600000000L; val Min = 60000000L
+    def batchDf(rows: Seq[(Long, Long, Long, Double)]) =
+      spark.createDataFrame(rows).toDF("user_id", "us", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("value"))
+    // event_id mod 7 < 3 ⇒ LOCF masks the value as missing
+    val b1 = batchDf(Seq((1L, T0, 3L, 5.0), (2L, T0, 10L, 7.0)))          // both present
+    val b2 = batchDf(Seq((1L, T0 + 10 * Min, 7L, 99.0),                   // missing for LOCF
+      (3L, T0 + 25 * H, 14L, 1.0)))                                       // missing; wm pusher
+    val b3 = batchDf(Seq((3L, T0 + 26 * H, 21L, 1.0)))                    // users 1,2 time out here
+    val b4 = batchDf(Seq((2L, T0 + 27 * H, 28L, 2.0)))                    // missing; post-eviction
+    val dir = java.nio.file.Files.createTempDirectory("carry_replay").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(b1, b2, b3, b4).zipWithIndex.foreach { case (df, i) =>
+      writeReplayFile(dir, df, s"b${i + 1}", t0 + i * 10000)
+    }
+    def src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+
+    val locf = EventsStreaming.runAppendToCompletion(spark,
+      streaming.LocfStream.fillsOf(src), "t_locf_mb")
+      .select("event_id", "was_missing", "v_filled")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2))).toMap
+    assert(locf.size == 6)
+    assert(locf(3L) == (false, 5.0) && locf(10L) == (false, 7.0))
+    assert(locf(7L) == (true, 5.0), "batch-2 fill must carry batch-1 state")
+    assert(locf(14L) == (true, 0.0) && locf(21L) == (true, 0.0))
+    assert(locf(28L) == (true, 0.0),
+      "post-eviction fill must fall back to 0.0, not the pre-eviction 7.0")
+
+    // n=1, Σcents=0 ⇒ dev = cents: stats are pure running cs − min(cs)
+    val cusum = EventsStreaming.runAppendToCompletion(spark,
+      streaming.CusumStream.statsOf(src, 1L, 0L), "t_cusum_mb")
+      .select("event_id", "cusum", "alarm")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(cusum.size == 6)
+    assert(cusum(3L)._1 == 0.0 && cusum(10L)._1 == 0.0 && cusum(14L)._1 == 0.0)
+    assert(cusum(7L)._1 == 99.0, "batch-2 stat must fold onto batch-1 cumsum")
+    assert(cusum(21L)._1 == 1.0, "user 3 chains b2→b3 (inside horizon)")
+    assert(cusum(28L)._1 == 0.0,
+      "post-eviction stat must restart from empty state, not carry 2.0")
+    assert(cusum.values.forall(!_._2))
   }
 }
