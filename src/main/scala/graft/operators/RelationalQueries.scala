@@ -112,6 +112,42 @@ object RelationalQueries {
     verts.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
   }
 
+  /** Per-order part baskets — distinct parts per order as ONE sorted
+    * array row. The single order-keyed shuffle folds the (o, p) dedup
+    * and the grouping into one collect_set aggregation (partial-merge
+    * capable, so map-side combine applies); every downstream pair
+    * enumeration then happens ROW-LOCALLY inside the basket array.
+    */
+  private[graft] def coBaskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Canonical co-purchase edge list (a < b, support >= 2) shared by the
+    * five graph queries. Shape: baskets (one order-keyed shuffle, see
+    * coBaskets) -> row-local C(basket, 2) pair explode over the sorted
+    * array (bounded by basket size — TPC-H caps lineitems/order at 7 —
+    * never a join) -> one (a, b)-keyed support count. The previous
+    * derivation (distinct (o, p) + self-join on the order key + pair
+    * aggregate) paid three shuffles plus a join build; this is two
+    * shuffles, and the removed one is the lineitem-sized one — the
+    * shuffle that dominates at 100 TB. A pathological mega-basket costs
+    * C(n, 2) rows in both shapes; here the fanout leaves one aggregated
+    * row instead of flowing through a join, so the shuffle never
+    * carries it twice. Callers checkpoint the result (the pagerank
+    * rule); sort_array canonicalizes a < b at build time.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coBaskets(s, d)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("a", "b")
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -1339,9 +1375,10 @@ object RelationalQueries {
     // a < b at build time so each triangle a<b<c is counted exactly
     // once by the wedge join (e1: a-b, e2: b-c) closed by e3: a-c —
     // all equi-joins Catalyst shuffles on their keys; counts are exact
-    // integers. Scale shape: per-order pair fan-out is C(items,2)
-    // (bounded by basket size, not corpus size); the edge list is
-    // localCheckpoint-ed ONCE so the expensive co-purchase self-join is
+    // integers. Scale shape: pairs explode row-locally from per-order
+    // baskets (C(basket,2), bounded by basket size, not corpus size —
+    // see coPurchaseEdges); the edge list is
+    // localCheckpoint-ed ONCE so the expensive co-purchase derivation is
     // never re-derived by the four aggregate branches (the round-6 plan
     // rebuilt it 16 times — 16 parquet scans, 0 reuse); the
     // observability wedge count is computed ALGEBRAICALLY
@@ -1354,18 +1391,8 @@ object RelationalQueries {
     // graphs that stay dense after support thresholding. Both
     // orientations count each triangle exactly once, so the canonical
     // SQL oracle is unchanged.
-    "q_graph_triangles" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("a", "b")
-        .transform(graft.Checkpoint.apply)
-      graphCounts(edges)
-    }),
+    "q_graph_triangles" -> ((s, d) =>
+      graphCounts(coPurchaseEdges(s, d).transform(graft.Checkpoint.apply))),
 
     // PageRank over the same min-support-2 co-purchase graph — the
     // classic iterative-analytics shape (power iteration, damping 0.85,
@@ -1380,19 +1407,12 @@ object RelationalQueries {
     // vertex set loses nothing. Scale shape: ONE shuffle per round
     // (rank join on u + contribution groupBy on v — both vertex-keyed,
     // AQE coalesced); the edge list is localCheckpoint-ed once so the
-    // expensive co-purchase self-join is not re-derived per round and
+    // co-purchase derivation is not re-derived per round and
     // the 5-round lineage stays flat — same Pregel posture as
     // q_dedup_cluster. Truncation loses < 1e-12·deg of mass per vertex
     // per round — irrelevant to ranking, essential to determinism.
     "q_graph_pagerank" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("a", "b")
+      val edges = coPurchaseEdges(s, d)
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
         .transform(graft.Checkpoint.apply)
@@ -1430,20 +1450,12 @@ object RelationalQueries {
     // b–x edge set — two vertex-keyed equi-joins, Σ_edges deg(a) work,
     // never an all-pairs comparison), and edges/deg are
     // localCheckpoint-ed once (the q_graph_pagerank rule: the
-    // co-purchase self-join must not be re-derived per consumer).
+    // co-purchase derivation must not be re-derived per consumer).
     // Output keeps edges IN at least one triangle (common ≥ 1 — the
     // pairs a recommender would score); fractions are exact integer
     // ratios in one double division.
     "q_graph_jaccard" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("a", "b")
-        .transform(graft.Checkpoint.apply)
+      val edges = coPurchaseEdges(s, d).transform(graft.Checkpoint.apply)
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
         .transform(graft.Checkpoint.apply)
@@ -1506,20 +1518,24 @@ object RelationalQueries {
     // confidence ships as exact fixed-point ppm (integer div on
     // positive operands — identical both engines); lift is ONE double
     // division of two exact integer products (each < 2^53). Scale:
-    // the basket table is localCheckpoint-ed once (the pagerank rule —
-    // three consumers must not re-derive the distinct scan), item
-    // supports are one map-side-combined aggregate, the pair self-join
-    // shuffles on the order key only, and the 1-row basket count joins
-    // back as a broadcast. Top-50 by confidence is a TakeOrdered heap.
+    // the basket table (one array row per order, see coBaskets) is
+    // localCheckpoint-ed once (the pagerank rule — three consumers
+    // must not re-derive the order-keyed aggregation), item supports
+    // are one exploded map-side-combined aggregate, directed pairs
+    // explode ROW-LOCALLY from each basket (n·(n−1) bounded by basket
+    // size — no self-join, no second lineitem-sized shuffle), and the
+    // 1-row basket count joins back as a broadcast. Top-50 by
+    // confidence is a TakeOrdered heap.
     "q_assoc_rules" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(graft.Checkpoint.apply)
-      val isup = items.groupBy("p").agg(count(lit(1)).as("sup"))
-      val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
-      val pairs = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      val baskets = coBaskets(s, d).transform(graft.Checkpoint.apply)
+      val isup = baskets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("sup"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val pairs = baskets.select(explode(expr(
+          """flatten(transform(ps, x ->
+            |  transform(filter(ps, y -> y != x),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("sab"))
         .filter(col("sab") >= 2)
       pairs
@@ -1541,21 +1557,13 @@ object RelationalQueries {
     // The bucket is length(bin(deg)) = floor(log2)+1 computed by
     // EXACT integer/string arithmetic — never floating log2, whose
     // libm results differ across engines near power-of-two boundaries.
-    // Scale: one self-join (shuffled on the order key), one edge
-    // aggregate — localCheckpoint-ed once (the pagerank rule: the
+    // Scale: the two-shuffle coPurchaseEdges derivation,
+    // localCheckpoint-ed once (the pagerank rule: the
     // a-side and b-side union branches must not re-derive the
-    // co-purchase join; PlanAuditSpec pins ≤ 2 scans) — then one
+    // co-purchase pairs; PlanAuditSpec pins ≤ 2 scans) — then one
     // vertex-keyed count and one ≤64-row rollup.
     "q_graph_degdist" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("a", "b")
-        .transform(graft.Checkpoint.apply)
+      val edges = coPurchaseEdges(s, d).transform(graft.Checkpoint.apply)
       val und = edges.select(col("a").as("u")).union(edges.select(col("b").as("u")))
       und.groupBy("u").agg(count(lit(1)).as("dg"))
         .withColumn("bucket", length(bin(col("dg"))).cast("long"))
@@ -1619,15 +1627,7 @@ object RelationalQueries {
     // at 100 TB the same 3 rounds remove the overwhelming mass of
     // degree-1 fringe (each round is a full Pregel superstep).
     "q_graph_kcore" -> ((s, d) => {
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      var e = items.as("x").join(items.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("a", "b")
-        .transform(graft.Checkpoint.apply)
+      var e = coPurchaseEdges(s, d).transform(graft.Checkpoint.apply)
       val rounds = (1 to 3).map { r =>
         val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))

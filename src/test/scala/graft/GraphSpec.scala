@@ -70,4 +70,27 @@ class GraphSpec extends AnyFunSuite {
       check(edges, s"trial $trial (n=$n, p=$p)")
     }
   }
+
+  test("coPurchaseEdges equals the distinct + self-join derivation on sf0.001") {
+    // the round-10 basket derivation (collect_set + row-local pair
+    // explode) must produce the exact edge set of the shape it
+    // replaced — which is also what every graph oracle's SQL still
+    // declares (items x JOIN items y ON x.o = y.o AND x.p < y.p).
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val oldEdges = items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("a", "b")
+    val newEdges = operators.RelationalQueries.coPurchaseEdges(spark, sf)
+    val old = oldEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neu = newEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neu == old,
+      s"basket derivation diverged: only-old=${(old -- neu).take(5)} only-new=${(neu -- old).take(5)}")
+    assert(old.nonEmpty, "sf0.001 co-purchase graph unexpectedly empty")
+  }
 }

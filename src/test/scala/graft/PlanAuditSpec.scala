@@ -583,6 +583,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 1-row n_orders aggregate joins back as a broadcast:\n$plan")
   }
 
+  test("coPurchaseEdges: one scan, two keyed shuffles, no join — basket-local pair explode") {
+    // the shared graph-edge derivation (all five graph queries + the
+    // basket variant in q_assoc_rules): ONE lineitem scan, ONE
+    // order-keyed collect_set shuffle, row-local C(basket,2) pair
+    // explode, ONE (a,b)-keyed support shuffle. A join or a third
+    // exchange here means the derivation regressed to the round-9
+    // distinct + self-join shape (three shuffles, lineitem-sized).
+    val plan = operators.RelationalQueries.coPurchaseEdges(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(scans == 1, s"basket derivation is one lineitem pass, got $scans scans:\n$plan")
+    assert(hashExchanges == 2,
+      s"order-keyed baskets + (a,b)-keyed support = exactly 2 shuffles, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"pairs explode row-locally, never a join:\n$plan")
+  }
+
   test("q_graph_degdist: edge list checkpointed — union branches never rescan parquet") {
     val plan = planOf("q_graph_degdist")
     val scans = "Scan parquet".r.findAllIn(plan).size
