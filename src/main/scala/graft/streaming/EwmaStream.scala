@@ -20,6 +20,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * provides when the source is partitioned by key and time (e.g. a
   * log compacted per user); otherwise pair it with a watermark +
   * reorder buffer upstream.
+  *
+  * State posture: NoTimeout is deliberate — the semantic is a LIFETIME
+  * recurrence, so evicting an idle user's accumulator would silently
+  * restart their series on return. Store growth is #distinct-users ×
+  * O(1) (16 bytes of state per key), the minimum any lifetime
+  * aggregate can hold; a deployment that cannot carry its full key
+  * space bounds it by snapshotting idle keys to a compacted store and
+  * re-seeding on reappearance — a sink-side policy, not a semantics
+  * change this operator should impose.
   */
 object EwmaStream {
 

@@ -17,7 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * reached stages agree exactly (StreamingSpec folds the streamed
   * per-user stages into the batch query's stage counts and asserts
   * equality). Across micro-batches the same per-key event-time
-  * ordering contract as EwmaStream applies.
+  * ordering contract as EwmaStream applies — and the same lifetime
+  * state posture: NoTimeout because a funnel stage is a lifetime
+  * fact (evicting an idle user would reset their stage to 0 on
+  * return), state is #distinct-users × three longs, and bounding a
+  * too-large key space is a snapshot-and-reseed sink policy, not an
+  * in-operator TTL.
   */
 object FunnelStream {
 
