@@ -137,12 +137,25 @@ object RelationalQueries {
     * carries it twice. Callers checkpoint the result (the pagerank
     * rule); sort_array canonicalizes a < b at build time.
     */
+  /** Row-local pair expansions over a sorted-array column — the lambda
+    * cores of the basket derivations, exposed so GraphSpec can
+    * property-test the slice/transform boundary logic (empty arrays,
+    * singletons, large baskets) against brute force. `unordered` emits
+    * each i<j pair once in array order; `directed` emits every ordered
+    * pair with x != y.
+    */
+  private[graft] def unorderedPairsExpr(arr: String): String =
+    s"""flatten(transform($arr, (x, i) ->
+       |  transform(slice($arr, i + 2, size($arr)),
+       |    y -> named_struct('a', x, 'b', y))))""".stripMargin
+  private[graft] def directedPairsExpr(arr: String): String =
+    s"""flatten(transform($arr, x ->
+       |  transform(filter($arr, y -> y != x),
+       |    y -> named_struct('a', x, 'b', y))))""".stripMargin
+
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     coBaskets(s, d)
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("e"))
+      .select(explode(expr(unorderedPairsExpr("ps"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
@@ -1531,10 +1544,7 @@ object RelationalQueries {
       val isup = baskets.select(explode(col("ps")).as("p"))
         .groupBy("p").agg(count(lit(1)).as("sup"))
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-      val pairs = baskets.select(explode(expr(
-          """flatten(transform(ps, x ->
-            |  transform(filter(ps, y -> y != x),
-            |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("e"))
+      val pairs = baskets.select(explode(expr(directedPairsExpr("ps"))).as("e"))
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("sab"))
         .filter(col("sab") >= 2)

@@ -71,6 +71,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("basket pair exprs match brute force on random, empty, singleton, and large baskets") {
+    // the slice/transform lambdas behind coPurchaseEdges and
+    // q_assoc_rules: unordered emits each i<j pair once, directed
+    // every ordered pair with x != y; empty and singleton baskets
+    // emit nothing, a 40-item basket emits all C(40,2)=780 / 1560.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val baskets: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(5L), (1L to 40L)) ++
+        (1 to 25).map(_ => rnd.shuffle((1L to 50L).toList).take(1 + rnd.nextInt(8)).sorted.toSeq)
+    val df = baskets.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "ps")
+    def run(e: String): Map[Long, Seq[(Long, Long)]] =
+      df.select(col("id"), explode(expr(e)).as("e"))
+        .select(col("id"), col("e.a"), col("e.b")).collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted).toMap
+    val un = run(operators.RelationalQueries.unorderedPairsExpr("ps"))
+    val di = run(operators.RelationalQueries.directedPairsExpr("ps"))
+    baskets.zipWithIndex.foreach { case (b, i) =>
+      val expUn = (for { x <- b.indices; y <- x + 1 until b.size } yield (b(x), b(y))).sorted
+      val expDi = (for { x <- b; y <- b if x != y } yield (x, y)).sorted
+      assert(un.getOrElse(i.toLong, Seq.empty) == expUn, s"unordered basket $i: $b")
+      assert(di.getOrElse(i.toLong, Seq.empty) == expDi, s"directed basket $i: $b")
+    }
+  }
+
   test("coPurchaseEdges equals the distinct + self-join derivation on sf0.001") {
     // the round-10 basket derivation (collect_set + row-local pair
     // explode) must produce the exact edge set of the shape it
