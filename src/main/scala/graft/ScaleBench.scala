@@ -60,7 +60,12 @@ object ScaleBench {
       // round-9 additions: the four newest operators — slope is the
       // harness that catches an unbounded per-group collect or a
       // dense-bucket pair blowup automatically
-      "q_win_pattern", "q_win_debounce", "q_bpe_apply", "q_multimodal_phash")
+      "q_win_pattern", "q_win_debounce", "q_bpe_apply", "q_multimodal_phash",
+      // round-10 additions: the rest of the co-purchase graph family on
+      // the basket-local derivation (the replica's shifted order AND
+      // part keys make the 10x graph 10 disjoint copies, so slopes
+      // measure the derivation + closure/supersteps, not densification)
+      "q_graph_pagerank", "q_graph_jaccard", "q_graph_degdist", "q_assoc_rules")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 
