@@ -168,7 +168,7 @@ object DedupQueries {
       // single-stage reduce over the checkpointed labels — cheaper per
       // round than a join-based changed count (which shuffles twice).
       def lblSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = lblSum(labels)
       var changed = true
       var iters = 0

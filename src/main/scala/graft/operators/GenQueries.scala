@@ -153,7 +153,7 @@ object GenQueries {
       }
       val back = s.read.parquet(dir.getAbsolutePath)
       def fp(x: org.apache.spark.sql.DataFrame) =
-        x.select(xxhash64(x.columns.map(col): _*).as("h"))
+        x.select(xxhash64(x.columns.toIndexedSeq.map(col): _*).as("h"))
           .agg(expr("bit_xor(h)").as("f"))
       // name+type comparison: parquet re-read relaxes nullability on
       // generated (never-null) columns, which is not type erasure
