@@ -123,20 +123,6 @@ object RelationalQueries {
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
 
-  /** Canonical co-purchase edge list (a < b, support >= 2) shared by the
-    * five graph queries. Shape: baskets (one order-keyed shuffle, see
-    * coBaskets) -> row-local C(basket, 2) pair explode over the sorted
-    * array (bounded by basket size — TPC-H caps lineitems/order at 7 —
-    * never a join) -> one (a, b)-keyed support count. The previous
-    * derivation (distinct (o, p) + self-join on the order key + pair
-    * aggregate) paid three shuffles plus a join build; this is two
-    * shuffles, and the removed one is the lineitem-sized one — the
-    * shuffle that dominates at 100 TB. A pathological mega-basket costs
-    * C(n, 2) rows in both shapes; here the fanout leaves one aggregated
-    * row instead of flowing through a join, so the shuffle never
-    * carries it twice. Callers checkpoint the result (the pagerank
-    * rule); sort_array canonicalizes a < b at build time.
-    */
   /** Row-local pair expansions over a sorted-array column — the lambda
     * cores of the basket derivations, exposed so GraphSpec can
     * property-test the slice/transform boundary logic (empty arrays,
@@ -153,6 +139,20 @@ object RelationalQueries {
        |  transform(filter($arr, y -> y != x),
        |    y -> named_struct('a', x, 'b', y))))""".stripMargin
 
+  /** Canonical co-purchase edge list (a < b, support >= 2) shared by the
+    * five graph queries. Shape: baskets (one order-keyed shuffle, see
+    * coBaskets) -> row-local C(basket, 2) pair explode over the sorted
+    * array (bounded by basket size — TPC-H caps lineitems/order at 7 —
+    * never a join) -> one (a, b)-keyed support count. The previous
+    * derivation (distinct (o, p) + self-join on the order key + pair
+    * aggregate) paid three shuffles plus a join build; this is two
+    * shuffles, and the removed one is the lineitem-sized one — the
+    * shuffle that dominates at 100 TB. A pathological mega-basket costs
+    * C(n, 2) rows in both shapes; here the fanout leaves one aggregated
+    * row instead of flowing through a join, so the shuffle never
+    * carries it twice. Callers checkpoint the result (the pagerank
+    * rule); sort_array canonicalizes a < b at build time.
+    */
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     coBaskets(s, d)
       .select(explode(expr(unorderedPairsExpr("ps"))).as("e"))
