@@ -64,14 +64,31 @@ object DebounceStream {
       Iterator.single(Out(b.first_id, key._1, key._2, b.first_tus, b.n))
     } else {
       // same total order as the batch windows: (tus, event_id); the
-      // open burst from prior batches (if any) seeds the chain
+      // open burst from prior batches (if any) seeds the chain. The
+      // open-burst fold is order-INSENSITIVE inside the merge window
+      // (first follows the (tus, event_id) total order, last never
+      // regresses) so a cross-batch late arrival — bounded by the
+      // 30 min watermark delay, far inside the 12 h gap — can never
+      // shrink the burst-close timeout horizon or misreport the
+      // surviving first event (the Sessionize.foldEvents rule).
       val sorted = events.toArray.sortBy(e => (e.tus, e.event_id))
       val out = Vector.newBuilder[Out]
       var acc: Option[Burst] = state.getOption
       sorted.foreach { e =>
         acc match {
-          case Some(b) if e.tus - b.last_tus < GapUs =>
-            acc = Some(b.copy(last_tus = e.tus, n = b.n + 1))
+          case Some(b) if e.tus - b.last_tus < GapUs && b.first_tus - e.tus < GapUs =>
+            val takeFirst = e.tus < b.first_tus ||
+              (e.tus == b.first_tus && e.event_id < b.first_id)
+            acc = Some(Burst(
+              if (takeFirst) e.event_id else b.first_id,
+              if (takeFirst) e.tus else b.first_tus,
+              math.max(b.last_tus, e.tus), b.n + 1))
+          case Some(b) if e.tus <= b.first_tus - GapUs =>
+            // a straggler a full gap before the open burst: its own
+            // single-event burst (unreachable while gap >> watermark
+            // delay — a 12 h-late event is dropped upstream — kept for
+            // structural symmetry with Sessionize.foldEvents)
+            out += Out(e.event_id, key._1, key._2, e.tus, 1L)
           case Some(b) =>
             out += Out(b.first_id, key._1, key._2, b.first_tus, b.n)
             acc = Some(Burst(e.event_id, e.tus, e.tus, 1))

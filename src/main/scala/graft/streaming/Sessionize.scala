@@ -56,6 +56,25 @@ object Sessionize {
     * carried-over open session; returns (closed sessions, open
     * session). Ties at equal ts_us need no tie-break — they land in
     * the same session either way and cents addition commutes.
+    *
+    * Disorder tolerance: within one micro-batch events are sorted, but
+    * ACROSS batches an event may precede the carried open session
+    * (bounded by the 30 min watermark delay — and the 10 min gap is
+    * SMALLER than that bound, so this is reachable, not theoretical).
+    * The open-session fold is therefore order-INSENSITIVE inside the
+    * merge window (start = min, last = max): a late arrival can never
+    * shrink the session's end — and with it the close timeout — or
+    * misreport its start. A straggler a full gap before the open
+    * session emits as its own closed singleton session (emitting the
+    * OPEN session instead would close a session future events can
+    * still extend). Residual divergence from full batch parity: two
+    * stragglers within one gap of each other under-merge (each emits
+    * alone), and a straggler landing exactly in a gap the batch sort
+    * would bridge cannot retro-merge already-emitted sessions —
+    * both reachable only when disorder exceeds the gap, and bounded
+    * by the watermark delay; full parity there requires an
+    * O(disorder-window) reorder buffer, which the O(1)-state design
+    * deliberately trades away.
     */
   private def foldEvents(userId: Long, acc0: Option[SessionAcc],
                          sorted: Array[EventIn]): (Vector[SessionOut], Option[SessionAcc]) = {
@@ -63,8 +82,11 @@ object Sessionize {
     var acc = acc0
     sorted.foreach { e =>
       acc match {
-        case Some(a) if e.ts_us - a.last_us < GapUs =>
-          acc = Some(SessionAcc(a.start_us, e.ts_us, a.n + 1, a.cents + e.cents))
+        case Some(a) if e.ts_us - a.last_us < GapUs && a.start_us - e.ts_us < GapUs =>
+          acc = Some(SessionAcc(math.min(a.start_us, e.ts_us),
+            math.max(a.last_us, e.ts_us), a.n + 1, a.cents + e.cents))
+        case Some(a) if e.ts_us <= a.start_us - GapUs =>
+          out += SessionOut(userId, e.ts_us, e.ts_us + GapUs, 1, e.cents)
         case Some(a) =>
           out += SessionOut(userId, a.start_us, a.last_us + GapUs, a.n, a.cents)
           acc = Some(SessionAcc(e.ts_us, e.ts_us, 1, e.cents))

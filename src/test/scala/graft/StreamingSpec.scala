@@ -347,6 +347,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("sessionize absorbs cross-batch OUT-OF-ORDER events: in-span, backward-extend, straggler") {
+    // Events inside one micro-batch arrive sorted, but across batches
+    // an event may precede the carried open session by up to the
+    // watermark delay (30 min) — which EXCEEDS the 10 min session gap,
+    // so every disorder regime below is reachable in production. The
+    // old fold set last_us unconditionally, so an in-span late event
+    // REGRESSED the session end (and the close timeout) and a
+    // pre-start event corrupted start. Crafted 4-batch replay, all
+    // micro-batch boundaries hand-picked so no event falls behind the
+    // global watermark:
+    //  - user 10: b1 = T+0, T+5 min; b2 = T+2 min (in-span: must only
+    //    bump n/total); b3 = T+13 min (chains ONLY if last stayed
+    //    T+5 — under the old regressed last of T+2 it would split).
+    //  - user 11: b1 = T+4; b2 = T-4 (8 min BEFORE start, inside the
+    //    gap: start must move backward).
+    //  - user 12: b1 = T+5; b2 = T-20 (a full gap before start: its
+    //    own singleton session; the open session must stay open).
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L // anchor in us
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("session_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((10L, m(0), 1.0), (10L, m(5), 2.0),
+      (11L, m(4), 1.0), (12L, m(5), 1.0)))
+    batch("b2", t0 + 10000, Seq((10L, m(2), 0.5), (11L, m(-4), 1.0), (12L, m(-20), 1.0)))
+    batch("b3", t0 + 20000, Seq((10L, m(13), 0.25)))
+    batch("b4", t0 + 30000, Seq((-1L, m(100), 0.0))) // watermark sentinel
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val streamed = EventsStreaming.runAppendToCompletion(spark,
+      streaming.Sessionize.sessionsOfStream(src), "t_session_ooo")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"),
+        col("total").cast("double").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val gap = streaming.Sessionize.GapUs
+    val expected = Set(
+      (10L, m(0), m(13) + gap, 4L, 3.75),
+      (11L, m(-4), m(4) + gap, 2L, 2.0),
+      (12L, m(-20), m(-20) + gap, 1L, 1.0),
+      (12L, m(5), m(5) + gap, 1L, 1.0))
+    assert(streamed == expected,
+      s"got ${streamed.toSeq.sortBy(t => (t._1, t._2))}")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
