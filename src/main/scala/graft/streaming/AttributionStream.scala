@@ -32,7 +32,7 @@ object AttributionStream {
   // the projection keeps it alongside the long form used for sorting
   case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                 event_id: Long, event_type: String, value: Double)
-  case class Touch(touch: String, ts_us: Long)
+  case class Touch(touch: String, touch_us: Long, last_us: Long)
   case class Credit(user_id: Long, touch_type: String, value: Double)
 
   private val IdleEvictMs = 3600000L
@@ -46,17 +46,24 @@ object AttributionStream {
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
-    var touch = state.getOption.map(_.touch).orNull
+    val st = state.getOption.getOrElse(Touch(null, Long.MinValue, Long.MinValue))
+    var touch = st.touch
+    var touchUs = st.touch_us
     sorted.foreach { e =>
       e.event_type match {
-        case "view" | "click" => touch = e.event_type
+        // the carried touch follows event time, not arrival order: a
+        // cross-batch late touch (bounded by the watermark delay) must
+        // not replace a newer carried one — the LocfStream rule
+        case "view" | "click" if e.ts_us >= touchUs =>
+          touch = e.event_type; touchUs = e.ts_us
         case "purchase" =>
           out += Credit(uid, if (touch == null) "none" else touch, e.value)
         case _ => ()
       }
     }
-    val lastUs = sorted.last.ts_us
-    state.update(Touch(touch, lastUs))
+    // max: a late batch must not regress the idle-eviction horizon
+    val lastUs = math.max(st.last_us, sorted.last.ts_us)
+    state.update(Touch(touch, touchUs, lastUs))
     state.setTimeoutTimestamp(lastUs / 1000L + IdleEvictMs)
     out.iterator
   }

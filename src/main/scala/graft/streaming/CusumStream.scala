@@ -57,7 +57,11 @@ object CusumStream {
           val out = sorted.map { e =>
             val cs = st.cs + (e.cents * n - sumCents)
             val minCs = math.min(st.minCs, cs)
-            st = St(cs, minCs, e.ts_us)
+            // max: a cross-batch late batch must not regress the
+            // idle-eviction horizon (the cumsum itself commutes; the
+            // running-min statistic keeps the documented per-key
+            // event-time ordering contract)
+            st = St(cs, minCs, math.max(st.lastTsUs, e.ts_us))
             val stat = cs - minCs
             // stat is in cents·n; the batch decimal is (cents/100)·n, and
             // both renderings are correctly-rounded doubles of the same

@@ -27,7 +27,7 @@ object LocfStream {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                 event_id: Long, v: Option[Double])
-  case class Carry(last: Option[Double], lastTsUs: Long)
+  case class Carry(last: Option[Double], lastObsTsUs: Long, lastTsUs: Long)
   case class Out(event_id: Long, user_id: Long, tus: Long,
                  was_missing: Boolean, v_filled: Double)
 
@@ -41,10 +41,19 @@ object LocfStream {
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
-    var st = state.getOption.getOrElse(Carry(None, 0L))
+    var st = state.getOption.getOrElse(Carry(None, Long.MinValue, Long.MinValue))
     val out = sorted.map { e =>
       val filled = e.v.orElse(st.last).getOrElse(0.0)
-      st = Carry(e.v.orElse(st.last), e.ts_us)
+      // the carried observation is the max-event-time PRESENT value: a
+      // cross-batch late observation (bounded by the watermark delay)
+      // must not replace a NEWER carried value for every future fill —
+      // and a late batch must not regress the idle-eviction horizon.
+      // The late event's own fill above still reads the newest carried
+      // state: the bounded-disorder approximation an O(1) carry permits
+      st = Carry(
+        if (e.v.isDefined && e.ts_us >= st.lastObsTsUs) e.v else st.last,
+        if (e.v.isDefined) math.max(st.lastObsTsUs, e.ts_us) else st.lastObsTsUs,
+        math.max(st.lastTsUs, e.ts_us))
       Out(e.event_id, uid, e.ts_us, e.v.isEmpty, filled)
     }
     state.update(st)

@@ -29,7 +29,8 @@ object PitStream {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                 event_id: Long, event_type: String, value: Double)
-  case class PitState(lastView: Option[Double], lastClick: Option[Double],
+  case class PitState(lastView: Option[Double], lastViewUs: Long,
+                      lastClick: Option[Double], lastClickUs: Long,
                       nSignups: Long, lastTsUs: Long)
   case class Feat(event_id: Long, user_id: Long, purchase_us: Long,
                   f_last_view_value: Option[Double],
@@ -45,7 +46,8 @@ object PitStream {
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
-    var st = state.getOption.getOrElse(PitState(None, None, 0L, 0L))
+    var st = state.getOption.getOrElse(
+      PitState(None, Long.MinValue, None, Long.MinValue, 0L, Long.MinValue))
     val out = scala.collection.mutable.ArrayBuffer.empty[Feat]
     sorted.foreach { e =>
       e.event_type match {
@@ -55,12 +57,17 @@ object PitStream {
           // window frame ending at -1
           out += Feat(e.event_id, uid, e.ts_us,
             st.lastView, st.lastClick, st.nSignups)
-        case "view"   => st = st.copy(lastView = Some(e.value))
-        case "click"  => st = st.copy(lastClick = Some(e.value))
+        // last-observation slots follow event time, not arrival order:
+        // a cross-batch late touch (bounded by the watermark delay)
+        // must not replace a newer carried value — the LocfStream rule
+        case "view" if e.ts_us >= st.lastViewUs =>
+          st = st.copy(lastView = Some(e.value), lastViewUs = e.ts_us)
+        case "click" if e.ts_us >= st.lastClickUs =>
+          st = st.copy(lastClick = Some(e.value), lastClickUs = e.ts_us)
         case "signup" => st = st.copy(nSignups = st.nSignups + 1L)
         case _        => ()
       }
-      st = st.copy(lastTsUs = e.ts_us)
+      st = st.copy(lastTsUs = math.max(st.lastTsUs, e.ts_us))
     }
     state.update(st)
     state.setTimeoutTimestamp(st.lastTsUs / 1000L + IdleEvictMs)

@@ -52,7 +52,10 @@ object RollMedianStream {
     var st = state.getOption.getOrElse(Ring(Seq.empty, 0L))
     val out = sorted.map { e =>
       val frame = (st.vals :+ e.value).takeRight(FrameLen)
-      st = Ring(frame, e.ts_us)
+      // max: the ring itself is a sequential statistic under the
+      // documented ordering contract, but a late batch must not
+      // regress the idle-eviction horizon
+      st = Ring(frame, math.max(st.lastTsUs, e.ts_us))
       Out(e.event_id, uid, frame.length.toLong, medianOf(frame))
     }
     state.update(st)

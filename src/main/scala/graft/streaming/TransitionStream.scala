@@ -50,7 +50,15 @@ object TransitionStream {
     var last = state.getOption
     sorted.foreach { e =>
       last.foreach(l => out += Pair(uid, l.event_type, e.event_type))
-      last = Some(Last(e.ts_us, e.event_id, e.event_type))
+      // the carried predecessor follows the (ts_us, event_id) total
+      // order: a cross-batch late event (bounded by the watermark
+      // delay) must not become "last" over a newer carried one — its
+      // own pair above is the bounded-disorder approximation, but
+      // every FUTURE pair keeps the right predecessor. Also keeps the
+      // idle-eviction horizon from regressing.
+      if (last.forall(l => e.ts_us > l.ts_us ||
+          (e.ts_us == l.ts_us && e.event_id >= l.event_id)))
+        last = Some(Last(e.ts_us, e.event_id, e.event_type))
     }
     state.update(last.get)
     state.setTimeoutTimestamp(last.get.ts_us / 1000L + IdleEvictMs)

@@ -402,6 +402,42 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${streamed.toSeq.sortBy(t => (t._1, t._2))}")
   }
 
+  test("LOCF carries the max-event-time observation: a cross-batch late value cannot mask a newer one") {
+    // The last-observation guard shared by LOCF / PIT / attribution: a
+    // late-arriving observation (older event time, within the 30 min
+    // watermark delay) must not replace the carried newer value for
+    // future fills. Old fold: batch-2's late value 9.0 overwrote the
+    // carried 5.0 and batch-3's missing event filled with 9.0.
+    // event_id % 7 < 3 is the missing mask (ids 3, 10 present; 1
+    // missing).
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("locf_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((20L, m(10), 3L, 5.0)))
+    batch("b2", t0 + 10000, Seq((20L, m(2), 10L, 9.0))) // late, older obs
+    batch("b3", t0 + 20000, Seq((20L, m(12), 1L, 0.0))) // missing -> fill
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.LocfStream.fillsOf(src), "t_locf_ooo")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getDouble(4))).toSet
+    assert(got == Set((3L, false, 5.0), (10L, false, 9.0), (1L, true, 5.0)),
+      s"got $got — the missing event at m(12) must fill with the NEWER obs 5.0")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
