@@ -71,9 +71,17 @@ object AttributionStream {
   /** Streaming purchase credits (one row per purchase, attributed to
     * the user's most recent prior touch), append mode.
     */
-  def credits(spark: SparkSession, sfDir: String): DataFrame = {
+  def credits(spark: SparkSession, sfDir: String): DataFrame =
+    creditsOf(EventsStreaming.eventsStream(spark, sfDir))
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, event_type, value) — the entry point multi-micro-batch
+    * replay tests use to drive cross-batch chaining and disorder.
+    */
+  def creditsOf(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("value"))

@@ -438,6 +438,40 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the missing event at m(12) must fill with the NEWER obs 5.0")
   }
 
+  test("attribution carries the max-event-time touch: a cross-batch late click cannot beat a newer view") {
+    // Same guard as LOCF, for the last-touch slot: user 30 views at
+    // m(10) (batch 1), a LATE click at m(2) arrives in batch 2 (within
+    // the 30 min watermark delay), the purchase at m(12) lands in
+    // batch 3. Last touch by event time is the VIEW; the old fold let
+    // the late click overwrite it.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("attr_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((30L, m(10), 1L, "view", 0.0)))
+    batch("b2", t0 + 10000, Seq((30L, m(2), 2L, "click", 0.0))) // late touch
+    batch("b3", t0 + 20000, Seq((30L, m(12), 3L, "purchase", 7.5)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.AttributionStream.creditsOf(src), "t_attr_ooo")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((30L, "view", 7.5)),
+      s"got $got — the purchase must credit the NEWER view, not the late click")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
