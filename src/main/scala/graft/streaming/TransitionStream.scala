@@ -68,9 +68,17 @@ object TransitionStream {
   /** Streaming per-user consecutive (from, to) event-type pairs,
     * append mode.
     */
-  def pairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def pairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairsOf(EventsStreaming.eventsStream(spark, sfDir))
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, event_type) — the entry point multi-micro-batch replay
+    * tests use to drive cross-batch chaining and disorder.
+    */
+  def pairsOf(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))

@@ -472,6 +472,41 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the purchase must credit the NEWER view, not the late click")
   }
 
+  test("transitions keep the max-(ts, event_id) predecessor across a late batch") {
+    // user 40 views at m(10); a LATE click at m(2) lands in batch 2;
+    // the purchase at m(12) lands in batch 3. The late click emits its
+    // own (view -> click) pair (the bounded-disorder approximation),
+    // but the carried predecessor must STAY the newer view, so the
+    // purchase pairs as (view -> purchase) — the old fold carried the
+    // late click and emitted (click -> purchase).
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("trans_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((40L, m(10), 1L, "view")))
+    batch("b2", t0 + 10000, Seq((40L, m(2), 2L, "click"))) // late
+    batch("b3", t0 + 20000, Seq((40L, m(12), 3L, "purchase")))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.TransitionStream.pairsOf(src), "t_trans_ooo")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("view", "click"), ("view", "purchase")),
+      s"got $got — the purchase's predecessor must be the newer view")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
