@@ -75,9 +75,17 @@ object PitStream {
   }
 
   /** Streaming per-purchase PIT feature vectors, append mode. */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    featuresOf(EventsStreaming.eventsStream(spark, sfDir))
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, event_type, value) — the entry point multi-micro-batch
+    * replay tests use to drive cross-batch chaining and disorder.
+    */
+  def featuresOf(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("value"))

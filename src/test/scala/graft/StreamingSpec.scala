@@ -507,6 +507,40 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the purchase's predecessor must be the newer view")
   }
 
+  test("PIT feature slots follow event time: a cross-batch late view cannot mask a newer one") {
+    // user 50 views 2.0 at m(10); a LATE view 9.0 at m(2) arrives in
+    // batch 2; the purchase at m(12) lands in batch 3 and must read
+    // f_last_view_value = 2.0 (the old fold let the late view
+    // overwrite the newer slot and served 9.0 — a training-serving
+    // skew bug: the batch PIT join always picks the latest prior row).
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("pit_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((50L, m(10), 1L, "view", 2.0)))
+    batch("b2", t0 + 10000, Seq((50L, m(2), 2L, "view", 9.0))) // late view
+    batch("b3", t0 + 20000, Seq((50L, m(12), 3L, "purchase", 0.0)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.PitStream.featuresOf(src), "t_pit_ooo")
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set((50L, Some(2.0))),
+      s"got $got — the purchase must read the NEWER view value 2.0")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
