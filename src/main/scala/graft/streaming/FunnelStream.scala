@@ -36,14 +36,23 @@ object FunnelStream {
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     var st = state.getOption.getOrElse(Acc(Unset, Unset, Unset))
     sorted.foreach { e =>
+      // each slot is the MIN qualifying event time, not first-arrival:
+      // a cross-batch late event (bounded by the watermark delay) can
+      // move a slot EARLIER — always consistency-preserving (the next
+      // slot was strictly after the old value, hence still after the
+      // new minimum) and strictly closer to the batch min-aggregates.
+      // For in-order arrival the min conditions reduce to the original
+      // fill-once machine. Residual: an event REJECTED before a late
+      // earlier view/click arrived cannot be retro-accepted — the
+      // O(1)-state trade.
       e.event_type match {
-        case "view" if st.view_us == Unset =>
+        case "view" if st.view_us == Unset || e.ts_us < st.view_us =>
           st = st.copy(view_us = e.ts_us)
-        case "click" if st.view_us != Unset && st.click_us == Unset &&
-          e.ts_us > st.view_us =>
+        case "click" if st.view_us != Unset && e.ts_us > st.view_us &&
+          (st.click_us == Unset || e.ts_us < st.click_us) =>
           st = st.copy(click_us = e.ts_us)
-        case "purchase" if st.click_us != Unset && st.purch_us == Unset &&
-          e.ts_us > st.click_us =>
+        case "purchase" if st.click_us != Unset && e.ts_us > st.click_us &&
+          (st.purch_us == Unset || e.ts_us < st.purch_us) =>
           st = st.copy(purch_us = e.ts_us)
         case _ => ()
       }
@@ -60,9 +69,17 @@ object FunnelStream {
   /** Streaming per-user funnel stage; one updated row per user per
     * micro-batch (update output mode).
     */
-  def stages(spark: SparkSession, sfDir: String): DataFrame = {
+  def stages(spark: SparkSession, sfDir: String): DataFrame =
+    stagesOf(EventsStreaming.eventsStream(spark, sfDir))
+
+  /** Same stream over an arbitrary source with (user_id, ts: TIMESTAMP,
+    * event_id, event_type) — the entry point multi-micro-batch replay
+    * tests use to drive cross-batch chaining and disorder.
+    */
+  def stagesOf(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
     import spark.implicits._
-    EventsStreaming.eventsStream(spark, sfDir)
+    stream
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[Ev]

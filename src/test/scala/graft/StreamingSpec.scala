@@ -541,6 +541,41 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the purchase must read the NEWER view value 2.0")
   }
 
+  test("funnel slots move earlier on a cross-batch late view, unlocking later clicks") {
+    // user 60: a view lands at m(10) (batch 1); the TRUE first view at
+    // m(2) arrives late in batch 2; a click at m(7) lands in batch 3.
+    // Batch semantics (min-aggregates): first view m(2), click m(7) >
+    // m(2) qualifies -> stage 2. The old fill-once machine kept view =
+    // m(10) and rejected the click -> stage 1. Stage is monotone per
+    // batch, so max(stage) over the update-mode sink is the final.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("funnel_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((60L, m(10), 1L, "view")))
+    batch("b2", t0 + 10000, Seq((60L, m(2), 2L, "view"))) // true first view, late
+    batch("b3", t0 + 20000, Seq((60L, m(7), 3L, "click")))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val finalStage = EventsStreaming.runUpdateToCompletion(spark,
+      streaming.FunnelStream.stagesOf(src), "t_funnel_ooo")
+      .agg(max(col("stage"))).head().getInt(0)
+    assert(finalStage == 2,
+      s"got stage $finalStage — the late first view must unlock the m(7) click")
+  }
+
   test("per-event carry streams chain state across micro-batches and evict past the idle horizon") {
     // The two cross-batch behaviors a single-batch replay can never
     // exercise, pinned on a crafted 4-batch replay shared by LOCF and
