@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * plus the Tier A generator's throughput, printing one JSON line.
+  * The stdout line (the driver's parse target) reports per-query MINs;
+  * BENCH_FULL.json additionally carries `queries_med` (median of the
+  * same 3 hybrid reps) so a JIT-window round is self-diagnosing from
+  * the JSON alone (min steady + median 2× above it = compile window,
+  * not a regression).
   *
   * A warm-up pass (same queries at sf0.001) runs first so the timed
   * numbers are steady-state — JIT, codegen caches, and parquet footer
@@ -87,7 +92,7 @@ object Bench {
     //    consecutive-rep solo mins reproduce the r9-comparable 77 s
     //    level). The pass-2 double-run restores that hot rep on a JVM
     //    that is fully warm AND past any compile window.
-    def timedPass(reps: Int): Map[String, Double] =
+    def timedPass(reps: Int): Map[String, Seq[Double]] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -97,13 +102,22 @@ object Bench {
           releaseState()
           if (ok) dt else -1.0
         }
-        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+        name -> times.toSeq
       }.toMap
     val pass1 = timedPass(1)
     val pass2 = timedPass(2)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // min = round-over-round comparison continuity; median = JIT-window
+    // visibility (a query whose min is steady but whose median sits 2×
+    // above it was caught in a compile window — SCALE.md §"Bench-mover
+    // solo verification (round 11)"). Any failed rep reports -1 in both.
+    val reps3 = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> (pass1(name) ++ pass2(name))
+    }
+    val results = reps3.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val medians = reps3.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
 
     // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
@@ -161,8 +175,10 @@ object Bench {
     val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullMeds = medians.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_med":$fullMeds,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -65,7 +65,14 @@ object ScaleBench {
       // the basket-local derivation (the replica's shifted order AND
       // part keys make the 10x graph 10 disjoint copies, so slopes
       // measure the derivation + closure/supersteps, not densification)
-      "q_graph_pagerank", "q_graph_jaccard", "q_graph_degdist", "q_assoc_rules")
+      "q_graph_pagerank", "q_graph_jaccard", "q_graph_degdist", "q_assoc_rules",
+      // round-11 additions: q_bpe_encode (3rd most expensive, verdict
+      // residual #3 — its encode pass is shuffle-free, so anything
+      // superlinear would mean the nested-replace chain's eval cost
+      // grows with corpus size, which this row exists to refute) and
+      // q_sink_overwrite (the new idempotent bulk-load sink — scales
+      // with bytes written ×3 loads, like rangeparts)
+      "q_bpe_encode", "q_sink_overwrite")
     // JIT/codegen warm-up at the smallest SF
     names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
 

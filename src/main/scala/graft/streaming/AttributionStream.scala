@@ -24,6 +24,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Within a micro-batch events fold in (ts_us, event_id) order — the
   * batch window's order. Across micro-batches the same per-key
   * event-time ordering contract as EwmaStream applies.
+  *
+  * Bounded-disorder residual: a cross-batch LATE purchase whose carried
+  * touch is AFTER it in the (ts_us, event_id) total order credits
+  * "none" rather than the future touch (the true earlier touch, if one
+  * existed, was overwritten by the newer carry — "none" under-credits
+  * but never leaks the future; bounded by the 30 min watermark).
+  *
+  * State schema note: Touch changed shape in rounds 10 (2→3 fields)
+  * and 11 (3→4: the slot carries its winning event_id for the exact
+  * (ts_us, event_id) carry/emit guards). Streaming checkpoints from
+  * prior builds are NOT resumable across these boundaries — fresh
+  * replays only, which is the only posture the suite exercises.
   */
 object AttributionStream {
 
@@ -32,7 +44,7 @@ object AttributionStream {
   // the projection keeps it alongside the long form used for sorting
   case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                 event_id: Long, event_type: String, value: Double)
-  case class Touch(touch: String, touch_us: Long, last_us: Long)
+  case class Touch(touch: String, touch_us: Long, touch_eid: Long, last_us: Long)
   case class Credit(user_id: Long, touch_type: String, value: Double)
 
   private val IdleEvictMs = 3600000L
@@ -46,24 +58,34 @@ object AttributionStream {
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Credit]
-    val st = state.getOption.getOrElse(Touch(null, Long.MinValue, Long.MinValue))
+    val st = state.getOption.getOrElse(Touch(null, Long.MinValue, Long.MinValue, Long.MinValue))
     var touch = st.touch
     var touchUs = st.touch_us
+    var touchEid = st.touch_eid
     sorted.foreach { e =>
       e.event_type match {
-        // the carried touch follows event time, not arrival order: a
-        // cross-batch late touch (bounded by the watermark delay) must
-        // not replace a newer carried one — the LocfStream rule
-        case "view" | "click" if e.ts_us >= touchUs =>
-          touch = e.event_type; touchUs = e.ts_us
+        // the carried touch follows the (ts_us, event_id) total order,
+        // not arrival order: a cross-batch late touch (bounded by the
+        // watermark delay) must not replace a newer carried one — the
+        // LocfStream rule, with TransitionStream's event_id tie-break
+        case "view" | "click" if e.ts_us > touchUs ||
+            (e.ts_us == touchUs && e.event_id >= touchEid) =>
+          touch = e.event_type; touchUs = e.ts_us; touchEid = e.event_id
         case "purchase" =>
-          out += Credit(uid, if (touch == null) "none" else touch, e.value)
+          // a cross-batch LATE purchase must not credit a touch from
+          // its own future — "none" instead (PIT-safe; see scaladoc)
+          val credited =
+            if (touch == null) "none"
+            else if (touchUs < e.ts_us ||
+              (touchUs == e.ts_us && touchEid < e.event_id)) touch
+            else "none"
+          out += Credit(uid, credited, e.value)
         case _ => ()
       }
     }
     // max: a late batch must not regress the idle-eviction horizon
     val lastUs = math.max(st.last_us, sorted.last.ts_us)
-    state.update(Touch(touch, touchUs, lastUs))
+    state.update(Touch(touch, touchUs, touchEid, lastUs))
     state.setTimeoutTimestamp(lastUs / 1000L + IdleEvictMs)
     out.iterator
   }

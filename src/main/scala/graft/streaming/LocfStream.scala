@@ -25,9 +25,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object LocfStream {
 
+  // State schema note: Carry changed shape in rounds 10 (1→3 fields)
+  // and 11 (3→4: the obs slot carries its winning event_id so the
+  // carry guard uses the exact (ts_us, event_id) total order).
+  // Streaming checkpoints from prior builds are NOT resumable across
+  // these boundaries — fresh replays only.
   case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                 event_id: Long, v: Option[Double])
-  case class Carry(last: Option[Double], lastObsTsUs: Long, lastTsUs: Long)
+  case class Carry(last: Option[Double], lastObsTsUs: Long, lastObsEid: Long,
+                   lastTsUs: Long)
   case class Out(event_id: Long, user_id: Long, tus: Long,
                  was_missing: Boolean, v_filled: Double)
 
@@ -41,18 +47,23 @@ object LocfStream {
     }
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
-    var st = state.getOption.getOrElse(Carry(None, Long.MinValue, Long.MinValue))
+    var st = state.getOption.getOrElse(Carry(None, Long.MinValue, Long.MinValue, Long.MinValue))
     val out = sorted.map { e =>
       val filled = e.v.orElse(st.last).getOrElse(0.0)
-      // the carried observation is the max-event-time PRESENT value: a
-      // cross-batch late observation (bounded by the watermark delay)
-      // must not replace a NEWER carried value for every future fill —
-      // and a late batch must not regress the idle-eviction horizon.
-      // The late event's own fill above still reads the newest carried
-      // state: the bounded-disorder approximation an O(1) carry permits
+      // the carried observation is the max-(ts_us, event_id) PRESENT
+      // value (TransitionStream's predecessor rule): a cross-batch late
+      // observation (bounded by the watermark delay) — including one at
+      // an EQUAL timestamp with a smaller event_id — must not replace a
+      // NEWER carried value for every future fill, and a late batch
+      // must not regress the idle-eviction horizon. The late event's
+      // own fill above still reads the newest carried state: the
+      // bounded-disorder approximation an O(1) carry permits
+      val obsWins = e.v.isDefined && (e.ts_us > st.lastObsTsUs ||
+        (e.ts_us == st.lastObsTsUs && e.event_id >= st.lastObsEid))
       st = Carry(
-        if (e.v.isDefined && e.ts_us >= st.lastObsTsUs) e.v else st.last,
-        if (e.v.isDefined) math.max(st.lastObsTsUs, e.ts_us) else st.lastObsTsUs,
+        if (obsWins) e.v else st.last,
+        if (obsWins) e.ts_us else st.lastObsTsUs,
+        if (obsWins) e.event_id else st.lastObsEid,
         math.max(st.lastTsUs, e.ts_us))
       Out(e.event_id, uid, e.ts_us, e.v.isEmpty, filled)
     }

@@ -83,4 +83,43 @@ class BucketingSpec extends AnyFunSuite {
         s"${dir.getName}: rows not sorted by o_orderkey within the file")
     }
   }
+
+  test("q_sink_overwrite: dynamic partition overwrite is idempotent and scoped to the batch") {
+    // The query itself computes the invariants over its own directory
+    // snapshots and folds them into two boolean columns; this test
+    // re-asserts them from OUTSIDE the query (so the gate can't be
+    // weakened by a query edit alone) and pins the physical layout:
+    //  - every year partition holds exactly ONE sorted file (the
+    //    bulk-load contract shared with q_sink_rangeparts);
+    //  - the batch partition (oy=1998) was rewritten by the rerun while
+    //    every other partition still holds its initial-load file.
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_sink_overwrite")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"untouched_preserved=false: $r")
+      assert(r.getBoolean(6), s"rerun_idempotent=false: $r")
+    }
+    val root = new java.io.File(
+      s"/tmp/graft_q_source_overwrite_${sf.replaceAll("[^0-9A-Za-z]", "_")}")
+    val oyDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("oy="))
+    assert(oyDirs.length == rows.length, s"expected ${rows.length} partitions, got ${oyDirs.length}")
+    oyDirs.foreach { dir =>
+      val dataFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1,
+        s"${dir.getName}: expected exactly 1 file per partition, got ${dataFiles.length}")
+      val keys = spark.read.parquet(dataFiles.head.getAbsolutePath)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted),
+        s"${dir.getName}: rows not sorted by o_orderkey within the file")
+    }
+    // the final table equals the base table exactly — dynamic overwrite
+    // neither dropped untouched partitions (static-mode truncation)
+    // nor doubled the re-run batch
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf).select("o_orderkey")
+    val sunk = spark.read.parquet(root.getAbsolutePath).select("o_orderkey")
+    assert(sunk.count() == base.count())
+    assert(sunk.exceptAll(base).count() == 0 && base.exceptAll(sunk).count() == 0)
+  }
 }

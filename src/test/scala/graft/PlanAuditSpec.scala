@@ -740,4 +740,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fixed-merge-table encode must not shuffle the corpus, got $hashExchanges:\n$plan")
     assert(!plan.contains("Window"), s"no window needed for the encode pass:\n$plan")
   }
+
+  test("q_text_perplexity: trigram aggregate computed once (ReuseExchange); profile broadcasts") {
+    // Round-11 pin for the r10 bench-mover investigation: the per-doc
+    // distinct-trigram aggregate td feeds BOTH the profile branch and
+    // the probe branch through the identical (doc_id, lang, tri)
+    // exchange — ReuseExchange must materialize the explode + first
+    // aggregation ONCE (losing the reuse doubles the dominant trigram
+    // pass). The bounded profile and totals join in as broadcasts; the
+    // corpus is never join-shuffled. Reuse is an AQE-time decision, so
+    // pin the FINAL executed plan.
+    val df = SparkEntry.queries("q_text_perplexity")(spark, sf)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans — pin
+    // only the final (executed) section or every node counts twice
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"the (doc_id, lang, tri) aggregate exchange must be computed once and reused:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj == 2,
+      s"profile and totals both join as broadcasts, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for a join — profile/totals are bounded broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_text_tfidf: top-3 terms ride the TopKPerGroup heap; tf/df shuffle on the word") {
+    // Round-11 pin, same investigation: the rn <= 3 filter over the
+    // per-doc score window must plan as the bounded-heap operator (a
+    // stock window re-sorts every doc's full vocabulary), and the
+    // 1-row doc count joins in as a broadcast — the corpus-sized tf
+    // and df tables shuffle on their keys, never broadcast.
+    graft.plans.TopKRewriteRule.register(spark)
+    val plan = planOf("q_text_tfidf")
+    assert(plan.contains("TopKPerGroupFinal"),
+      s"the rn <= 3 cut must ride the bounded-heap TopKPerGroup operator:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row doc count must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar crossJoin must plan as a broadcast nested loop over 1 row, not a cartesian:\n$plan")
+  }
 }

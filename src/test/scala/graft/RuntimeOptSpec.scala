@@ -63,6 +63,76 @@ class RuntimeOptSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-join splits q_join_skew's join shape unsalted, same result as the manual salt") {
+    // Round-11 audit (verdict item 7): the SAME lineitem ⋈ supplier
+    // join shape q_join_skew hand-salts, on an input with a REAL hot
+    // key (testdata suppkeys are uniform, so the skew is manufactured
+    // deterministically: 90% of lines redirect to suppkey 1 — the
+    // distribution a hot-product supplier produces). Run once
+    // UNSALTED under AQE skew-join and once through q_join_skew's
+    // exact salting (salt big side ×8, replicate dim ×8): AQE must
+    // (a) split the hot partition at runtime (skew=true on the
+    // sort-merge join) and (b) produce exactly the salted plan's
+    // rows — the adaptive split and the manual salt are two mechanics
+    // for the same answer. When manual salting still wins, per
+    // SCALE.md §"AQE skew split vs manual salting": known-hot keys
+    // (salt bounds EVERY run's straggler; AQE reacts only after map
+    // stats exist), skewed AGGREGATIONS (AQE splits join partitions,
+    // not a hot groupBy — q_agg_salted's territory), and pipelines
+    // that pre-aggregate per salt before the join.
+    //
+    // Two detection preconditions this test documents (both found
+    // empirically, both 100 TB-relevant):
+    //  - AQE splits a skewed reduce partition into MAP-OUTPUT-RANGE
+    //    chunks, so the upstream stage must have >1 map task — the
+    //    single-file sf0.001 scan (one mapper) is unsplittable no
+    //    matter how skewed; hence sf0.01 + repartition(8). On a real
+    //    cluster the upstream always has thousands of mappers.
+    //  - Detection reads COMPRESSED shuffle sizes: a hot key whose
+    //    rows carry no payload (constant key, all other columns
+    //    pruned) can compress below the skew threshold and look
+    //    un-skewed — size-based detection needs real payload bytes.
+    val sf = "/root/testdata/sf0.01"
+    val skewed = Tables.lineitem(spark, sf)
+      .select(
+        when(pmod(col("l_orderkey"), lit(10)) < 9, 1L)
+          .otherwise(col("l_suppkey")).as("l_suppkey"),
+        col("l_quantity"))
+      .repartition(8)
+    val dim = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
+    def agg(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(Tables.Dec2)).cast("double").as("qty"))
+    val unsalted = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val df = agg(skewed.join(dim, col("l_suppkey") === col("s_suppkey")))
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to split the hot-suppkey join partition at runtime:\n$plan")
+      rows
+    }
+    // q_join_skew's exact salting mechanics over the same skewed input
+    val salted = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val S = 8
+      val big = skewed.withColumn("salt_b",
+        pmod(xxhash64(col("l_suppkey"), col("l_quantity")), lit(S)).cast("int"))
+      val rep = dim.withColumn("salt_d", explode(sequence(lit(0), lit(S - 1))))
+      agg(big.join(rep,
+        col("l_suppkey") === col("s_suppkey") && col("salt_b") === col("salt_d")))
+        .collect()
+    }
+    assert(unsalted.map(_.toSeq).toSet == salted.map(_.toSeq).toSet,
+      "AQE-split unsalted join must equal the manually salted result")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -541,6 +541,112 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the purchase must read the NEWER view value 2.0")
   }
 
+  test("a cross-batch late purchase never reads a future slot: PIT serves None, attribution credits none") {
+    // user 70 views 2.0 at m(10) (batch 1); a LATE purchase at m(2)
+    // arrives in batch 2, within the 30 min watermark delay. The
+    // carried view is AFTER the purchase in event time, so serving it
+    // would leak the future vs the batch PIT oracle: the emit guard
+    // must serve None (PIT) / credit "none" (attribution) instead.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("late_purchase").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((70L, m(10), 2L, "view", 2.0)))
+    batch("b2", t0 + 10000, Seq((70L, m(2), 1L, "purchase", 7.5))) // late purchase
+    def src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val pit = EventsStreaming.runAppendToCompletion(spark,
+      streaming.PitStream.featuresOf(src), "t_pit_latep")
+      .collect().map(r => (r.getLong(1), Option(r.get(3)), r.getLong(5))).toSet
+    assert(pit == Set((70L, None, 0L)),
+      s"got $pit — the late purchase must not read the m(10) view from its future")
+    val attr = EventsStreaming.runAppendToCompletion(spark,
+      streaming.AttributionStream.creditsOf(src), "t_attr_latep")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(attr == Set((70L, "none", 7.5)),
+      s"got $attr — the late purchase must not credit the m(10) view from its future")
+  }
+
+  test("equal-timestamp cross-batch carries break ties on event_id: PIT slot keeps the larger-id winner") {
+    // user 80: view 5.0 at (m(10), eid 10) in batch 1; a late view 9.0
+    // at the SAME timestamp with a SMALLER event_id (m(10), eid 2)
+    // arrives in batch 2. The (ts_us, event_id) total order says eid 10
+    // is the winner — a ts-only >= guard would let the late row
+    // overwrite it. The purchase at m(12) must read 5.0.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("pit_tie").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((80L, m(10), 10L, "view", 5.0)))
+    batch("b2", t0 + 10000, Seq((80L, m(10), 2L, "view", 9.0))) // same ts, smaller id
+    batch("b3", t0 + 20000, Seq((80L, m(12), 20L, "purchase", 0.0)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.PitStream.featuresOf(src), "t_pit_tie")
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set((80L, Some(5.0))),
+      s"got $got — the equal-ts carry must keep eid 10's value 5.0")
+  }
+
+  test("equal-timestamp cross-batch carries break ties on event_id: LOCF keeps the larger-id observation") {
+    // user 81: present obs 5.0 at (m(10), eid 10) in batch 1; a late
+    // present obs 9.0 at the SAME timestamp with a SMALLER event_id
+    // (m(10), eid 3) in batch 2; the missing event (eid 1, 1%7<3) at
+    // m(12) must fill with 5.0 — eid 10 wins the (ts_us, event_id)
+    // total order.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("locf_tie").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((81L, m(10), 10L, 5.0)))
+    batch("b2", t0 + 10000, Seq((81L, m(10), 3L, 9.0))) // same ts, smaller id
+    batch("b3", t0 + 20000, Seq((81L, m(12), 1L, 0.0))) // missing -> fill
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.LocfStream.fillsOf(src), "t_locf_tie")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getDouble(4))).toSet
+    assert(got == Set((10L, false, 5.0), (3L, false, 9.0), (1L, true, 5.0)),
+      s"got $got — the missing event must fill with eid 10's value 5.0")
+  }
+
   test("funnel slots move earlier on a cross-batch late view, unlocking later clicks") {
     // user 60: a view lands at m(10) (batch 1); the TRUE first view at
     // m(2) arrives late in batch 2; a click at m(7) lands in batch 3.
