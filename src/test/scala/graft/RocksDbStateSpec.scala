@@ -127,6 +127,44 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("RocksDB: the late-purchase PIT guard holds across provider-resident state") {
+    // The round-11 emit guard (a cross-batch late purchase must not
+    // read a carried slot from its own future) exercised with the
+    // carried state living in RocksDB — guards that compare carried
+    // fields are exactly the code that breaks if a provider swap
+    // mangles state round-tripping.
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("rocks_latep").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((70L, m(10), 2L, "view", 2.0)))
+    batch("b2", t0 + 10000, Seq((70L, m(2), 1L, "purchase", 7.5))) // late purchase
+    def src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val (pit, attr) = withRocksDb {
+      (runAppend(streaming.PitStream.featuresOf(src), "r_pit_latep")
+         .collect().map(r => (r.getLong(1), Option(r.get(3)), r.getLong(5))).toSet,
+       runAppend(streaming.AttributionStream.creditsOf(src), "r_attr_latep")
+         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    }
+    assert(pit == Set((70L, None, 0L)),
+      s"got $pit — the late purchase must not read the m(10) view from its future")
+    assert(attr == Set((70L, "none", 7.5)),
+      s"got $attr — the late purchase must not credit the m(10) view from its future")
+  }
+
   test("RocksDB: streaming sessionize across 3 micro-batches == batch custom-state sessions, bitwise") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
