@@ -766,6 +766,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_text_ngram_lm: trigram counts shuffle once; per-lang top-10 rides the TopKPerGroup heap") {
+    // Round-11 coverage pin for the remaining unpinned members of the
+    // bench top-10: the per-lang top-10 cut must plan as the bounded
+    // heap (a stock window would re-sort the full trigram vocabulary
+    // per language), and the whole build is one scan feeding two keyed
+    // shuffles — the (lang, tri) count aggregate and the heap's lang
+    // exchange.
+    val plan = planOf("q_text_ngram_lm")
+    assert(plan.contains("TopKPerGroupFinal"),
+      s"the rnk <= 10 cut must ride the bounded-heap operator:\n$plan")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profile build is ONE corpus pass, got $scans scans:\n$plan")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"(lang, tri) count + lang heap are the only keyed shuffles, got $hashExchanges:\n$plan")
+  }
+
+  test("q_graph_kcore: peeling rounds read checkpointed survivors — no parquet rescan, no theta joins") {
+    // Three peeling rounds each checkpoint the surviving edge set; the
+    // round summaries must read those checkpoints, never re-derive the
+    // basket join from parquet, and the vertex filters must stay
+    // semi equi-joins (a theta/cartesian here is the per-round blowup
+    // the checkpointed design exists to avoid).
+    val plan = planOf("q_graph_kcore")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"peeling rounds must read checkpointed edge sets, got $scans parquet scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"round summaries must read the checkpointed survivors:\n$plan")
+    // the only NLJ allowed is the 1-row × 1-row scalar crossJoin that
+    // pairs each round's vertex and edge counts
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_profile: all column stats in ONE lineitem pass") {
+    // The profiling pass's whole claim is one scan: nulls, NDV,
+    // min/max for four measures from a single wide aggregate (Expand
+    // for the exact distincts) + a 1-row stack reshape — no joins, no
+    // windows, no second scan.
+    val plan = planOf("q_profile")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profiling is ONE pass over lineitem, got $scans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"exact multi-column NDV plans through Expand + two-phase agg:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
   test("q_text_tfidf: top-3 terms ride the TopKPerGroup heap; tf/df shuffle on the word") {
     // Round-11 pin, same investigation: the rn <= 3 filter over the
     // per-doc score window must plan as the bounded-heap operator (a
