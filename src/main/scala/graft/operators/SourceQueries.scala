@@ -221,6 +221,15 @@ object SourceQueries {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("oy").parquet(path)
+      // dynamic overwrite only ever REPLACES partitions present in a
+      // batch, so a stale dir from an interrupted earlier run would
+      // survive every load and poison the content gate — the initial
+      // full load starts from a clean slate
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmAll))
+        f.delete(); ()
+      }
+      rmAll(new java.io.File(path))
       write(base)                      // initial full load
       val full = snapshot()
       // order-independent content digest of the 1998 partition (1 row)
