@@ -772,7 +772,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // heap (a stock window would re-sort the full trigram vocabulary
     // per language), and the whole build is one scan feeding two keyed
     // shuffles — the (lang, tri) count aggregate and the heap's lang
-    // exchange.
+    // exchange. The query registers only the graft_* functions itself
+    // (GraftExtensions.register is functions-only); the rewrite rule
+    // comes from the engine posture (Verify/Bench register it up
+    // front), so this test registers it explicitly rather than
+    // depending on suite ordering.
+    graft.plans.TopKRewriteRule.register(spark)
     val plan = planOf("q_text_ngram_lm")
     assert(plan.contains("TopKPerGroupFinal"),
       s"the rnk <= 10 cut must ride the bounded-heap operator:\n$plan")
