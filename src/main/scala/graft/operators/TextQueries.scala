@@ -860,17 +860,24 @@ object TextQueries {
     // (count DESC, a, b); the oracle re-derives the same merges with
     // chained CTE stages and applies the same nested replaces.
     "q_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
       val sample = documents(s, d).filter(col("doc_id") % 10 === 0)
       val (merges, _) = graft.functions.BpeTrainer.fit(sample, BpeMerges)
-      def encWord(w: Column): Column =
-        merges.foldLeft(concat(lit("  "), regexp_replace(w, "(.)", "$1  "))) { (acc, m) =>
-          call_function("replace", acc, lit(s" ${m.a}  ${m.b} "), lit(s" ${m.a}${m.b} "))
-        }
+      // round 11: the per-word regexp-expand + 8 chained replaces +
+      // split/filter chain is now the native codegen'd
+      // BpeTokenCountExpr — same semantics (equivalence pinned against
+      // the Column formulation by BpeEncodeEquivalenceSpec, and the
+      // DuckDB oracle still re-derives the counts via the replace
+      // chain). Measured on the sf0.1 corpus pass: 0.77 s -> 0.26 s
+      // (2.9x) — the pass that scales with corpus bytes; the query's
+      // residual test-scale cost is the trainer's 8 bounded sample
+      // jobs, which amortize to nothing at 100 TB
+      val nTokens = ColumnBridge.column(graft.gen.BpeTokenCountExpr(
+        ColumnBridge.expression(col("text")),
+        merges.map(m => (m.a, m.b))))
       documents(s, d)
         .select(col("doc_id"),
-          aggregate(transform(split(col("text"), " "),
-              w => size(filter(split(encWord(w), " "), x => x =!= "")).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_tokens"),
+          nTokens.as("n_tokens"),
           length(translate(col("text"), " ", "")).cast("long").as("n_chars"))
         .withColumn("tokens_saved", col("n_chars") - col("n_tokens"))
         .orderBy("doc_id")

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Pins BpeTokenCountExpr (the round-11 native encode) to the Column
+  * formulation it replaced: '  '-expand via regexp_replace, the
+  * doubled-separator literal replace per merge, split/filter/size per
+  * word, summed per doc. The two must agree row-for-row on the real
+  * corpus AND on adversarial strings engineered at the semantic edges
+  * (line-terminator gluing, consecutive-occurrence merges, merged
+  * symbols re-merging across passes, supplementary code points,
+  * multi-space runs) — q_bpe_encode's oracle gate then only has to
+  * keep agreeing with ONE formulation.
+  */
+class BpeEncodeEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def columnForm(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(concat(lit("  "), regexp_replace(w, "(.)", "$1  "))) { (acc, m) =>
+      call_function("replace", acc, lit(s" ${m._1}  ${m._2} "), lit(s" ${m._1}${m._2} "))
+    }
+
+  private def columnCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(transform(split(text, " "),
+        w => size(filter(split(columnForm(w, merges), " "), x => x =!= "")).cast("long")),
+      lit(0L), (a, x) => a + x)
+
+  private def nativeCount(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(graft.gen.BpeTokenCountExpr(
+      ColumnBridge.expression(text), merges))
+
+  private def assertAgree(df: org.apache.spark.sql.DataFrame,
+                          merges: Seq[(String, String)]): Unit = {
+    val diff = df
+      .select(col("text"),
+        columnCount(col("text"), merges).as("col_n"),
+        nativeCount(col("text"), merges).as("nat_n"))
+      .filter(col("col_n") =!= col("nat_n"))
+      .collect()
+    assert(diff.isEmpty,
+      diff.take(5).map(r => s"'${r.getString(0)}': column=${r.get(1)} native=${r.get(2)}")
+        .mkString("; "))
+  }
+
+  test("native encode count == Column formulation on the trained merges over the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val sample = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+    val (merges, _) = graft.functions.BpeTrainer.fit(sample, operators.TextQueries.BpeMerges)
+    assertAgree(Tables.documents(spark, sf).select(col("text")),
+      merges.map(m => (m.a, m.b)))
+  }
+
+  test("native encode count == Column formulation on adversarial strings and merge tables") {
+    import spark.implicits._
+    val texts = Seq(
+      "",                       // empty doc
+      " ", "  a  b ",           // empty words from space runs
+      "aaa aaaa aa a",          // consecutive-occurrence merges (non-overlap rule)
+      "abab ababab",            // merged symbols re-merging across passes
+      "the theater breathes",   // chained multi-char merges
+      "a\nb c\n\nd \n e\n",     // line terminators glue / trail
+      "x\r\ny crlf\rz",         // CR and CRLF
+      "emoji 😀😀 pair",  // supplementary code points
+      "single",
+      "\n", "\n\n a")
+    val df = texts.toDF("text")
+    val tables = Seq(
+      Seq("a" -> "a"),                                  // self-pair
+      Seq("a" -> "a", "aa" -> "aa"),                    // merged self re-merge
+      Seq("a" -> "b", "ab" -> "ab"),
+      Seq("t" -> "h", "th" -> "e", "the" -> "a"),       // chained growth
+      Seq("😀" -> "😀"),            // supplementary merge
+      Seq("c" -> "\n"))                                 // terminator inside a pattern (never matches: \n glues)
+    tables.foreach(m => assertAgree(df, m))
+  }
+}
