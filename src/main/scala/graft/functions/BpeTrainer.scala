@@ -81,7 +81,12 @@ object BpeTrainer {
     */
   def fitEncoded(enc: DataFrame, iters: Int): (Seq[Merge], DataFrame) = {
     require(iters >= 0, s"need iters >= 0, got $iters")
-    var cur = enc
+    // every iteration's job otherwise re-derives the base encoding
+    // (scan + explode + regexp expand) before its k replaces — cache
+    // the shared prefix for the duration of the fit and release it on
+    // exit (the returned frame recomputes lazily if used afterwards)
+    val base = if (iters > 1) enc.cache() else enc
+    var cur = base
     val merges = Seq.newBuilder[Merge]
     var it = 0
     var exhausted = false
@@ -103,6 +108,7 @@ object BpeTrainer {
       }
       it += 1
     }
+    if (iters > 1) base.unpersist(blocking = false)
     (merges.result(), cur)
   }
 
