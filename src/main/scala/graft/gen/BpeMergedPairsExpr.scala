@@ -1,0 +1,68 @@
+package graft.gen
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Post-merge adjacent symbol pairs of one word for a SINGLE runtime
+  * merge (a, b) — the native form of q_bpe_apply's recount stage
+  * (expand → one doubled-separator replace → split/filter → adjacent
+  * concat), sharing BpeTokenCountImpl's symbol build and merge pass so
+  * the two BPE expressions cannot drift. Unlike BpeTokenCountExpr's
+  * literal merge table, the pair arrives as runtime child expressions
+  * (q_bpe_apply broadcasts the corpus-wide top pair and merges with
+  * it), so this is a ternary expression, not a literal-parameterized
+  * unary one. Words with fewer than two post-merge symbols yield an
+  * empty array — explode() then drops the row, exactly like the
+  * size >= 2 filter it replaces.
+  */
+case class BpeMergedPairsExpr(tok: Expression, a: Expression, b: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = tok
+  override def second: Expression = a
+  override def third: Expression = b
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merged_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING inputs, got ${children.map(_.dataType.sql).mkString(", ")}")
+
+  override protected def nullSafeEval(t: Any, av: Any, bv: Any): Any =
+    BpeMergedPairsImpl.pairs(t.asInstanceOf[UTF8String],
+      av.asInstanceOf[UTF8String], bv.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, av, bv) =>
+      s"graft.gen.BpeMergedPairsImpl.pairs($t, $av, $bv)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMergedPairsExpr =
+    copy(tok = newFirst, a = newSecond, b = newThird)
+}
+
+object BpeMergedPairsImpl {
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def pairs(tok: UTF8String, a: UTF8String, b: UTF8String): ArrayData = {
+    val s = tok.toString
+    val syms = BpeTokenCountImpl.symbols(s, 0, s.length)
+    BpeTokenCountImpl.mergePass(syms, a.toString, b.toString)
+    val n = syms.size
+    if (n < 2) return Empty
+    val out = new Array[Any](n - 1)
+    var i = 1
+    while (i < n) {
+      out(i - 1) = UTF8String.fromString(syms.get(i - 1) + syms.get(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

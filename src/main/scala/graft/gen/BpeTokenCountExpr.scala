@@ -78,7 +78,15 @@ object BpeTokenCountImpl {
     var i = 0
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') {
-        if (i > start) total += countWord(s, start, i, merges)
+        if (i > start) {
+          val syms = symbols(s, start, i)
+          var m = 0
+          while (m < merges.length) {
+            mergePass(syms, merges(m)(0), merges(m)(1))
+            m += 1
+          }
+          total += syms.size
+        }
         start = i + 1
       }
       i += 1
@@ -90,10 +98,11 @@ object BpeTokenCountImpl {
   private def isLineTerm(cp: Int): Boolean =
     cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
 
-  private def countWord(s: String, from: Int, until: Int,
-                        merges: Array[Array[String]]): Long = {
-    // symbol build: one CODE POINT per symbol ('(.)' is supplementary-
-    // aware), line terminators glue to the next symbol / trail alone
+  /** Symbol build over s[from, until): one CODE POINT per symbol
+    * ('(.)' is supplementary-aware), line terminators glue to the next
+    * symbol / trail alone — the `pending` rule.
+    */
+  def symbols(s: String, from: Int, until: Int): java.util.ArrayList[String] = {
     val syms = new java.util.ArrayList[String](until - from)
     val pending = new java.lang.StringBuilder()
     var i = from
@@ -109,30 +118,28 @@ object BpeTokenCountImpl {
       i += n
     }
     if (pending.length() > 0) syms.add(pending.toString)
+    syms
+  }
 
-    // merge passes: left-to-right, non-overlapping, in order; a merged
-    // symbol never re-matches within its own pass (write/read cursors)
-    var m = 0
-    while (m < merges.length) {
-      val a = merges(m)(0)
-      val b = merges(m)(1)
-      var read = 0
-      var write = 0
-      val sz = syms.size
-      while (read < sz) {
-        if (read + 1 < sz && syms.get(read) == a && syms.get(read + 1) == b) {
-          syms.set(write, a + b)
-          read += 2
-        } else {
-          if (write != read) syms.set(write, syms.get(read))
-          read += 1
-        }
-        write += 1
+  /** One merge pass, in place: left-to-right, non-overlapping; a
+    * merged symbol never re-matches within its own pass (write/read
+    * cursors) — the doubled-separator replace rule.
+    */
+  def mergePass(syms: java.util.ArrayList[String], a: String, b: String): Unit = {
+    var read = 0
+    var write = 0
+    val sz = syms.size
+    while (read < sz) {
+      if (read + 1 < sz && syms.get(read) == a && syms.get(read + 1) == b) {
+        syms.set(write, a + b)
+        read += 2
+      } else {
+        if (write != read) syms.set(write, syms.get(read))
+        read += 1
       }
-      var drop = syms.size
-      while (drop > write) { drop -= 1; syms.remove(drop) }
-      m += 1
+      write += 1
     }
-    syms.size.toLong
+    var drop = syms.size
+    while (drop > write) { drop -= 1; syms.remove(drop) }
   }
 }

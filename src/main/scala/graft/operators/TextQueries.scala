@@ -824,22 +824,24 @@ object TextQueries {
     // broadcast 1-row pair; the pick and the recount are the only two
     // shuffles (both map-side-combined); top-10 rides TakeOrdered.
     "q_bpe_apply" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
       val toks = documents(s, d).select(explode(split(col("text"), " ")).as("tok"))
       val top = toks.filter(length(col("tok")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("mp"))
         .groupBy("mp").agg(count(lit(1)).as("mn"))
         .orderBy(col("mn").desc, col("mp")).limit(1)
+      // round 11: the recount stage's expand + replace + split/filter +
+      // adjacent-concat chain is the native BpeMergedPairsExpr (same
+      // symbol build + merge pass as BpeTokenCountExpr — shared impl,
+      // equivalence pinned by BpeEncodeEquivalenceSpec; the runtime
+      // top pair rides in as child expressions off the broadcast)
+      val mergedPairs = ColumnBridge.column(graft.gen.BpeMergedPairsExpr(
+        ColumnBridge.expression(col("tok")),
+        ColumnBridge.expression(substring(col("mp"), 1, 1)),
+        ColumnBridge.expression(substring(col("mp"), 2, 1))))
       toks.crossJoin(broadcast(top))
-        .withColumn("seq", concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  ")))
-        .withColumn("merged", expr(
-          """replace(seq,
-            |  concat(' ', substring(mp, 1, 1), '  ', substring(mp, 2, 1), ' '),
-            |  concat(' ', mp, ' '))""".stripMargin))
-        .withColumn("sym", expr("filter(split(merged, ' '), x -> x != '')"))
-        .filter(size(col("sym")) >= 2)
-        .select(col("mp").as("merge_pair"), explode(expr(
-          "transform(sequence(1, size(sym) - 1), i -> concat(sym[i-1], sym[i]))")).as("sym_pair"))
+        .select(col("mp").as("merge_pair"), explode(mergedPairs).as("sym_pair"))
         .groupBy("merge_pair", "sym_pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("sym_pair"))
         .limit(10)

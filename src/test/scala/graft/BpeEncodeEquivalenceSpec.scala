@@ -83,4 +83,41 @@ class BpeEncodeEquivalenceSpec extends AnyFunSuite {
       Seq("c" -> "\n"))                                 // terminator inside a pattern (never matches: \n glues)
     tables.foreach(m => assertAgree(df, m))
   }
+
+  test("native merged-pairs == Column formulation per token (the q_bpe_apply recount stage)") {
+    import spark.implicits._
+    // the Column chain q_bpe_apply used before round 11, for one
+    // runtime merge (a, b): expand, one doubled-separator replace,
+    // split/filter, adjacent concat — compared as an ORDERED pair list
+    // per token against BpeMergedPairsExpr
+    def oldPairs(tok: Column, a: String, b: String): Column = {
+      val seq = concat(lit("  "), regexp_replace(tok, "(.)", "$1  "))
+      val merged = call_function("replace", seq, lit(s" $a  $b "), lit(s" $a$b "))
+      val sym = filter(split(merged, " "), x => x =!= "")
+      when(size(sym) >= 2,
+        transform(sequence(lit(1), size(sym) - 1),
+          i => concat(element_at(sym, i), element_at(sym, i + 1))))
+        .otherwise(array())
+    }
+    def newPairs(tok: Column, a: String, b: String): Column =
+      ColumnBridge.column(graft.gen.BpeMergedPairsExpr(
+        ColumnBridge.expression(tok),
+        ColumnBridge.expression(lit(a)),
+        ColumnBridge.expression(lit(b))))
+    val toks = (Seq("", "a", "aa", "aaa", "aaaa", "abab", "the", "theater",
+      "a\nb", "\naa", "aa\n", "😀😀😀", "x\r\ny") ++
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .limit(3000).collect().map(_.getString(0)).toSeq).toDF("tok")
+    for ((a, b) <- Seq("a" -> "a", "t" -> "h", "a" -> "b", "😀" -> "😀", "e" -> "r")) {
+      val diff = toks
+        .select(col("tok"),
+          oldPairs(col("tok"), a, b).as("o"),
+          newPairs(col("tok"), a, b).as("n"))
+        .filter(not(col("o") === col("n")))
+        .collect()
+      assert(diff.isEmpty, s"merge ($a,$b): " + diff.take(5).map(r =>
+        s"'${r.getString(0)}': old=${r.getSeq[String](1)} new=${r.getSeq[String](2)}").mkString("; "))
+    }
+  }
 }
