@@ -94,3 +94,63 @@ object PropertySpec extends Properties("graft") {
       (delKeys(a) intersect delKeys(b)).nonEmpty
     }
 }
+
+object BpeCountProperties extends Properties("graft.bpe") {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** REFERENCE implementation: the literal replace-chain spec the
+    * native BpeTokenCountImpl claims to equal — per word, regex-expand
+    * each code point (java-regex '.', so line terminators pass through
+    * unexpanded), then java String.replace per merge in order (the
+    * same literal non-overlapping left-to-right scan Spark's replace
+    * uses), then count non-empty space-separated tokens.
+    */
+  private def referenceCount(text: String, merges: Seq[(String, String)]): Long =
+    text.split(" ", -1).map { w =>
+      var seq = "  " + java.util.regex.Pattern.compile("(.)")
+        .matcher(w).replaceAll("$1  ")
+      merges.foreach { case (a, b) => seq = seq.replace(s" $a  $b ", s" $a$b ") }
+      seq.split(" ", -1).count(_.nonEmpty).toLong
+    }.sum
+
+  // words over a tiny alphabet so merges actually fire, with line
+  // terminators mixed in (supplementary code points are covered by
+  // BpeEncodeEquivalenceSpec's fixed cases — Gen over Char cannot
+  // produce them)
+  private val wordChar = Gen.frequency(
+    8 -> Gen.oneOf('a', 'b', 'c'),
+    1 -> Gen.oneOf('\n', '\r'),
+    1 -> Gen.const('x'))
+  private val word = Gen.listOf(wordChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+  private val mergeTable = Gen.listOfN(8, Gen.zip(sym, sym))
+
+  property("native BPE token count equals the replace-chain reference") =
+    forAll(text, mergeTable) { (t, ms) =>
+      val table = ms.map { case (a, b) => Array(a, b) }.toArray
+      graft.gen.BpeTokenCountImpl.countTokens(UTF8String.fromString(t), table) ==
+        referenceCount(t, ms)
+    }
+
+  /** Reference for the merged-pairs expression: one merge, then
+    * adjacent concat over the surviving symbols.
+    */
+  private def referencePairs(tok: String, a: String, b: String): Seq[String] = {
+    var seq = "  " + java.util.regex.Pattern.compile("(.)")
+      .matcher(tok).replaceAll("$1  ")
+    seq = seq.replace(s" $a  $b ", s" $a$b ")
+    val sym = seq.split(" ", -1).filter(_.nonEmpty)
+    if (sym.length < 2) Seq.empty
+    else sym.sliding(2).map(p => p(0) + p(1)).toSeq
+  }
+
+  property("native BPE merged pairs equal the replace-chain reference") =
+    forAll(word, sym, sym) { (w, a, b) =>
+      val got = graft.gen.BpeMergedPairsImpl.pairs(
+        UTF8String.fromString(w), UTF8String.fromString(a), UTF8String.fromString(b))
+      (0 until got.numElements()).map(i => got.getUTF8String(i).toString) ==
+        referencePairs(w, a, b)
+    }
+}
