@@ -86,6 +86,11 @@ object BpeTrainer {
     // the shared prefix for the duration of the fit and release it on
     // exit (the returned frame recomputes lazily if used afterwards)
     val base = if (iters > 1) enc.cache() else enc
+    try fitCached(base, iters)
+    finally if (iters > 1) base.unpersist(blocking = false)
+  }
+
+  private def fitCached(base: DataFrame, iters: Int): (Seq[Merge], DataFrame) = {
     var cur = base
     val merges = Seq.newBuilder[Merge]
     var it = 0
@@ -108,7 +113,6 @@ object BpeTrainer {
       }
       it += 1
     }
-    if (iters > 1) base.unpersist(blocking = false)
     (merges.result(), cur)
   }
 

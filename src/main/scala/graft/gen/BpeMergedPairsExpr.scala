@@ -51,10 +51,23 @@ object BpeMergedPairsImpl {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
+  // the merge pair comes from a 1-row broadcast, so every row of a
+  // task decodes the SAME two UTF8Strings — memoize the last decode
+  // per thread instead of allocating two fresh Strings per token
+  private final class Memo { var u: UTF8String = _; var s: String = _ }
+  private val memoA = ThreadLocal.withInitial[Memo](() => new Memo)
+  private val memoB = ThreadLocal.withInitial[Memo](() => new Memo)
+  private def decode(m: Memo, u: UTF8String): String = {
+    if (m.u == null || !m.u.equals(u)) { m.u = u.clone(); m.s = u.toString }
+    m.s
+  }
+
   def pairs(tok: UTF8String, a: UTF8String, b: UTF8String): ArrayData = {
     val s = tok.toString
     val syms = BpeTokenCountImpl.symbols(s, 0, s.length)
-    BpeTokenCountImpl.mergePass(syms, a.toString, b.toString)
+    BpeTokenCountImpl.mergePass(syms,
+      decode(memoA.get(), a), decode(memoB.get(), b),
+      BpeTokenCountImpl.trailingTerminatorSymbol(s, 0, s.length))
     val n = syms.size
     if (n < 2) return Empty
     val out = new Array[Any](n - 1)

@@ -80,9 +80,10 @@ object BpeTokenCountImpl {
       if (i == len || s.charAt(i) == ' ') {
         if (i > start) {
           val syms = symbols(s, start, i)
+          val sealedTail = trailingTerminatorSymbol(s, start, i)
           var m = 0
           while (m < merges.length) {
-            mergePass(syms, merges(m)(0), merges(m)(1))
+            mergePass(syms, merges(m)(0), merges(m)(1), sealedTail)
             m += 1
           }
           total += syms.size
@@ -121,16 +122,32 @@ object BpeTokenCountImpl {
     syms
   }
 
+  /** True when the word ends in a line-terminator run, i.e. the LAST
+    * symbol is the flushed `pending` buffer. In the doubled-separator
+    * encoding such a symbol gets NO trailing space ('(.)' never
+    * matched it), so the literal replace " a  t " can never match it
+    * as the second element of a pair — it is SEALED against merging
+    * for the whole pass chain (it stays last, so it is never a pair's
+    * first element either). Glued terminator runs mid-word end in a
+    * matched character and carry normal separators.
+    */
+  def trailingTerminatorSymbol(s: String, from: Int, until: Int): Boolean =
+    from < until && isLineTerm(s.codePointBefore(until))
+
   /** One merge pass, in place: left-to-right, non-overlapping; a
     * merged symbol never re-matches within its own pass (write/read
-    * cursors) — the doubled-separator replace rule.
+    * cursors) — the doubled-separator replace rule. `sealedTail`
+    * excludes the word-trailing terminator symbol from merging (see
+    * trailingTerminatorSymbol).
     */
-  def mergePass(syms: java.util.ArrayList[String], a: String, b: String): Unit = {
+  def mergePass(syms: java.util.ArrayList[String], a: String, b: String,
+                sealedTail: Boolean): Unit = {
     var read = 0
     var write = 0
     val sz = syms.size
+    val mergeLimit = if (sealedTail) sz - 1 else sz
     while (read < sz) {
-      if (read + 1 < sz && syms.get(read) == a && syms.get(read + 1) == b) {
+      if (read + 1 < mergeLimit && syms.get(read) == a && syms.get(read + 1) == b) {
         syms.set(write, a + b)
         read += 2
       } else {

@@ -80,7 +80,14 @@ class BpeEncodeEquivalenceSpec extends AnyFunSuite {
       Seq("a" -> "b", "ab" -> "ab"),
       Seq("t" -> "h", "th" -> "e", "the" -> "a"),       // chained growth
       Seq("😀" -> "😀"),            // supplementary merge
-      Seq("c" -> "\n"))                                 // terminator inside a pattern (never matches: \n glues)
+      Seq("c" -> "\n"),                                 // terminator inside a pattern (never matches: \n glues)
+      // the sealed-tail class (round-11 review finding): a word-final
+      // terminator run has NO trailing separator in the replace
+      // encoding, so a merge targeting it can never fire — a naive
+      // symbol-list merge would fire it
+      Seq("e" -> "\n"),
+      Seq("e" -> "\n\n"),
+      Seq("b" -> "\r"))
     tables.foreach(m => assertAgree(df, m))
   }
 
@@ -109,7 +116,9 @@ class BpeEncodeEquivalenceSpec extends AnyFunSuite {
       Tables.documents(spark, "/root/testdata/sf0.001")
         .select(explode(split(col("text"), " ")).as("t"))
         .limit(3000).collect().map(_.getString(0)).toSeq).toDF("tok")
-    for ((a, b) <- Seq("a" -> "a", "t" -> "h", "a" -> "b", "😀" -> "😀", "e" -> "r")) {
+    for ((a, b) <- Seq("a" -> "a", "t" -> "h", "a" -> "b", "😀" -> "😀", "e" -> "r",
+        // sealed-tail class: trailing terminator must never merge
+        "a" -> "\n", "y" -> "\r", "b" -> "\n")) {
       val diff = toks
         .select(col("tok"),
           oldPairs(col("tok"), a, b).as("o"),

@@ -124,7 +124,13 @@ object BpeCountProperties extends Properties("graft.bpe") {
     1 -> Gen.const('x'))
   private val word = Gen.listOf(wordChar).map(_.mkString)
   private val text = Gen.listOf(word).map(_.mkString(" "))
-  private val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+  // terminator runs INCLUDED: a merge whose second element is a
+  // terminator combined with a word ending in it is exactly the class
+  // where a naive symbol-list merge diverges from the replace chain
+  // (the trailing pending symbol has no trailing separator, so the
+  // literal replace can never match it — the sealed-tail rule)
+  private val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc",
+    "\n", "\r", "\n\n", "a\n")
   private val mergeTable = Gen.listOfN(8, Gen.zip(sym, sym))
 
   property("native BPE token count equals the replace-chain reference") =
