@@ -739,13 +739,20 @@ object TextQueries {
     // narrow scan, one map-side-combined 1-row aggregate, a 6-row
     // stack reshape; zero keyed shuffles (PlanAuditSpec pins it).
     "q_quality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      // round 11: the four rule inputs come from the native one-pass
+      // TokenStatsExpr — the old Column chain computed the top-token
+      // count QUADRATICALLY per row (distinct × n comparisons), the
+      // one per-row superlinear term in the inventory; the hashmap
+      // pass is O(tokens). Equivalence pinned against the old chain
+      // (BpeEncodeEquivalenceSpec's token-stats test); oracle unchanged
+      val st = ColumnBridge.column(graft.gen.TokenStatsExpr(
+        ColumnBridge.expression(col("text"))))
       val base = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), st.as("st"))
         .select(col("doc_id"),
-          size(col("t")).cast("long").as("n"),
-          expr("cast(aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x) as bigint)").as("sl"),
-          size(array_distinct(col("t"))).cast("long").as("nd"),
-          expr("cast(array_max(transform(array_distinct(t), u -> size(filter(t, x -> x = u)))) as bigint)").as("mx"))
+          col("st.n").as("n"), col("st.sl").as("sl"),
+          col("st.nd").as("nd"), col("st.mx").as("mx"))
       val flags = base.select(
         (col("n") < 10).as("r0"),
         (col("n") > 1000).as("r1"),

@@ -91,6 +91,30 @@ class BpeEncodeEquivalenceSpec extends AnyFunSuite {
     tables.foreach(m => assertAgree(df, m))
   }
 
+  test("native token stats == Column formulation (the q_quality_gate rule inputs)") {
+    import spark.implicits._
+    // the quadratic Column chain q_quality_gate used before round 11,
+    // kept here as the reference: n/sl/nd from array ops, mx via
+    // distinct × n filter counting
+    val texts = (Seq("", " ", "  ", "a", "a a", "a  a", "the the the cat",
+      "héllo wörld héllo", "数据 处理 数据", "😀 😀 x", "a b c d e f g a a a") ++
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("text").limit(300).collect().map(_.getString(0)).toSeq).toDF("text")
+    val t = split(col("text"), " ")
+    val diff = texts
+      .select(col("text"),
+        size(t).cast("long").as("o_n"),
+        expr("cast(aggregate(transform(split(text, ' '), x -> length(x)), 0L, (a, x) -> a + x) as bigint)").as("o_sl"),
+        size(array_distinct(t)).cast("long").as("o_nd"),
+        expr("cast(array_max(transform(array_distinct(split(text, ' ')), u -> size(filter(split(text, ' '), x -> x = u)))) as bigint)").as("o_mx"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.gen.TokenStatsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")))).as("st"))
+      .filter(col("o_n") =!= col("st.n") || col("o_sl") =!= col("st.sl") ||
+        col("o_nd") =!= col("st.nd") || col("o_mx") =!= col("st.mx"))
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+  }
+
   test("native merged-pairs == Column formulation per token (the q_bpe_apply recount stage)") {
     import spark.implicits._
     // the Column chain q_bpe_apply used before round 11, for one
