@@ -111,28 +111,45 @@ object ScaleBench {
   /** Replicate the measured queries' input tables 10× into `out`
     * (skips work when the output already exists — delete to rebuild).
     */
-  def build(spark: SparkSession, sfDir: String, out: String): Unit = {
+  def build(spark: SparkSession, sfDir: String, out: String): Unit =
+    buildTables(spark, sfDir, out, Copies,
+      Set("documents", "embeddings", "orders", "lineitem", "events"))
+
+  /** The generalized builder behind both the 10× replica and
+    * Scale100Bench's 100× one: `nCopies` alphabet-substituted,
+    * key-shifted copies of just the tables in `tables`. Same honesty
+    * rules as the 10× build (disjoint shingle sets, disjoint per-copy
+    * part/order/user key spaces) — see the per-table comments.
+    */
+  def buildTables(spark: SparkSession, sfDir: String, out: String,
+                  nCopies: Int, tables: Set[String]): Unit = {
     if (new java.io.File(out, "_built").exists()) return
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Copies).map(i => f(df, i)).reduce(_ unionAll _)
+      (0 until nCopies).map(i => f(df, i)).reduce(_ unionAll _)
 
-    val docs = Tables.documents(spark, sfDir)
-    copies(docs) { (d, i) =>
-      d.select((col("doc_id") + i * Stride).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), Rot, rotated(i))).as("text"),
-        col("lang"), col("source"))
-    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("documents")) {
+      val docs = Tables.documents(spark, sfDir)
+      copies(docs) { (d, i) =>
+        d.select((col("doc_id") + i * Stride).as("doc_id"),
+          (if (i == 0) col("text")
+           else translate(col("text"), Rot, rotated(i))).as("text"),
+          col("lang"), col("source"))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
-    val emb = Tables.embeddings(spark, sfDir)
-    copies(emb) { (e, i) =>
-      e.withColumn("vec_id", col("vec_id") + i * Stride)
-    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("embeddings")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      copies(emb) { (e, i) =>
+        e.withColumn("vec_id", col("vec_id") + i * Stride)
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
-    val ord = Tables.orders(spark, sfDir)
-    copies(ord) { (o, i) =>
-      o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
-    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    if (tables("orders")) {
+      val ord = Tables.orders(spark, sfDir)
+      copies(ord) { (o, i) =>
+        o.withColumn("o_orderkey", col("o_orderkey") + i * Stride)
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
 
     // l_partkey shifts per copy too: the graph queries threshold
     // co-purchase SUPPORT, and copies that reuse the same part space
@@ -143,19 +160,23 @@ object ScaleBench {
     // 10× triangles with identical per-copy structure — the honest
     // scale-up for slope measurement (same spirit as the rotated-text
     // document copies keeping shingle sets disjoint).
-    val li = Tables.lineitem(spark, sfDir)
-    copies(li) { (l, i) =>
-      l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
-        .withColumn("l_partkey", col("l_partkey") + i * Stride)
-    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (tables("lineitem")) {
+      val li = Tables.lineitem(spark, sfDir)
+      copies(li) { (l, i) =>
+        l.withColumn("l_orderkey", col("l_orderkey") + i * Stride)
+          .withColumn("l_partkey", col("l_partkey") + i * Stride)
+      }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
 
     // disjoint per-copy user spaces: 10× users with identical per-user
     // event structure, so per-entity windows (LOCF) scale honestly
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    copies(ev) { (e, i) =>
-      e.withColumn("event_id", col("event_id") + i * Stride)
-        .withColumn("user_id", col("user_id") + i * Stride)
-    }.write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (tables("events")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      copies(ev) { (e, i) =>
+        e.withColumn("event_id", col("event_id") + i * Stride)
+          .withColumn("user_id", col("user_id") + i * Stride)
+      }.write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     new java.io.File(out, "_built").createNewFile()
     ()

@@ -53,11 +53,18 @@ object BpeMergedPairsImpl {
 
   // the merge pair comes from a 1-row broadcast, so every row of a
   // task decodes the SAME two UTF8Strings — memoize the last decode
-  // per thread instead of allocating two fresh Strings per token
+  // per thread instead of allocating two fresh Strings per token. The
+  // memo is retained for the life of the executor thread, so it is
+  // size-capped: a pair side larger than MemoMaxBytes (never in
+  // practice — BPE pair sides are one or a few symbols) is decoded
+  // fresh and NOT retained, bounding per-thread retention at
+  // 2×MemoMaxBytes.
+  private val MemoMaxBytes = 1024
   private final class Memo { var u: UTF8String = _; var s: String = _ }
   private val memoA = ThreadLocal.withInitial[Memo](() => new Memo)
   private val memoB = ThreadLocal.withInitial[Memo](() => new Memo)
   private def decode(m: Memo, u: UTF8String): String = {
+    if (u.numBytes > MemoMaxBytes) return u.toString
     if (m.u == null || !m.u.equals(u)) { m.u = u.clone(); m.s = u.toString }
     m.s
   }

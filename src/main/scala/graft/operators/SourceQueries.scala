@@ -201,6 +201,17 @@ object SourceQueries {
     //    idempotence story that needs no table format; a real
     //    Delta/Iceberg sink adds snapshot isolation on top, but the
     //    layout contract gated here is what the loader itself owns.
+    // ATOMICITY BOUNDARY (no Delta/Iceberg jars ship in this
+    // environment, so this is the documented limit, not a solved one):
+    // partition-replace is the unit of atomicity. Dynamic overwrite
+    // stages new files then swaps each partition directory, so a reader
+    // that lists oy=1998 WHILE a load is mid-swap can see a partial
+    // partition (old files already dropped, new ones not yet all
+    // visible). Re-running converges state — but isolation from
+    // concurrent readers needs a snapshot table format (Delta/Iceberg
+    // MERGE/overwrite under snapshot isolation), which is the
+    // production answer once those jars are on the classpath. See
+    // SCALE.md §"Sink atomicity boundary".
     "q_sink_overwrite" -> ((s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge
       val path = scratch(d, "overwrite")
@@ -233,11 +244,16 @@ object SourceQueries {
       write(base)                      // initial full load
       val full = snapshot()
       // order-independent content digest of the 1998 partition (1 row)
+      // over FULL row content — keys, price, and the partition column
+      // itself — so a rerun that corrupted any column (not just a key)
+      // flips the digest; Spark-to-Spark comparison only, so the
+      // decimal's string rendering inside concat_ws is stable
       def digest1998(): Double = s.read.parquet(path)
         .filter(col("oy") === 1998)
         .agg(sum(ColumnBridge.column(graft.gen.Md5Hash60Expr(
           ColumnBridge.expression(concat_ws("|",
-            col("o_orderkey"), col("o_custkey"))))).cast(Dec380)).cast("double"))
+            col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(Dec2), col("oy"))))).cast(Dec380)).cast("double"))
         .head().getDouble(0)
       write(base.filter(col("oy") === 1998)) // the recurring batch, load 1
       val snap1 = snapshot(); val dig1 = digest1998()

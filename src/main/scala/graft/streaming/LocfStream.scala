@@ -6,13 +6,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming LOCF imputation via flatMapGroupsWithState — the
   * unbounded-stream form of TimeWindowQueries.q_impute_locf. State per
-  * user is ONE Option[Double] (the last observed value) — the smallest
-  * possible keyed state, O(1) regardless of stream length; each
-  * incoming event emits exactly one row, filled with the carried value
-  * when its own measurement is missing (the same deterministic
-  * event_id mod 7 mask as the batch query). No arithmetic touches the
-  * carried double, so stream == batch bitwise (StreamingSpec asserts
-  * both directions).
+  * user is ONE small record (the last observed value plus its
+  * (ts_us, event_id) coordinates and the activity horizon) — O(1)
+  * regardless of stream length; each incoming event emits exactly one
+  * row, filled with the carried value when its own measurement is
+  * missing (the same deterministic event_id mod 7 mask as the batch
+  * query) and the carry lies strictly before the event in event time.
+  * No arithmetic touches the carried double, so stream == batch
+  * bitwise (StreamingSpec asserts both directions).
   *
   * Watermarked with the standard 30-minute bound and an event-time
   * idle eviction 24 h past the user's last activity. Evicting LOCF
@@ -49,15 +50,25 @@ object LocfStream {
     if (sorted.isEmpty) return Iterator.empty
     var st = state.getOption.getOrElse(Carry(None, Long.MinValue, Long.MinValue, Long.MinValue))
     val out = sorted.map { e =>
-      val filled = e.v.orElse(st.last).getOrElse(0.0)
+      // the fill reads the carried observation only when it lies
+      // strictly BEFORE this event in the (ts_us, event_id) total
+      // order — the same guard PIT and attribution apply on emit. A
+      // cross-batch late missing event whose carried observation is in
+      // its event-time FUTURE serves the 0.0 fallback, which is what
+      // the batch query's preceding-rows window does (it sees no
+      // observation before the late event), so the guard is a parity
+      // fix, not an approximation. In-batch it is a no-op: events are
+      // folded in (ts_us, event_id) order, so the carry is always
+      // strictly before the current event.
+      val carriedBefore = st.lastObsTsUs < e.ts_us ||
+        (st.lastObsTsUs == e.ts_us && st.lastObsEid < e.event_id)
+      val filled = e.v.orElse(if (carriedBefore) st.last else None).getOrElse(0.0)
       // the carried observation is the max-(ts_us, event_id) PRESENT
       // value (TransitionStream's predecessor rule): a cross-batch late
       // observation (bounded by the watermark delay) — including one at
       // an EQUAL timestamp with a smaller event_id — must not replace a
       // NEWER carried value for every future fill, and a late batch
-      // must not regress the idle-eviction horizon. The late event's
-      // own fill above still reads the newest carried state: the
-      // bounded-disorder approximation an O(1) carry permits
+      // must not regress the idle-eviction horizon
       val obsWins = e.v.isDefined && (e.ts_us > st.lastObsTsUs ||
         (e.ts_us == st.lastObsTsUs && e.event_id >= st.lastObsEid))
       st = Carry(

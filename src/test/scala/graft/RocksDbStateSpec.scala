@@ -13,9 +13,13 @@ import graft.streaming.EventsStreaming
   * local disk with bounded memory, which is why it is the production
   * default for large stateful pipelines. The switch is pure config
   * (`spark.sql.streaming.stateStore.providerClass`); these tests prove
-  * the three custom-state operator families (sessionize, debounce,
-  * LOCF carry) produce BIT-IDENTICAL results under it, including
-  * cross-batch state chaining, and that the provider actually engaged
+  * nine custom-state operator families (sessionize, debounce, LOCF
+  * carry, and — round 12 — the guard-hardened PIT slots, last-touch
+  * attribution, transition predecessors, plus the numeric-carry EWMA,
+  * CUSUM, and rolling-median streams) produce BIT-IDENTICAL results
+  * under it, including cross-batch state chaining, event-time
+  * eviction, and the late-event slot guards, and that the provider
+  * actually engaged
   * (the checkpoint's state dir carries RocksDB zip/changelog
   * artifacts, never the HDFS provider's .delta files).
   */
@@ -54,6 +58,28 @@ class RocksDbStateSpec extends AnyFunSuite {
   private def runAppend(df: DataFrame, name: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
     val q = df.writeStream.outputMode("append").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val state = new java.io.File(ckpt, "state")
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+      else Seq(f.getName)
+    val files = walk(state)
+    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB snapshot/changelog artifacts under $state — provider did not engage: $files")
+    assert(!files.exists(_.endsWith(".delta")),
+      s"HDFS-backed .delta files under $state — provider did not engage: $files")
+    spark.table(name)
+  }
+
+  /** Update-mode twin of runAppend (mapGroupsWithState streams emit in
+    * update mode), with the same RocksDB-artifact assertion.
+    */
+  private def runUpdate(df: DataFrame, name: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
+    val q = df.writeStream.outputMode("update").format("memory")
       .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     try q.processAllAvailable()
@@ -163,6 +189,226 @@ class RocksDbStateSpec extends AnyFunSuite {
       s"got $pit — the late purchase must not read the m(10) view from its future")
     assert(attr == Set((70L, "none", 7.5)),
       s"got $attr — the late purchase must not credit the m(10) view from its future")
+  }
+
+  test("RocksDB: streaming PIT features == batch PIT join bitwise, and the late-view slot guard holds") {
+    // Round-12: the round-11 guard-hardened streams join the RocksDB
+    // parity set. Part 1 is full bit-parity vs the batch q_join_pit
+    // oracle over the sf0.001 events stream; part 2 replays
+    // StreamingSpec's pit_ooo fixture (a cross-batch LATE view must
+    // not mask the newer carried slot) with the slot state resident in
+    // RocksDB — slot-compare guards are exactly the code that breaks
+    // if the provider swap mangles state round-tripping.
+    import org.apache.spark.sql.functions._
+    val cols = Seq("event_id", "user_id", "purchase_us",
+      "f_last_view_value", "f_last_click_value", "f_n_signups")
+    val streamed = withRocksDb {
+      runAppend(streaming.PitStream.features(spark, sf), "r_pit")
+    }.select(cols.head, cols.tail: _*)
+    val batch = operators.TimeWindowQueries.queries("q_join_pit")(spark, sf)
+      .select(cols.head, cols.tail: _*)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("rocks_pit_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def rep(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    rep("b1", t0, Seq((50L, m(10), 1L, "view", 2.0)))
+    rep("b2", t0 + 10000, Seq((50L, m(2), 2L, "view", 9.0))) // late view
+    rep("b3", t0 + 20000, Seq((50L, m(12), 3L, "purchase", 0.0)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = withRocksDb {
+      runAppend(streaming.PitStream.featuresOf(src), "r_pit_ooo")
+    }.collect().map(r => (r.getLong(1), Option(r.get(3)))).toSet
+    assert(got == Set((50L, Some(2.0))),
+      s"got $got — the purchase must read the NEWER view value 2.0 from RocksDB state")
+  }
+
+  test("RocksDB: streaming attribution == batch attribution bitwise, and the late-touch guard holds") {
+    import org.apache.spark.sql.functions._
+    val credits = withRocksDb {
+      runAppend(streaming.AttributionStream.credits(spark, sf), "r_attribution")
+    }
+    // fold the streamed per-purchase credits with the batch query's
+    // exact decimal arithmetic (order-independent, so stream == batch)
+    val streamed = credits.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(Tables.Dec2)).cast(Tables.Dec382).as("total_value"))
+    val batch = operators.TimeWindowQueries.queries("q_attribution")(spark, sf)
+    assert(credits.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // StreamingSpec's attr_ooo fixture: a cross-batch LATE click must
+    // not beat the newer carried view for the last-touch credit
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("rocks_attr_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def rep(name: String, mod: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type"), col("value")),
+        name, mod)
+    }
+    rep("b1", t0, Seq((30L, m(10), 1L, "view", 0.0)))
+    rep("b2", t0 + 10000, Seq((30L, m(2), 2L, "click", 0.0))) // late touch
+    rep("b3", t0 + 20000, Seq((30L, m(12), 3L, "purchase", 7.5)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = withRocksDb {
+      runAppend(streaming.AttributionStream.creditsOf(src), "r_attr_ooo")
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((30L, "view", 7.5)),
+      s"got $got — the purchase must credit the NEWER view carried through RocksDB")
+  }
+
+  test("RocksDB: streaming transitions == batch matrix bitwise, and the late-predecessor guard holds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = withRocksDb {
+      runAppend(streaming.TransitionStream.pairs(spark, sf), "r_transitions")
+    }
+    // fold the streamed (from, to) pairs into the batch query's matrix:
+    // exact integer counts, identical double division for p
+    val streamed = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("from_type")))
+    val batch = operators.TimeWindowQueries.queries("q_win_transitions")(spark, sf)
+      .select("from_type", "to_type", "n", "p")
+    assert(pairs.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // StreamingSpec's trans_ooo fixture: the carried predecessor must
+    // stay the newer view across a late batch
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("rocks_trans_ooo").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def rep(name: String, mod: Long, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "event_type")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("event_type")),
+        name, mod)
+    }
+    rep("b1", t0, Seq((40L, m(10), 1L, "view")))
+    rep("b2", t0 + 10000, Seq((40L, m(2), 2L, "click"))) // late
+    rep("b3", t0 + 20000, Seq((40L, m(12), 3L, "purchase")))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = withRocksDb {
+      runAppend(streaming.TransitionStream.pairsOf(src), "r_trans_ooo")
+    }.collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("view", "click"), ("view", "purchase")),
+      s"got $got — the purchase's predecessor must be the newer view under RocksDB")
+  }
+
+  test("RocksDB: streaming EWMA == batch EWMA fold, bitwise") {
+    // the numeric-carry streams are where a provider swap is most
+    // dangerous — a single bit lost in the carried double compounds
+    // through every subsequent fold, so exceptAll-bitwise is the gate
+    import org.apache.spark.sql.functions._
+    val streamed = withRocksDb {
+      runUpdate(streaming.EwmaStream.ewma(spark, sf), "r_ewma")
+    }.select(col("user_id"), col("n_events").cast("int").as("n_events"),
+      col("ewma"))
+    val batch = operators.TimeWindowQueries.queries("q_win_ewma")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("RocksDB: streaming CUSUM == batch closed-form windows, bitwise") {
+    val (n, sumCents) = streaming.CusumStream.referenceStats(spark, sf)
+    val streamed = withRocksDb {
+      runAppend(streaming.CusumStream.stats(spark, sf, n, sumCents), "r_cusum")
+    }.select("event_id", "user_id", "tus", "cusum", "alarm")
+    val batch = operators.TimeWindowQueries.queries("q_win_cusum")(spark, sf)
+      .select("event_id", "user_id", "tus", "cusum", "alarm")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("RocksDB: streaming rolling median == batch window median, bitwise") {
+    val streamed = withRocksDb {
+      runAppend(streaming.RollMedianStream.medians(spark, sf), "r_rollmedian")
+    }.select("event_id", "user_id", "n_frame", "roll_median")
+    val batch = operators.TimeWindowQueries.queries("q_win_rollmedian")(spark, sf)
+      .select("event_id", "user_id", "n_frame", "roll_median")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("RocksDB: the 4-batch carry replay chains and evicts through provider state (LOCF + CUSUM)") {
+    // StreamingSpec's carry_replay fixture verbatim, state resident in
+    // RocksDB: CHAINING (batch-2 events must see batch-1 carries) and
+    // EVICTION (idle keys time out on the event-time horizon and later
+    // events fold from EMPTY state) — the two behaviors that round-trip
+    // the most state through the provider across commits.
+    import org.apache.spark.sql.functions._
+    val T0 = 1735689600000000L // 2025-01-01 00:00:00 UTC, micros
+    val H = 3600000000L; val Min = 60000000L
+    def batchDf(rows: Seq[(Long, Long, Long, Double)]) =
+      spark.createDataFrame(rows).toDF("user_id", "us", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("value"))
+    val b1 = batchDf(Seq((1L, T0, 3L, 5.0), (2L, T0, 10L, 7.0)))          // both present
+    val b2 = batchDf(Seq((1L, T0 + 10 * Min, 7L, 99.0),                   // missing for LOCF
+      (3L, T0 + 25 * H, 14L, 1.0)))                                       // missing; wm pusher
+    val b3 = batchDf(Seq((3L, T0 + 26 * H, 21L, 1.0)))                    // users 1,2 time out here
+    val b4 = batchDf(Seq((2L, T0 + 27 * H, 28L, 2.0)))                    // missing; post-eviction
+    val dir = java.nio.file.Files.createTempDirectory("rocks_carry").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(b1, b2, b3, b4).zipWithIndex.foreach { case (df, i) =>
+      writeReplayFile(dir, df, s"b${i + 1}", t0 + i * 10000)
+    }
+    def src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+
+    val (locf, cusum) = withRocksDb {
+      (runAppend(streaming.LocfStream.fillsOf(src), "r_locf_mb")
+         .select("event_id", "was_missing", "v_filled")
+         .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2))).toMap,
+       runAppend(streaming.CusumStream.statsOf(src, 1L, 0L), "r_cusum_mb")
+         .select("event_id", "cusum")
+         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    }
+    assert(locf.size == 6)
+    assert(locf(7L) == (true, 5.0), "batch-2 fill must carry batch-1 state through RocksDB")
+    assert(locf(28L) == (true, 0.0),
+      "post-eviction fill must fall back to 0.0, not the pre-eviction 7.0")
+    assert(cusum.size == 6)
+    assert(cusum(7L) == 99.0, "batch-2 stat must fold onto the RocksDB-resident batch-1 cumsum")
+    assert(cusum(21L) == 1.0, "user 3 chains b2 -> b3 (inside horizon)")
+    assert(cusum(28L) == 0.0, "post-eviction stat must fold from empty state")
   }
 
   test("RocksDB: streaming sessionize across 3 micro-batches == batch custom-state sessions, bitwise") {

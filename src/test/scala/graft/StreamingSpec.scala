@@ -438,6 +438,43 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got — the missing event at m(12) must fill with the NEWER obs 5.0")
   }
 
+  test("LOCF fill never reads an event-time-future observation: a cross-batch late missing event serves the fallback") {
+    // The round-12 symmetry fix: a late MISSING event (older event
+    // time, within the watermark delay) whose only carried observation
+    // lies in its event-time FUTURE must fill with 0.0 — the batch
+    // query's preceding-rows window sees no observation before m(2),
+    // so serving the newer 5.0 would be training-serving skew (the
+    // same strictly-before guard PIT and attribution apply on emit).
+    // event_id % 7 < 3 is the missing mask (id 3 present; id 1
+    // missing).
+    import org.apache.spark.sql.functions._
+    val T = 1700000000000000L
+    def m(min: Long): Long = T + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("locf_futfill").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def batch(name: String, mod: Long, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      import spark.implicits._
+      writeReplayFile(dir,
+        rows.toDF("user_id", "us", "event_id", "value")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+            col("event_id"), col("value")),
+        name, mod)
+    }
+    batch("b1", t0, Seq((21L, m(10), 3L, 5.0)))
+    batch("b2", t0 + 10000, Seq((21L, m(2), 1L, 0.0))) // late AND missing
+    batch("b3", t0 + 20000, Seq((21L, m(12), 8L, 0.0))) // missing -> fill 5.0
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val got = EventsStreaming.runAppendToCompletion(spark,
+      streaming.LocfStream.fillsOf(src), "t_locf_futfill")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getDouble(4))).toSet
+    assert(got == Set((3L, false, 5.0), (1L, true, 0.0), (8L, true, 5.0)),
+      s"got $got — the late missing event must NOT fill with the future obs 5.0")
+  }
+
   test("attribution carries the max-event-time touch: a cross-batch late click cannot beat a newer view") {
     // Same guard as LOCF, for the last-touch slot: user 30 views at
     // m(10) (batch 1), a LATE click at m(2) arrives in batch 2 (within
