@@ -22,6 +22,20 @@ object SourceQueries {
   private def scratch(sfDir: String, fmt: String): String =
     s"/tmp/graft_q_source_${fmt}_${sfDir.replaceAll("[^0-9A-Za-z]", "_")}"
 
+  /** The per-row 60-bit content hash behind q_sink_overwrite's rerun
+    * digest — FULL row content (keys, price, and the partition column),
+    * so a rerun that corrupts ANY column flips the summed digest, not
+    * just a key mix-up. Exposed so BucketingSpec can pin the coverage:
+    * perturbing each column independently must change the sum.
+    */
+  private[graft] def overwriteRowHash: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.Md5Hash60Expr(
+      ColumnBridge.expression(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(Dec2), col("oy")))))
+  }
+
   def queries: Map[String, Q] = Map(
     // CSV sink → CSV source (header, explicit schema-on-read). Paths
     // are namespaced by sfDir so concurrent runs at different scale
@@ -250,10 +264,7 @@ object SourceQueries {
       // decimal's string rendering inside concat_ws is stable
       def digest1998(): Double = s.read.parquet(path)
         .filter(col("oy") === 1998)
-        .agg(sum(ColumnBridge.column(graft.gen.Md5Hash60Expr(
-          ColumnBridge.expression(concat_ws("|",
-            col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").cast(Dec2), col("oy"))))).cast(Dec380)).cast("double"))
+        .agg(sum(overwriteRowHash.cast(Dec380)).cast("double"))
         .head().getDouble(0)
       write(base.filter(col("oy") === 1998)) // the recurring batch, load 1
       val snap1 = snapshot(); val dig1 = digest1998()

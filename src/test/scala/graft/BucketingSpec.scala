@@ -122,4 +122,36 @@ class BucketingSpec extends AnyFunSuite {
     assert(sunk.count() == base.count())
     assert(sunk.exceptAll(base).count() == 0 && base.exceptAll(sunk).count() == 0)
   }
+
+  test("q_sink_overwrite: the rerun digest covers every column — perturbing any one flips it") {
+    // Round-12 ADVICE fix pinned: the rerun-idempotence digest hashes
+    // FULL row content. A digest that covered only the keys would pass
+    // a rerun that corrupted o_totalprice (or misrouted a row's oy)
+    // and leave only file-size equality to catch it; here each
+    // single-column perturbation must change the summed digest.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(
+      (1L, 10L, 100.25, 1997),
+      (2L, 20L, 55.50, 1998),
+      (3L, 30L, 7.00, 1998))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "oy")
+    def digest(df: org.apache.spark.sql.DataFrame): Double = df
+      .agg(sum(operators.SourceQueries.overwriteRowHash
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+        .cast("double"))
+      .head().getDouble(0)
+    val d0 = digest(base)
+    val perturbed = Seq(
+      base.withColumn("o_orderkey", when(col("o_orderkey") === 2L, 4L).otherwise(col("o_orderkey"))),
+      base.withColumn("o_custkey", when(col("o_orderkey") === 2L, 21L).otherwise(col("o_custkey"))),
+      base.withColumn("o_totalprice", when(col("o_orderkey") === 2L, 55.51).otherwise(col("o_totalprice"))),
+      base.withColumn("oy", when(col("o_orderkey") === 2L, 1997).otherwise(col("oy"))))
+    perturbed.zip(Seq("o_orderkey", "o_custkey", "o_totalprice", "oy")).foreach {
+      case (df, colName) =>
+        assert(digest(df) != d0, s"digest did not change when $colName was perturbed")
+    }
+    // and row order must NOT matter (the digest is an order-independent sum)
+    assert(digest(base.orderBy(col("o_orderkey").desc)) == d0)
+  }
 }

@@ -13,12 +13,16 @@ import graft.streaming.EventsStreaming
   * local disk with bounded memory, which is why it is the production
   * default for large stateful pipelines. The switch is pure config
   * (`spark.sql.streaming.stateStore.providerClass`); these tests prove
-  * nine custom-state operator families (sessionize, debounce, LOCF
-  * carry, and — round 12 — the guard-hardened PIT slots, last-touch
+  * the full streaming-operator set produces BIT-IDENTICAL results
+  * under it: the nine custom-carry families (sessionize, debounce,
+  * LOCF, and — round 12 — the guard-hardened PIT slots, last-touch
   * attribution, transition predecessors, plus the numeric-carry EWMA,
-  * CUSUM, and rolling-median streams) produce BIT-IDENTICAL results
-  * under it, including cross-batch state chaining, event-time
-  * eviction, and the late-event slot guards, and that the provider
+  * CUSUM, and rolling-median streams) including cross-batch state
+  * chaining, event-time eviction, and the late-event slot guards, and
+  * the built-in-state operators (windowed aggregates: OHLC bars +
+  * sliding counts; the funnel stage machine and drift counts; the
+  * stream-stream interval join — the largest state here, both sides
+  * buffered — and incremental dedup). Every test asserts the provider
   * actually engaged
   * (the checkpoint's state dir carries RocksDB zip/changelog
   * artifacts, never the HDFS provider's .delta files).
@@ -52,12 +56,13 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
-  /** Append-mode run to completion with an explicit checkpoint dir;
-    * asserts the state directory holds RocksDB artifacts.
+  /** Run to completion in the given output mode with an explicit
+    * checkpoint dir; asserts the state directory holds RocksDB
+    * artifacts (zip/changelog, never the HDFS provider's .delta).
     */
-  private def runAppend(df: DataFrame, name: String): DataFrame = {
+  private def runMode(df: DataFrame, name: String, mode: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
-    val q = df.writeStream.outputMode("append").format("memory")
+    val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     try q.processAllAvailable()
@@ -74,12 +79,15 @@ class RocksDbStateSpec extends AnyFunSuite {
     spark.table(name)
   }
 
-  /** Update-mode twin of runAppend (mapGroupsWithState streams emit in
-    * update mode), with the same RocksDB-artifact assertion.
+  private def runAppend(df: DataFrame, name: String): DataFrame =
+    runMode(df, name, "append")
+  /** For operators that hold NO store state (stream-static joins):
+    * runs under the provider conf and asserts the state dir stays
+    * EMPTY — the no-keyed-state claim, pinned.
     */
-  private def runUpdate(df: DataFrame, name: String): DataFrame = {
+  private def runStateless(df: DataFrame, name: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
-    val q = df.writeStream.outputMode("update").format("memory")
+    val q = df.writeStream.outputMode("append").format("memory")
       .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     try q.processAllAvailable()
@@ -87,14 +95,17 @@ class RocksDbStateSpec extends AnyFunSuite {
     val state = new java.io.File(ckpt, "state")
     def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
-      else Seq(f.getName)
+      else if (f.isFile) Seq(f.getName)
+      else Seq.empty
     val files = walk(state)
-    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
-      s"no RocksDB snapshot/changelog artifacts under $state — provider did not engage: $files")
-    assert(!files.exists(_.endsWith(".delta")),
-      s"HDFS-backed .delta files under $state — provider did not engage: $files")
+    assert(files.isEmpty,
+      s"expected NO state files for a stream-static operator, got: $files")
     spark.table(name)
   }
+  private def runUpdate(df: DataFrame, name: String): DataFrame =
+    runMode(df, name, "update")
+  private def runComplete(df: DataFrame, name: String): DataFrame =
+    runMode(df, name, "complete")
 
   private def writeReplayFile(dir: java.io.File, df: DataFrame,
                               name: String, modMs: Long): Unit = {
@@ -409,6 +420,97 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(cusum(7L) == 99.0, "batch-2 stat must fold onto the RocksDB-resident batch-1 cumsum")
     assert(cusum(21L) == 1.0, "user 3 chains b2 -> b3 (inside horizon)")
     assert(cusum(28L) == 0.0, "post-eviction stat must fold from empty state")
+  }
+
+  test("RocksDB: built-in windowed-aggregate state (OHLC bars, sliding counts) == batch, bitwise") {
+    // Spark's own streaming-aggregation state (not custom
+    // flatMapGroupsWithState carries) under the provider swap — the
+    // min_by/max_by extremes in the bars are the bit-sensitive part
+    val bars = withRocksDb {
+      runComplete(streaming.EventsStreaming.ohlcBars(spark, sf), "r_ohlc")
+    }
+    val barsBatch = operators.TimeWindowQueries.queries("q_win_bars")(spark, sf)
+      .select("event_type", "ws_us", "open", "close", "high", "low", "n", "total")
+    assert(bars.count() > 0)
+    assert(bars.exceptAll(barsBatch).count() == 0)
+    assert(barsBatch.exceptAll(bars).count() == 0)
+
+    val sliding = withRocksDb {
+      runComplete(streaming.EventsStreaming.slidingTotals(spark, sf), "r_sliding")
+    }
+    val slidingBatch = operators.TimeWindowQueries.queries("q_win_sliding")(spark, sf)
+      .select("ws_us", "n")
+    assert(sliding.count() > 0)
+    assert(sliding.exceptAll(slidingBatch).count() == 0)
+    assert(slidingBatch.exceptAll(sliding).count() == 0)
+  }
+
+  test("RocksDB: funnel stage machine and drift counts == batch, bitwise") {
+    import org.apache.spark.sql.functions._
+    val perUser = withRocksDb {
+      runUpdate(streaming.FunnelStream.stages(spark, sf), "r_funnel")
+    }
+    // fold per-user reached stages into the batch query's 3-row shape
+    val funnelStreamed = Seq(("1_view", 1), ("2_click", 2), ("3_purchase", 3))
+      .map { case (label, k) =>
+        perUser.filter(col("stage") >= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(label).as("stage"), col("n_users"))
+      }.reduce(_ unionAll _)
+    val funnelBatch = operators.TimeWindowQueries.queries("q_win_funnel")(spark, sf)
+    assert(perUser.count() > 0)
+    assert(funnelStreamed.exceptAll(funnelBatch).count() == 0)
+    assert(funnelBatch.exceptAll(funnelStreamed).count() == 0)
+
+    val counts = withRocksDb {
+      runUpdate(streaming.DriftStream.halfCounts(spark, sf), "r_drift")
+    }
+    // fold with the batch query's exact rate/drift arithmetic
+    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val ra = col("n_a").cast("double") / col("t_a").cast("double")
+    val rb = col("n_b").cast("double") / col("t_b").cast("double")
+    val driftStreamed = counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        ra.as("rate_a"), rb.as("rate_b"), abs(ra - rb).as("abs_drift"))
+    val driftBatch = operators.TimeWindowQueries.queries("q_drift")(spark, sf)
+    assert(counts.count() > 0)
+    assert(driftStreamed.exceptAll(driftBatch).count() == 0)
+    assert(driftBatch.exceptAll(driftStreamed).count() == 0)
+  }
+
+  test("RocksDB: stream-stream interval join and incremental dedup == batch, bitwise") {
+    import org.apache.spark.sql.functions._
+    // the stream-stream join buffers BOTH sides in the state store —
+    // the largest state any operator here carries
+    val joined = withRocksDb {
+      runAppend(streaming.EventsStreaming.viewPurchaseJoin(spark, sf), "r_ssjoin")
+    }
+    val e = Tables.events(spark, sf)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("vts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pts_us"))
+    val joinBatch = purchases.join(views,
+        col("v_user") === col("user_id")
+          && col("vts_us") >= col("pts_us") - 3600000000L
+          && col("vts_us") <= col("pts_us"))
+      .select(col("event_id"), col("user_id"), col("pts_us"), col("vts_us"))
+    assert(joined.count() > 0)
+    assert(joined.exceptAll(joinBatch).count() == 0)
+    assert(joinBatch.exceptAll(joined).count() == 0)
+
+    // incremental dedup is a stream-STATIC anti-join: the corpus side
+    // broadcasts per batch and the operator holds NO keyed state — the
+    // provider swap is a no-op for it, which is exactly its 100 TB
+    // posture (the daily-ingest shape never shuffles or stores the
+    // corpus). runStateless pins that claim on the empty state dir.
+    val survivors = withRocksDb {
+      runStateless(streaming.IncrementalDedupStream.survivors(spark, sf), "r_incdedup")
+    }
+    val dedupBatch = operators.DedupQueries.queries("q_dedup_incremental")(spark, sf)
+    assert(survivors.count() > 0)
+    assert(survivors.exceptAll(dedupBatch).count() == 0)
+    assert(dedupBatch.exceptAll(survivors).count() == 0)
   }
 
   test("RocksDB: streaming sessionize across 3 micro-batches == batch custom-state sessions, bitwise") {
