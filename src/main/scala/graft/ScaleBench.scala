@@ -34,8 +34,10 @@ object ScaleBench {
   private def rotated(i: Int): String =
     (Rot.substring(i % Rot.length) + Rot.substring(0, i % Rot.length))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+  /** The shared bench session (also used by Scale100Bench so the two
+    * harnesses can never diverge in session config).
+    */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +48,39 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKRewriteRule.register(spark)
+    spark
+  }
+
+  /** JIT/codegen warm-up at the smallest SF — shared with Scale100Bench. */
+  def warmup(spark: SparkSession, names: Seq[String]): Unit =
+    names.foreach(n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+
+  /** min-of-2 per point with state release between reps: a one-shot
+    * measurement lands inside whatever C2 compile window the bigger
+    * plan triggers on first execution and reports 2x steady state as a
+    * slope blowup (observed: kcore's first 10x run 12-28 s vs 5.8 s
+    * steady — the JIT-lag mechanism SCALE.md §"Bench-noise root cause"
+    * pins for Bench). The release cures cross-query contamination: the
+    * graph queries pin localCheckpoint intermediates that would
+    * otherwise skew every later slope. Shared with Scale100Bench so a
+    * protocol fix lands in both harnesses at once.
+    */
+  def timeQuery(spark: SparkSession, n: String, d: String): Double = {
+    val dts = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    dts.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = session()
 
     val big = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_scale10")
     val bigDir = big.getAbsolutePath
@@ -73,32 +108,10 @@ object ScaleBench {
       // q_sink_overwrite (the new idempotent bulk-load sink — scales
       // with bytes written ×3 loads, like rangeparts)
       "q_bpe_encode", "q_sink_overwrite")
-    // JIT/codegen warm-up at the smallest SF
-    names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
-
-    // min-of-2 per point: a one-shot measurement lands inside whatever
-    // C2 compile window the 10x plan triggers on first execution and
-    // reports 2x steady state as a slope blowup (observed: kcore's
-    // first 10x run 12-28 s vs 5.8 s steady — the same JIT-lag
-    // mechanism SCALE.md §"Bench-noise root cause" pins for Bench)
-    def time(n: String, d: String): Double = {
-      val dts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, d).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release checkpointed blocks/cache between measurements — the
-        // same cross-query contamination Bench.releaseState cures; the
-        // graph queries pin three localCheckpoint intermediates each (at
-        // 10x scale) and would otherwise skew every later slope
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }
-      dts.min
-    }
+    warmup(spark, names)
     val rows = names.map { n =>
-      val t1 = time(n, sfDir)
-      val t10 = time(n, bigDir)
+      val t1 = timeQuery(spark, n, sfDir)
+      val t10 = timeQuery(spark, n, bigDir)
       (n, t1, t10)
     }
     val json = rows.map { case (n, t1, t10) =>
@@ -120,10 +133,27 @@ object ScaleBench {
     * key-shifted copies of just the tables in `tables`. Same honesty
     * rules as the 10× build (disjoint shingle sets, disjoint per-copy
     * part/order/user key spaces) — see the per-table comments.
+    *
+    * The `_built` marker records the build parameters (copies, table
+    * set, source dir): a cached replica is reused ONLY when they match
+    * the request; a mismatch fails fast instead of silently measuring
+    * wrong-scale or missing-table data. (An empty marker from a
+    * pre-parameterized build is accepted only for the original
+    * five-table 10× shape it could have meant.)
     */
   def buildTables(spark: SparkSession, sfDir: String, out: String,
                   nCopies: Int, tables: Set[String]): Unit = {
-    if (new java.io.File(out, "_built").exists()) return
+    val marker = new java.io.File(out, "_built")
+    val sig = s"copies=$nCopies tables=${tables.toSeq.sorted.mkString(",")} sf=$sfDir"
+    if (marker.exists()) {
+      val prev = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      val legacyOk = prev.isEmpty && nCopies == Copies &&
+        tables == Set("documents", "embeddings", "orders", "lineitem", "events")
+      if (prev == sig || legacyOk) return
+      sys.error(s"replica at $out was built with different parameters " +
+        s"('$prev' vs requested '$sig') — delete the directory to rebuild")
+    }
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until nCopies).map(i => f(df, i)).reduce(_ unionAll _)
 
@@ -178,7 +208,8 @@ object ScaleBench {
       }.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    new java.io.File(out, "_built").createNewFile()
+    java.nio.file.Files.write(marker.toPath,
+      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 }

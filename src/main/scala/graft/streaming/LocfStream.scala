@@ -52,12 +52,16 @@ object LocfStream {
     val out = sorted.map { e =>
       // the fill reads the carried observation only when it lies
       // strictly BEFORE this event in the (ts_us, event_id) total
-      // order — the same guard PIT and attribution apply on emit. A
-      // cross-batch late missing event whose carried observation is in
-      // its event-time FUTURE serves the 0.0 fallback, which is what
-      // the batch query's preceding-rows window does (it sees no
-      // observation before the late event), so the guard is a parity
-      // fix, not an approximation. In-batch it is a no-op: events are
+      // order — the same never-serve-the-future guard PIT and
+      // attribution apply on emit. For a cross-batch late missing
+      // event this matches the batch window exactly when no older
+      // observation preceded it (batch also finds nothing and serves
+      // the 0.0 fallback). The residual an O(1) carry cannot close:
+      // if an OLDER observation existed but was superseded by a newer
+      // one, batch fills the late event with the older value, which
+      // is gone from state here — the stream serves the fallback
+      // instead of either value (never a future one). Bounded by the
+      // 30 min watermark. In-batch the guard is a no-op: events are
       // folded in (ts_us, event_id) order, so the carry is always
       // strictly before the current event.
       val carriedBefore = st.lastObsTsUs < e.ts_us ||

@@ -57,51 +57,48 @@ class RocksDbStateSpec extends AnyFunSuite {
   }
 
   /** Run to completion in the given output mode with an explicit
-    * checkpoint dir; asserts the state directory holds RocksDB
-    * artifacts (zip/changelog, never the HDFS provider's .delta).
+    * checkpoint dir; returns the memory-sink table and the flat list
+    * of files under the checkpoint's state directory.
     */
-  private def runMode(df: DataFrame, name: String, mode: String): DataFrame = {
+  private def runChk(df: DataFrame, name: String, mode: String): (DataFrame, Seq[String]) = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    val state = new java.io.File(ckpt, "state")
     def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
-      else Seq(f.getName)
-    val files = walk(state)
-    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
-      s"no RocksDB snapshot/changelog artifacts under $state — provider did not engage: $files")
-    assert(!files.exists(_.endsWith(".delta")),
-      s"HDFS-backed .delta files under $state — provider did not engage: $files")
-    spark.table(name)
+      else if (f.isFile) Seq(f.getName)
+      else Seq.empty
+    (spark.table(name), walk(new java.io.File(ckpt, "state")))
   }
 
-  private def runAppend(df: DataFrame, name: String): DataFrame =
-    runMode(df, name, "append")
+  /** Runs and asserts the state directory holds RocksDB artifacts
+    * (zip/changelog, never the HDFS provider's .delta).
+    */
+  private def runMode(df: DataFrame, name: String, mode: String): DataFrame = {
+    val (table, files) = runChk(df, name, mode)
+    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB snapshot/changelog artifacts in the $name checkpoint — provider did not engage: $files")
+    assert(!files.exists(_.endsWith(".delta")),
+      s"HDFS-backed .delta files in the $name checkpoint — provider did not engage: $files")
+    table
+  }
+
   /** For operators that hold NO store state (stream-static joins):
     * runs under the provider conf and asserts the state dir stays
     * EMPTY — the no-keyed-state claim, pinned.
     */
   private def runStateless(df: DataFrame, name: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(s"rocksckpt_$name").toFile
-    val q = df.writeStream.outputMode("append").format("memory")
-      .queryName(name).option("checkpointLocation", ckpt.getAbsolutePath)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val state = new java.io.File(ckpt, "state")
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
-      else if (f.isFile) Seq(f.getName)
-      else Seq.empty
-    val files = walk(state)
+    val (table, files) = runChk(df, name, "append")
     assert(files.isEmpty,
       s"expected NO state files for a stream-static operator, got: $files")
-    spark.table(name)
+    table
   }
+
+  private def runAppend(df: DataFrame, name: String): DataFrame =
+    runMode(df, name, "append")
   private def runUpdate(df: DataFrame, name: String): DataFrame =
     runMode(df, name, "update")
   private def runComplete(df: DataFrame, name: String): DataFrame =

@@ -445,8 +445,13 @@ class StreamingSpec extends AnyFunSuite {
     // query's preceding-rows window sees no observation before m(2),
     // so serving the newer 5.0 would be training-serving skew (the
     // same strictly-before guard PIT and attribution apply on emit).
-    // event_id % 7 < 3 is the missing mask (id 3 present; id 1
-    // missing).
+    // User 22 pins the documented RESIDUAL of the O(1) carry: its late
+    // missing event at m(5) had an older observation (m(1), 3.0) that
+    // was superseded by (m(10), 5.0) before the late event arrived —
+    // batch would fill 3.0, but that value is gone from O(1) state, so
+    // the stream serves the fallback 0.0 (never the future 5.0; a
+    // buffer of past observations, not a carry, would be needed to
+    // serve 3.0). event_id % 7 < 3 is the missing mask.
     import org.apache.spark.sql.functions._
     val T = 1700000000000000L
     def m(min: Long): Long = T + min * 60000000L
@@ -460,8 +465,10 @@ class StreamingSpec extends AnyFunSuite {
             col("event_id"), col("value")),
         name, mod)
     }
-    batch("b1", t0, Seq((21L, m(10), 3L, 5.0)))
-    batch("b2", t0 + 10000, Seq((21L, m(2), 1L, 0.0))) // late AND missing
+    batch("b1", t0, Seq((21L, m(10), 3L, 5.0),
+      (22L, m(1), 17L, 3.0), (22L, m(10), 24L, 5.0)))
+    batch("b2", t0 + 10000, Seq((21L, m(2), 1L, 0.0), // late AND missing
+      (22L, m(5), 8L, 0.0)))                          // late, missing, had older obs
     batch("b3", t0 + 20000, Seq((21L, m(12), 8L, 0.0))) // missing -> fill 5.0
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -470,9 +477,11 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(dir.getAbsolutePath)
     val got = EventsStreaming.runAppendToCompletion(spark,
       streaming.LocfStream.fillsOf(src), "t_locf_futfill")
-      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getDouble(4))).toSet
-    assert(got == Set((3L, false, 5.0), (1L, true, 0.0), (8L, true, 5.0)),
-      s"got $got — the late missing event must NOT fill with the future obs 5.0")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (21L, 3L, false, 5.0), (21L, 1L, true, 0.0), (21L, 8L, true, 5.0),
+      (22L, 17L, false, 3.0), (22L, 24L, false, 5.0), (22L, 8L, true, 0.0)),
+      s"got $got — late missing fills must never read a future obs; the superseded older obs serves the fallback")
   }
 
   test("attribution carries the max-event-time touch: a cross-batch late click cannot beat a newer view") {
