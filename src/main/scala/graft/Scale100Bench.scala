@@ -31,34 +31,50 @@ package graft
   * min-of-2 timing protocol are ScaleBench's own helpers, so the two
   * harnesses cannot diverge in methodology.
   *
-  * Usage: runMain graft.Scale100Bench [sfDir]
-  * (default /root/testdata/sf0.1; replicas under java.io.tmpdir —
-  * delete graft_scale100 / graft_scale10_ol to rebuild). Prints one
-  * JSON line with x1/x10/x100 wall seconds and both segment slopes.
+  * Round-12 extension, group `docs`: the same harness over the
+  * documents-backed heavy hitters — `q_dedup_cluster` (banded MinHash
+  * LSH at 5M docs: bucket sizes stay constant under the
+  * alphabet-substituted copies, so pair volume is linear — the
+  * empirical backing for "never all-pairs" at scale),
+  * `q_text_ngram_lm` and `q_text_perplexity` (both near-flat at 10×,
+  * i.e. fixed-overhead-dominated; the 100× point shows where true
+  * linearity takes over for the two most expensive bench queries).
+  *
+  * Usage: runMain graft.Scale100Bench [sfDir] [core|docs]
+  * (defaults /root/testdata/sf0.1, core; replicas under
+  * java.io.tmpdir — delete graft_scale100* / graft_scale10_* to
+  * rebuild). Prints one JSON line with x1/x10/x100 wall seconds and
+  * both segment slopes.
   */
 object Scale100Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val group = if (args.length > 1) args(1) else "core"
+    val (names, tables, suffix) = group match {
+      case "core" => (Seq("q_sink_rangeparts", "q_assoc_rules", "q_graph_jaccard"),
+        Set("orders", "lineitem"), "")
+      case "docs" => (Seq("q_dedup_cluster", "q_text_ngram_lm", "q_text_perplexity"),
+        Set("documents"), "_docs")
+      case other => sys.error(s"unknown group '$other' (core|docs)")
+    }
     val spark = ScaleBench.session()
 
     val tmp = System.getProperty("java.io.tmpdir")
-    val twoTables = Set("orders", "lineitem")
     val dir10full = new java.io.File(tmp, "graft_scale10")
     val dir10 =
       if (new java.io.File(dir10full, "_built").exists()) {
         // reuse ScaleBench's cached five-table replica (same copies/
-        // stride) rather than writing a second 10× orders+lineitem
+        // stride) rather than writing a second 10× subset replica
         dir10full.getAbsolutePath
       } else {
-        val d = new java.io.File(tmp, "graft_scale10_ol").getAbsolutePath
-        ScaleBench.buildTables(spark, sfDir, d, 10, twoTables)
+        val d = new java.io.File(tmp, s"graft_scale10$suffix" + (if (suffix.isEmpty) "_ol" else "")).getAbsolutePath
+        ScaleBench.buildTables(spark, sfDir, d, 10, tables)
         d
       }
-    val dir100 = new java.io.File(tmp, "graft_scale100").getAbsolutePath
-    ScaleBench.buildTables(spark, sfDir, dir100, 100, twoTables)
+    val dir100 = new java.io.File(tmp, s"graft_scale100$suffix").getAbsolutePath
+    ScaleBench.buildTables(spark, sfDir, dir100, 100, tables)
 
-    val names = Seq("q_sink_rangeparts", "q_assoc_rules", "q_graph_jaccard")
     ScaleBench.warmup(spark, names)
     val rows = names.map { n =>
       (n, ScaleBench.timeQuery(spark, n, sfDir),

@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   runMain graft.StateStoreBench [sfDir]
   *
   * Times three custom-state streams (sessionize, debounce, LOCF — the
-  * RocksDbStateSpec set) run to completion over the single-batch file
-  * source, min-of-2 per provider, warm JVM, plus the on-disk state
-  * checkpoint size per provider.
+  * original RocksDbStateSpec set) plus — round 12 — the stream-stream
+  * interval join, which buffers BOTH input sides in the store and so
+  * carries the largest state of any operator in the tier (the most
+  * provider-sensitive data point this inventory can produce). All run
+  * to completion over the single-batch file source, min-of-2 per
+  * provider, warm JVM, plus the on-disk state checkpoint size per
+  * provider.
   */
 object StateStoreBench {
 
@@ -43,7 +47,8 @@ object StateStoreBench {
         streaming.EventsStreaming.eventsStream(spark, d)
           .selectExpr("user_id", "ts", "value"))),
       "debounce"   -> (() => streaming.DebounceStream.survivors(spark, d)),
-      "locf"       -> (() => streaming.LocfStream.fills(spark, d)))
+      "locf"       -> (() => streaming.LocfStream.fills(spark, d)),
+      "ss_join"    -> (() => streaming.EventsStreaming.viewPurchaseJoin(spark, d)))
     val streams = mkStreams(sfDir)
 
     def du(f: java.io.File): Long =
