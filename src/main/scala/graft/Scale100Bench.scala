@@ -40,7 +40,12 @@ package graft
   * i.e. fixed-overhead-dominated; the 100× point shows where true
   * linearity takes over for the two most expensive bench queries).
   *
-  * Usage: runMain graft.Scale100Bench [sfDir] [core|docs]
+  * Group `graph`: the iterative co-purchase family (triangles, kcore,
+  * pagerank — checkpointed supersteps over disjoint per-copy graphs,
+  * so vertex/edge volume is linear in copies and each superstep's
+  * shuffle should scale with it).
+  *
+  * Usage: runMain graft.Scale100Bench [sfDir] [core|graph|docs]
   * (defaults /root/testdata/sf0.1, core; replicas under
   * java.io.tmpdir — delete graft_scale100* / graft_scale10_* to
   * rebuild). Prints one JSON line with x1/x10/x100 wall seconds and
@@ -54,9 +59,15 @@ object Scale100Bench {
     val (names, tables, suffix) = group match {
       case "core" => (Seq("q_sink_rangeparts", "q_assoc_rules", "q_graph_jaccard"),
         Set("orders", "lineitem"), "")
+      // graph shares core's replica (tables ⊆ core's; same dir+marker)
+      // — the co-purchase family reads lineitem only, and the heaviest
+      // iterative queries deserve the 100× point as much as the
+      // steepest slopes do
+      case "graph" => (Seq("q_graph_triangles", "q_graph_kcore", "q_graph_pagerank"),
+        Set("orders", "lineitem"), "")
       case "docs" => (Seq("q_dedup_cluster", "q_text_ngram_lm", "q_text_perplexity"),
         Set("documents"), "_docs")
-      case other => sys.error(s"unknown group '$other' (core|docs)")
+      case other => sys.error(s"unknown group '$other' (core|graph|docs)")
     }
     val spark = ScaleBench.session()
 
