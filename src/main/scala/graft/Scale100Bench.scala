@@ -45,7 +45,26 @@ package graft
   * so vertex/edge volume is linear in copies and each superstep's
   * shuffle should scale with it).
   *
-  * Usage: runMain graft.Scale100Bench [sfDir] [core|graph|docs]
+  * Group `sim` (round 13): the embeddings-backed ANN/near-dup family —
+  * the last group argued from construction rather than measured at
+  * scale. `q_sim_ivfpq` (IVF probe + PQ rank: per-vector work is
+  * O(k + probed-cell candidates), so linear), `q_dedup_semantic`
+  * (fixed 8-cell SemDeDup: pair volume is n²/k BY DESIGN at fixed k —
+  * the measurement verifies wall tracks that prediction and nothing
+  * more; the 100 TB path raises k with n), and `q_dedup_embedding`
+  * (all-pairs with automatic delegation: the group adds a ~260× point
+  * PAST the 500k-vector broadcast bound and asserts — via the same
+  * `DedupQueries.embeddingDelegates` decision the query itself makes —
+  * that the blocked plan is the one measured, proving the delegation
+  * engages by measurement rather than by the bounded-count unit test).
+  * Replica honesty: per-copy orthogonal vector transforms (see
+  * ScaleBench.buildTables) keep within-copy geometry exact while
+  * decorrelating cross-copy cosines — verbatim copies would be exact
+  * cosine-1 near-dups and near-dup pair volume would grow
+  * quadratically in copies for reasons that have nothing to do with
+  * scale.
+  *
+  * Usage: runMain graft.Scale100Bench [sfDir] [core|graph|docs|sim]
   * (defaults /root/testdata/sf0.1, core; replicas under
   * java.io.tmpdir — delete graft_scale100* / graft_scale10_* to
   * rebuild). Prints one JSON line with x1/x10/x100 wall seconds and
@@ -67,16 +86,21 @@ object Scale100Bench {
         Set("orders", "lineitem"), "")
       case "docs" => (Seq("q_dedup_cluster", "q_text_ngram_lm", "q_text_perplexity"),
         Set("documents"), "_docs")
-      case other => sys.error(s"unknown group '$other' (core|graph|docs)")
+      case "sim" => (Seq("q_sim_ivfpq", "q_dedup_semantic", "q_dedup_embedding"),
+        Set("embeddings"), "_sim")
+      case other => sys.error(s"unknown group '$other' (core|graph|docs|sim)")
     }
     val spark = ScaleBench.session()
 
     val tmp = System.getProperty("java.io.tmpdir")
     val dir10full = new java.io.File(tmp, "graft_scale10")
     val dir10 =
-      if (new java.io.File(dir10full, "_built").exists()) {
-        // reuse ScaleBench's cached five-table replica (same copies/
-        // stride) rather than writing a second 10× subset replica
+      // Reuse ScaleBench's cached five-table replica only when its
+      // _built marker proves it was built from THIS source dir at 10
+      // copies with (at least) the tables this group reads — an
+      // existence-only check would silently measure a replica of
+      // different-scale data (round-13 ADVICE).
+      if (ScaleBench.replicaCompatible(dir10full.getAbsolutePath, sfDir, 10, tables)) {
         dir10full.getAbsolutePath
       } else {
         val d = new java.io.File(tmp, s"graft_scale10$suffix" + (if (suffix.isEmpty) "_ol" else "")).getAbsolutePath
@@ -95,7 +119,23 @@ object Scale100Bench {
     val json = rows.map { case (n, t1, t10, t100) =>
       f""""$n":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,"slope10":${t10 / t1}%.1f,"slope100":${t100 / t10}%.1f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_slope_100x","queries":$json}""")
+
+    // sim only: one extra q_dedup_embedding point PAST the 500k-vector
+    // broadcast bound (sf0.1 × 260 copies = 520k vectors). Asserting
+    // embeddingDelegates — the exact decision the query evaluates —
+    // on both the 100× (must NOT delegate: 200k ≤ bound) and 260×
+    // (must delegate) corpora pins WHICH branch each measurement took.
+    val extra = if (group == "sim") {
+      val dir260 = new java.io.File(tmp, "graft_scale260_sim").getAbsolutePath
+      ScaleBench.buildTables(spark, sfDir, dir260, 260, Set("embeddings"))
+      val d100 = graft.operators.DedupQueries.embeddingDelegates(spark, dir100)
+      val d260 = graft.operators.DedupQueries.embeddingDelegates(spark, dir260)
+      assert(!d100, "100x corpus unexpectedly past the broadcast bound")
+      assert(d260, "260x corpus must engage the blocked delegation")
+      val t260 = ScaleBench.timeQuery(spark, "q_dedup_embedding", dir260)
+      f""","dedup_embedding_delegation":{"x260":$t260%.2f,"delegated_x100":$d100,"delegated_x260":$d260}"""
+    } else ""
+    println(s"""{"metric":"scale_slope_100x","queries":$json$extra}""")
     spark.stop()
   }
 }

@@ -15,24 +15,50 @@ import org.apache.spark.sql.functions._
   * would be exact near-duplicates, inflating every LSH bucket tenfold
   * and making q_dedup_cluster look quadratic for a reason that has
   * nothing to do with scale. Copy i > 0 rewrites each document through
-  * a per-copy consonant/vowel substitution (translate with a rotated
-  * alphabet), which preserves length, token structure, and trigram
-  * VOLUME (the ngram_lm cost driver) while making cross-copy shingle
-  * sets disjoint. Ids shift by a copy stride so keys stay unique;
-  * embeddings keep their float values (cell geometry unchanged) with
-  * only vec_id shifted, so the 10 query vectors and 8 centroids remain
-  * exactly the copy-0 ones.
+  * a per-copy letter substitution (translate with two independently
+  * rotated letter groups — injective across 100 copies), which
+  * preserves length, token structure, and trigram VOLUME (the ngram_lm
+  * cost driver) while making cross-copy shingle sets disjoint. Ids
+  * shift by a copy stride so keys stay unique; embeddings get a
+  * per-copy coordinate rotation + block sign-flip (an orthogonal
+  * transform applied uniformly within the copy, so every within-copy
+  * inner product and norm is preserved EXACTLY while cross-copy
+  * vectors decorrelate — verbatim vector copies would be exact
+  * cosine-1 near-duplicates, the same dishonesty as verbatim text).
+  * Copy 0 is always untransformed, so the 10 query vectors and 8
+  * centroids remain exactly the copy-0 ones.
   *
   * Usage: runMain graft.ScaleBench [sfDir] (default /root/testdata/sf0.1)
   */
 object ScaleBench {
 
-  private val Stride = 100000000L
+  private[graft] val Stride = 100000000L
   private val Copies = 10
-  private val Rot = "etaoinshr"
+  // Two independently-rotated 10-letter groups (high-frequency English
+  // letters, disjoint): copy i substitutes G1 by rotation (i % 10) and
+  // G2 by rotation (i / 10), so the combined substitution is INJECTIVE
+  // for i in 0..99 — every copy of a 100x replica gets a distinct
+  // alphabet and cross-copy shingle sets stay disjoint at 100 copies.
+  // (The round-12 form rotated one 9-letter group by i % 9, so copies
+  // 0, 9, 18, ... were byte-identical originals: distinct trigrams
+  // stopped growing past 9 copies and the 100x docs slopes were
+  // measured against partially-duplicated text — the round-13 ADVICE
+  // finding. SubstVersion in the _built marker forces stale replicas
+  // to fail fast instead of being silently reused.)
+  private val G1 = "etaoinshrd"
+  private val G2 = "lcumwfgypb"
+  private[graft] val SubstVersion = "2x10"
 
-  private def rotated(i: Int): String =
-    (Rot.substring(i % Rot.length) + Rot.substring(0, i % Rot.length))
+  private def rot(s: String, k: Int): String =
+    s.substring(k % s.length) + s.substring(0, k % s.length)
+
+  private[graft] def substFrom: String = G1 + G2
+
+  private[graft] def substTo(i: Int): String = {
+    require(i >= 0 && i < G1.length * G2.length,
+      s"copy index $i exceeds the injective substitution range")
+    rot(G1, i % G1.length) + rot(G2, i / G1.length)
+  }
 
   /** The shared bench session (also used by Scale100Bench so the two
     * harnesses can never diverge in session config).
@@ -134,23 +160,22 @@ object ScaleBench {
     * rules as the 10× build (disjoint shingle sets, disjoint per-copy
     * part/order/user key spaces) — see the per-table comments.
     *
-    * The `_built` marker records the build parameters (copies, table
-    * set, source dir): a cached replica is reused ONLY when they match
-    * the request; a mismatch fails fast instead of silently measuring
-    * wrong-scale or missing-table data. (An empty marker from a
-    * pre-parameterized build is accepted only for the original
-    * five-table 10× shape it could have meant.)
+    * The `_built` marker records the build parameters (substitution
+    * version, copies, table set, source dir): a cached replica is
+    * reused ONLY when they match the request; a mismatch fails fast
+    * instead of silently measuring wrong-scale, wrong-alphabet, or
+    * missing-table data. (Round-13 change: markers without the subst
+    * version — i.e. replicas built with the old non-injective 9-letter
+    * rotation — always mismatch and must be rebuilt.)
     */
   def buildTables(spark: SparkSession, sfDir: String, out: String,
                   nCopies: Int, tables: Set[String]): Unit = {
     val marker = new java.io.File(out, "_built")
-    val sig = s"copies=$nCopies tables=${tables.toSeq.sorted.mkString(",")} sf=$sfDir"
+    val sig = sigOf(sfDir, nCopies, tables)
     if (marker.exists()) {
       val prev = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
-      val legacyOk = prev.isEmpty && nCopies == Copies &&
-        tables == Set("documents", "embeddings", "orders", "lineitem", "events")
-      if (prev == sig || legacyOk) return
+      if (prev == sig) return
       sys.error(s"replica at $out was built with different parameters " +
         s"('$prev' vs requested '$sig') — delete the directory to rebuild")
     }
@@ -162,16 +187,44 @@ object ScaleBench {
       copies(docs) { (d, i) =>
         d.select((col("doc_id") + i * Stride).as("doc_id"),
           (if (i == 0) col("text")
-           else translate(col("text"), Rot, rotated(i))).as("text"),
+           else translate(col("text"), substFrom, substTo(i))).as("text"),
           col("lang"), col("source"))
       }.write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
+    // Per-copy orthogonal transform: circular coordinate shift by
+    // (i % 64) composed with a block sign-flip chosen by (i / 64)
+    // (negate 8-coordinate block b iff bit b of the flip id is set).
+    // Both are applied uniformly to every vector of the copy, so all
+    // within-copy inner products and norms are preserved (a
+    // permutation matrix times a ±1 diagonal is orthogonal; the
+    // per-coordinate products are the exact same multiset, re-summed
+    // in permuted order — equal up to last-ulp float accumulation) —
+    // cell geometry, top-k sets, and near-dup pair structure inside
+    // each copy match copy 0 —
+    // while cross-copy cosines decorrelate, keeping near-dup pair
+    // volume linear in copies. Injective for i in 0..511 (64 shifts ×
+    // 8 flip patterns); embeddings are fixed 64-dim corpus-wide. The
+    // replica is also written in 64 files: the all-pairs operators are
+    // CPU-bound (O(n²) dots on O(n) bytes), and a byte-sized split of
+    // a ~50 MB parquet dir would hand 2e10 dot products to one task.
     if (tables("embeddings")) {
       val emb = Tables.embeddings(spark, sfDir)
       copies(emb) { (e, i) =>
+        val shift = i % 64
+        val flip = i / 64
+        val shifted =
+          if (shift == 0) col("embedding")
+          else concat(slice(col("embedding"), shift + 1, 64 - shift),
+            slice(col("embedding"), 1, shift))
+        val negBlocks = (0 until 8).filter(b => ((flip >> b) & 1) == 1)
+        val flipped =
+          if (negBlocks.isEmpty) shifted
+          else transform(shifted, (x, j) =>
+            when((j / 8).cast("int").isin(negBlocks: _*), -x).otherwise(x))
         e.withColumn("vec_id", col("vec_id") + i * Stride)
-      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+          .withColumn("embedding", flipped)
+      }.repartition(64).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
 
     if (tables("orders")) {
@@ -211,5 +264,36 @@ object ScaleBench {
     java.nio.file.Files.write(marker.toPath,
       sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
+  }
+
+  private def sigOf(sfDir: String, nCopies: Int, tables: Set[String]): String =
+    s"subst=$SubstVersion copies=$nCopies " +
+      s"tables=${tables.toSeq.sorted.mkString(",")} sf=$sfDir"
+
+  /** True iff the replica at `dir` carries a `_built` marker whose
+    * substitution version, copy count, and source dir match the
+    * request and whose table set is a SUPERSET of the needed tables —
+    * the only conditions under which reusing a cached replica measures
+    * the same data a fresh build would. Scale100Bench's 10× reuse path
+    * goes through this instead of a bare existence check (round-13
+    * ADVICE: an existence-only check silently reused a replica built
+    * from a different source dir, skewing both reported slopes).
+    */
+  def replicaCompatible(dir: String, sfDir: String, nCopies: Int,
+                        tables: Set[String]): Boolean = {
+    val marker = new java.io.File(dir, "_built")
+    if (!marker.exists()) return false
+    val prev = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+    val kv = prev.split(" ").flatMap { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    kv.get("subst").contains(SubstVersion) &&
+      kv.get("copies").contains(nCopies.toString) &&
+      kv.get("sf").contains(sfDir) &&
+      kv.get("tables").exists(ts => tables.subsetOf(ts.split(",").toSet))
   }
 }

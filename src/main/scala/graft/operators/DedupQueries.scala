@@ -54,6 +54,18 @@ object DedupQueries {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
   }
 
+  /** The broadcast-vs-blocked decision q_dedup_embedding makes: past
+    * ~500k×64f (~130 MB) the all-pairs candidate side must not be
+    * broadcast, so the query delegates to blockedAllPairs. The check
+    * is a bounded COUNT (limit(bound+1).count()) — it never pulls rows
+    * to the driver. Public so the scale harness (Scale100Bench `sim`)
+    * can assert WHICH branch a given corpus takes via the exact
+    * decision the query itself evaluates, making the delegation's
+    * engagement at scale a measured fact rather than a unit-test one.
+    */
+  def embeddingDelegates(s: SparkSession, d: String): Boolean =
+    embeddings(s, d).select(col("vec_id")).limit(500001).count() > 500000L
+
   /** Blocked all-pairs cosine near-dup — the 100 TB form, shared by
     * q_dedup_embedding_blocked (always) and q_dedup_embedding (as its
     * automatic fallback past the broadcast bound). Vectors split into
@@ -64,10 +76,19 @@ object DedupQueries {
     * whole-table broadcast — same result set, same oracle, identical
     * double arithmetic (dot in index order, lower-id norm first) as
     * the broadcast form.
+    *
+    * B adapts to corpus size (≈16k vectors per block, floor 4): a
+    * fixed B caps parallelism at B·(B+1)/2 reduce groups, which at
+    * 520k vectors left 22 of 32 cores idle on ~10-minute tasks. The
+    * count that sizes B is one cheap column-pruned job; total dot work
+    * is C(N,2) regardless of B, so the only trade is B·N shuffle rows
+    * — at B=32 on 520k×64f that is ~4 GB spread over the cluster,
+    * nothing against the 1.4e11 dots it parallelizes.
     */
   private def blockedAllPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val B = 4
+    val n = embeddings(s, d).select(col("vec_id")).count()
+    val B = math.max(4L, (n + 16383L) / 16384L).min(256L).toInt
     val pairs = for { bi <- 0 until B; bj <- bi until B } yield (bi, bj)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
@@ -265,18 +286,19 @@ object DedupQueries {
       // same pairs, same double arithmetic, no broadcast) instead of
       // failing: below the bound you get the fast broadcast form, past
       // it the plan degrades to the scale-safe one automatically.
-      // The bound check is a bounded COUNT (limit(bound+1).count()):
-      // it never pulls rows to the driver, so when the blocked plan is
-      // taken the ~130 MB candidate collect simply never executes —
-      // the collect runs only on the small-side branch (round-6
-      // verdict: the previous form collected unconditionally and
-      // discarded the pull when delegating). Acknowledged trade: the
-      // small-side branch now runs two jobs (bounded count + collect);
-      // the count job is bounded-scan cheap (~0.03 s at sf0.1, inside
-      // MicroBench's embed_broadcast timing) — accepted in exchange
-      // for never shipping the candidate table to the driver when the
-      // blocked plan is the one that runs.
-      if (e.limit(500001).count() > 500000L) blockedAllPairs(s, d)
+      // The bound check (embeddingDelegates) is a bounded COUNT
+      // (limit(bound+1).count()): it never pulls rows to the driver,
+      // so when the blocked plan is taken the ~130 MB candidate
+      // collect simply never executes — the collect runs only on the
+      // small-side branch (round-6 verdict: the previous form
+      // collected unconditionally and discarded the pull when
+      // delegating). Acknowledged trade: the small-side branch now
+      // runs two jobs (bounded count + collect); the count job is
+      // bounded-scan cheap (~0.03 s at sf0.1, inside MicroBench's
+      // embed_broadcast timing) — accepted in exchange for never
+      // shipping the candidate table to the driver when the blocked
+      // plan is the one that runs.
+      if (embeddingDelegates(s, d)) blockedAllPairs(s, d)
       else {
         val all = e.collect().sortBy(_._1)
         val norms = all.map { case (_, v) =>
@@ -285,7 +307,13 @@ object DedupQueries {
           math.sqrt(sum)
         }
         val bc = s.sparkContext.broadcast((all, norms))
-        e.mapPartitions { rows =>
+        // The probe pass is CPU-bound (O(n²) dots over O(n) input
+        // bytes): Spark's byte-sized file split would hand a ~50 MB
+        // 200k-vector corpus to 1-2 tasks and serialize 2e10 dot
+        // products. One cheap n-row shuffle spreads the quadratic
+        // compute over every core — partition by compute, not bytes.
+        e.repartition(s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+          .mapPartitions { rows =>
           val (cands, cnorms) = bc.value
           rows.flatMap { case (aId, av) =>
             var aSum = 0.0
