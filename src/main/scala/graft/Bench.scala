@@ -120,47 +120,97 @@ object Bench {
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
 
-    // Generator throughput: flagship 7-column spec, 10M rows, noop sink.
-    // Min-of-2 like the queries: the gen numbers feed bench_vs_baseline
-    // directly, and round 8 showed a one-shot measurement hands a single
-    // GC/scheduling spike straight to the headline (27% apparent drop
-    // with zero gen-code change).
+    // Generator throughput: flagship 7-column spec, 10M rows, noop sink
+    // + end-to-end CSV sink (the reference's actual operation: format +
+    // write, through the BYTE-parity %g projection so the claim vs
+    // BASELINE.md is apples-to-apples down to the output bytes).
+    //
+    // Hybrid reps like the queries (round-13 protocol): THREE reps of
+    // each feeder, INTERLEAVED (gen, csv, gen, csv, ...) so each
+    // feeder's reps are separated by the other's multi-second run —
+    // the same inter-pass decorrelation the query reps use. Round 12
+    // measured a 1.7× same-code spread on gen_csv_rps (992k vs 1.69M
+    // rows/s) under the old back-to-back min-of-2: back-to-back reps
+    // are perfectly correlated with whatever compile/GC window the
+    // first rep landed in, and bench_vs_baseline inherited the noise.
+    // Min-of-3 decorrelated reps is the report; all reps go to
+    // BENCH_FULL.json (gen_reps/csv_reps) so a window round is
+    // self-diagnosing, and graft.GenBench is the SoloBench-style
+    // standalone for targeted re-measurement (SCALE.md §"CSV-sink
+    // throughput envelope").
     val genSpec = "key,bigint,int(11),varchar(50),double,date,bigint(20)"
     val genRows = 10000000L
-    gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus.toInt)
-      .write.format("noop").mode("overwrite").save() // gen warm-up
+    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
     def genOnce(): Double = {
       val g0 = System.nanoTime()
       gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - g0) / 1e9
     }
-    val genSec = math.min(genOnce(), genOnce())
-    val genRate = (genRows / genSec).toLong
-
-    // End-to-end CSV sink (the reference's actual operation: format +
-    // write), through the BYTE-parity projection (%g float text) so
-    // the throughput claim vs BASELINE.md is apples-to-apples down to
-    // the output bytes. Min-of-2 for the same reason as above.
-    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
-    val csvRate = try {
-      def csvOnce(): Double = {
-        val c0 = System.nanoTime()
-        gen.SqloadGen.textParity(
-            gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
-          .write.mode("overwrite").option("header", "false").option("emptyValue", "")
-          .csv(csvDir.getAbsolutePath)
-        (System.nanoTime() - c0) / 1e9
-      }
-      (genRows / math.min(csvOnce(), csvOnce())).toLong
+    def csvOnce(): Double = {
+      val c0 = System.nanoTime()
+      gen.SqloadGen.textParity(
+          gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
+        .write.mode("overwrite").option("header", "false").option("emptyValue", "")
+        .csv(csvDir.getAbsolutePath)
+      (System.nanoTime() - c0) / 1e9
+    }
+    gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus.toInt)
+      .write.format("noop").mode("overwrite").save() // gen warm-up
+    val (genReps, csvReps) = try {
+      val reps = (1 to 3).map(_ => (genOnce(), csvOnce()))
+      (reps.map(_._1), reps.map(_._2))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] csv sink failed: ${e.getMessage}"); -1L
+      System.err.println(s"[bench] gen/csv feeder failed: ${e.getMessage}")
+      (Seq(-1.0), Seq(-1.0))
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
       if (csvDir.exists()) rm(csvDir)
+    }
+    val genSec = genReps.min
+    val genRate = if (genSec > 0) (genRows / genSec).toLong else -1L
+    val csvRate = if (csvReps.min > 0) (genRows / csvReps.min).toLong else -1L
+
+    // Run-scoped-elevation pre-discrimination (round-13 directive):
+    // any query whose min rose >15% (and >50 ms absolute) vs the prior
+    // round's driver BENCH file gets an immediate solo min-of-2
+    // re-measure on this now-fully-warm JVM, emitted as `movers_solo`
+    // in BENCH_FULL.json — the judge reads driver-run movers already
+    // discriminated (solo ≈ prior level ⇒ run-scoped ambient; solo
+    // elevated ⇒ candidate regression for the SoloBench min-of-5
+    // protocol). Capped at the 12 slowest movers to bound bench cost.
+    val prior: Map[String, Double] = {
+      val dir = new java.io.File(".")
+      val files = Option(dir.listFiles((_, n) => n.matches("BENCH_r\\d+\\.json")))
+        .getOrElse(Array.empty)
+      files.sortBy(_.getName).lastOption.map { f =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // matches both the parsed map and the escaped copy inside
+        // "tail" (identical values from the same run)
+        val re = """"(q_[A-Za-z0-9_]+)\\?":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    val movers = results.filter { case (name, cur) =>
+      cur > 0 && prior.get(name).exists(p => p > 0 && cur > p * 1.15 && cur - p > 0.05)
+    }.sortBy(-_._2).take(12)
+    val moversSolo = movers.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] movers_solo $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        if (ok) dt else -1.0
+      }
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -177,8 +227,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullMeds = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullMovers = moversSolo.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val genRepsJson = genReps.mkString("[", ",", "]")
+    val csvRepsJson = csvReps.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_med":$fullMeds,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
