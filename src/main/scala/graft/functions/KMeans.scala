@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: init is the k vectors with the smallest id (no RNG);
   * assignment ties break toward the lower cluster index. Centroid
-  * means are floating-point aggregates, so exact bits can vary with
-  * partitioning (as with any double sum) — callers needing cross-run
-  * stability fix the partitioning, as KMeansSpec does.
+  * means and the WCSS are DECIMAL-exact aggregates (the SCALE.md
+  * cross-engine float policy): sums fold order-independently in
+  * decimal(38,15), one double conversion at the end, and the driver
+  * fold walks (cid, dim) in sorted order — so the fit is bit-stable
+  * across partition counts, task retries, and shuffle fetch order,
+  * not just for a fixed partitioning (KMeansSpec pins 4 vs 13
+  * shuffle/input partitions bit-equal). The decimal cast rounds each
+  * float to 15 fractional digits before summing — a deterministic
+  * quantization far below the data's float32 noise floor.
   * Algorithm: Lloyd (1957/1982), "Least squares quantization in PCM".
   */
 object KMeans {
@@ -76,12 +82,14 @@ object KMeans {
       val stats = assigned
         .select(col("cid"), col("d2"), posexplode(col("v")).as(Seq("dimIdx", "x")))
         .groupBy("cid", "dimIdx")
-        .agg(avg(col("x").cast("double")).as("m"),
-          sum(when(col("dimIdx") === 0, col("d2"))).as("d2sum"))
+        .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1)))
+            .cast("double").as("m"),
+          sum(when(col("dimIdx") === 0, col("d2")).cast("decimal(28,15)"))
+            .cast("double").as("d2sum"))
         .collect()
       val next = Array.tabulate(k)(i => cents(i).clone()) // empty cluster keeps its centroid
       var sse = 0.0
-      stats.foreach { r =>
+      stats.sortBy(r => (r.getInt(0), r.getInt(1))).foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
         if (!r.isNullAt(3)) sse += r.getDouble(3)
       }

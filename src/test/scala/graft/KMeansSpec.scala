@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Lloyd's k-means fit over the embeddings table: objective decreases
-  * monotonically, output shape is right, and the run is deterministic
-  * for a fixed partitioning.
+  * monotonically, output shape is right, and the run is bit-stable
+  * across partition layouts (the decimal-exact centroid aggregation —
+  * a double sum here would make the fit a function of shuffle fetch
+  * order on a real cluster).
   */
 class KMeansSpec extends AnyFunSuite {
 
@@ -22,7 +24,7 @@ class KMeansSpec extends AnyFunSuite {
 
   private def input = Tables.embeddings(spark, sf)
     .select(col("vec_id"), col("embedding"))
-    .repartition(4, col("vec_id")) // fixed partitioning → reproducible double sums
+    .repartition(4, col("vec_id"))
 
   test("WCSS is non-increasing over iterations and centroids have the right shape") {
     val (cents, wcss) = functions.KMeans.fit(input, "vec_id", "embedding", k = 8, iters = 3)
@@ -39,9 +41,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(cents.zip(seed).exists { case (c, s) => !c.sameElements(s) })
   }
 
-  test("fit is deterministic for a fixed partitioning") {
+  test("fit is bit-stable across partition layouts (decimal-exact sums)") {
+    // 4 vs 13 input partitions AND 4 vs 13 shuffle partitions: every
+    // partial-aggregate boundary moves, every merge order changes — the
+    // centroids and WCSS must not. (With the old avg(double) this is
+    // exactly where last-ulp drift appeared.)
     val (c1, w1) = functions.KMeans.fit(input, "vec_id", "embedding", k = 4, iters = 2)
-    val (c2, w2) = functions.KMeans.fit(input, "vec_id", "embedding", k = 4, iters = 2)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val (c2, w2) =
+      try functions.KMeans.fit(
+        input.repartition(13, col("vec_id")), "vec_id", "embedding", k = 4, iters = 2)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(w1.toSeq == w2.toSeq)
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
