@@ -86,19 +86,33 @@ class DeterminismAuditSpec extends AnyFunSuite {
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-    test(s"$name result is invariant to shuffle fan-out and scan splits") {
+    test(s"$name result is invariant to partition layout and plan family") {
       val a = withSqlConfs(
         "spark.sql.shuffle.partitions" -> "4")(fingerprint(name))
       val b = withSqlConfs(
         "spark.sql.shuffle.partitions" -> "13",
         "spark.sql.files.maxPartitionBytes" -> "65536",
         "spark.sql.files.openCostInBytes" -> "16384")(fingerprint(name))
+      // Third axis — a different PHYSICAL PLAN FAMILY: the suite (like
+      // Spark 4 defaults) runs everything under AQE, so coalesced
+      // shuffle reads and runtime auto-broadcasts are the only world
+      // the gates ever saw. AQE off + auto-broadcast off replans every
+      // un-hinted join as SortMergeJoin and keeps every tiny shuffle
+      // partition — different join-side iteration orders, different
+      // reduce grouping — and the results must not care. (Explicit
+      // broadcast() hints still broadcast; the threshold only governs
+      // the auto decision.)
+      val c = withSqlConfs(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")(fingerprint(name))
       // same hygiene as InventorySpec: drop cache/localCheckpoint blocks
-      // accumulated by the two executions before the next query's pair
+      // accumulated by the executions before the next query's triple
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       assert(a == b,
         s"$name result depends on partition layout: default=$a adversarial=$b")
+      assert(a == c,
+        s"$name result depends on the plan family: default=$a noAqeSmj=$c")
     }
   }
 }
