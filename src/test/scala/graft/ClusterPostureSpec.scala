@@ -1,0 +1,279 @@
+package graft
+
+import java.io.File
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-JVM executor posture — every other gate in the repo runs
+  * `local[N]`: one JVM, in-process "executors", no process boundary. A
+  * 1000-executor cluster adds three things local mode cannot exhibit at
+  * all:
+  *
+  *  - **Speculative execution.** `spark.speculation` is hard-disabled by
+  *    the scheduler under local masters, so no local gate can ever see a
+  *    speculative duplicate attempt racing its original — the cluster
+  *    default posture for straggler mitigation (and the other half of
+  *    the SPARK-23207 determinism story TaskRetrySpec covers for
+  *    retries).
+  *  - **The output-commit race.** Two attempts of the same write task
+  *    running CONCURRENTLY (speculation) is exactly what
+  *    OutputCommitCoordinator exists for; in local mode it is never
+  *    exercised.
+  *  - **Real executor death.** Process gone, shuffle outputs gone,
+  *    worker relaunches a replacement — the spot-preemption story,
+  *    end to end, not a simulated exception.
+  *
+  * This suite runs a real standalone master + 2 workers in-process
+  * (TwoHostCluster), each launching a REAL executor JVM (child
+  * process). The workers bind to DISTINCT loopback addresses
+  * (127.0.0.1 / 127.0.0.2) because the scheduler refuses to place a
+  * speculative attempt on a host already running an attempt of the
+  * same task — under stock `local-cluster` (one hostname) speculation
+  * can never launch, so this suite builds the two-host variant
+  * instead. Executors inherit the test JVM's classpath via Spark's own
+  * testing hook (`spark.testing` ⇒ java.class.path is passed through
+  * to the executor command — the same mechanism Spark's internal
+  * suites use; `spark.test.home` points the worker's SPARK_HOME at the
+  * real /opt/spark release layout so the launcher's command builder
+  * finds a jars/ dir, and SPARK_SCALA_VERSION is forwarded via
+  * executorEnv because only bin/load-spark-env.sh normally exports it
+  * and the in-process worker bypasses that shell wrapper). JDK-17
+  * --add-opens are forwarded explicitly because the
+  * worker launches executors with a bare `java`, not spark-class.
+  * `spark.locality.wait=0` because local-file split locality
+  * ("localhost") never matches the loopback executor hosts.
+  *
+  * Representative inventory queries (one per heavy operator family) are
+  * fingerprint-compared against a vanilla local[4] truth pass: same
+  * plans, now with cross-process shuffle fetches, executor-side parquet
+  * commits, and broadcast over RPC.
+  */
+class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // One per operator family that stresses a distinct cluster mechanism:
+  // shuffle joins, LSH self-join, window state, salted agg, broadcast
+  // dims, bucket-prefix ordinals, sketch aggs, iterative checkpointed
+  // graph, a real file sink (executor-side FileOutputCommitter), and
+  // the composed pipeline.
+  private val representative = Seq(
+    "q_sql_q3", "q_dedup_minhash", "q_win_session", "q_agg_salted",
+    "q_text_tfidf", "q_shuffle_epoch", "q_agg_cms", "q_stats_corr",
+    "q_graph_pagerank", "q_sink_rangeparts", "q_pipeline_e2e",
+    "q_agg_collect")
+
+  private def fingerprint(s: SparkSession, name: String): (Long, Long) = {
+    val df = SparkEntry.queries(name)(s, sf)
+    val n = df.count()
+    val cols = df.columns.map(c => col(c).cast("string")).toSeq
+    val h = df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).head()
+    (n, if (h.isNullAt(0)) 0L else h.getLong(0))
+  }
+
+  private lazy val truth: Map[String, (Long, Long)] = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    val vanilla = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val fps = representative.map(n => n -> fingerprint(vanilla, n)).toMap
+    vanilla.stop()
+    fps
+  }
+
+  private val speculativeTasks = new AtomicInteger()
+  private val executorsRemoved = new AtomicInteger()
+  private val executorsAdded = new AtomicInteger()
+  private val lastJobEndNs = new AtomicLong()
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  private lazy val spark: SparkSession = {
+    truth // run + stop the vanilla session first
+    val scratch = new File("target/spark-test-home").getAbsoluteFile
+    scratch.mkdirs()
+    sys.props("spark.testing") = "true"
+    sys.props("spark.test.home") = "/opt/spark"
+    val masterUrl = org.apache.spark.deploy.graft.TwoHostCluster.start(
+      new org.apache.spark.SparkConf(true), coresPerWorker = 2,
+      memPerWorkerMb = 1024, workDirRoot = scratch.getPath)
+    val s = SparkSession.builder()
+      .master(masterUrl)
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "50ms")
+      .config("spark.speculation.multiplier", "1.5")
+      .config("spark.speculation.quantile", "0.4")
+      .getOrCreate()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit =
+        if (t.taskInfo.speculative) speculativeTasks.incrementAndGet()
+      override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
+        executorsAdded.incrementAndGet()
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+        executorsRemoved.incrementAndGet()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        lastJobEndNs.set(System.nanoTime())
+    })
+    waitUntil(executorsAdded.get() >= 2, 120.seconds,
+      "two executors never registered with the driver")
+    s
+  }
+
+  private def waitUntil(cond: => Boolean, timeout: Duration, msg: String): Unit = {
+    val deadline = System.nanoTime() + timeout.toNanos
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(msg)
+      Thread.sleep(100)
+    }
+  }
+
+  private def executorPids(): Seq[Long] = {
+    import spark.implicits._
+    spark.range(0, 8, 1, 8)
+      .mapPartitions(_ => Iterator(ProcessHandle.current().pid()))
+      .collect().distinct.toSeq.sorted
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    org.apache.spark.deploy.graft.TwoHostCluster.stop()
+    sys.props -= "spark.testing"
+    sys.props -= "spark.test.home"
+  }
+
+  test("the cluster is real: two executor JVMs, neither is the driver") {
+    val pids = executorPids()
+    val driverPid = ProcessHandle.current().pid()
+    assert(pids.size == 2, s"expected 2 executor JVMs, tasks ran in: $pids")
+    assert(!pids.contains(driverPid),
+      s"tasks ran inside the driver JVM ($driverPid) — this is not a cluster")
+  }
+
+  for (name <- representative) {
+    test(s"$name is bit-identical across the process boundary") {
+      assert(truth(name) == fingerprint(spark, name),
+        s"$name diverged between local[4] and local-cluster")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("speculative duplicate attempts are result-safe through a shuffle") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("value")).as[Long].repartition(8)
+    val expected = base.groupBy(($"value" % 10).as("k"))
+      .agg(sum("value").as("s"), count(lit(1)).as("c"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = speculativeTasks.get()
+    // First attempt of map partition 0 stalls 6 s; its speculative copy
+    // (attemptNumber 1) does not — the copy wins, the original is
+    // killed mid-write, and the reduce stage must consume exactly one
+    // of the two map outputs.
+    val slowed = base.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0) Thread.sleep(6000)
+      it
+    }
+    val got = slowed.groupBy(($"value" % 10).as("k"))
+      .agg(sum("value").as("s"), count(lit(1)).as("c"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected, "result changed under a speculative map attempt")
+    assert(speculativeTasks.get() > before,
+      "no speculative task ever launched — the straggler was not speculated")
+  }
+
+  test("the output-commit race: a speculated write task commits exactly once") {
+    import spark.implicits._
+    val out = s"target/spark-test-home/commit-race-${System.nanoTime()}"
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("value")).as[Long].repartition(8)
+    val expectedCount = base.count()
+    val expectedSum = base.agg(sum("value")).head().getLong(0)
+    val before = speculativeTasks.get()
+    base.mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0) Thread.sleep(6000)
+      it
+    }.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).as[Long]
+    assert(back.count() == expectedCount,
+      "row count changed after a speculated write — an attempt double-committed or leaked")
+    assert(back.agg(sum("value")).head().getLong(0) == expectedSum)
+    assert(speculativeTasks.get() > before,
+      "no speculative write task ever launched — the commit race was not exercised")
+  }
+
+  test("executor death mid-job: lost shuffle outputs recompute, result unchanged, worker relaunches") {
+    import spark.implicits._
+    val pidsBefore = executorPids()
+    val expected = spark.range(0, 200000, 1, 8)
+      .select((col("id") % 997).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .as[(Long, Long, Long)]
+      .collect().map(_.toString).sorted.toSeq
+    // Same job with each reduce task stalled 1500 ms so the kill lands
+    // mid-flight: stage 1's map outputs live on both executors when one
+    // dies, so surviving reducers hit FetchFailed -> map stage partial
+    // resubmit -> rerun, plus plain task reschedule for the dead
+    // executor's own running tasks.
+    val job = Future {
+      spark.range(0, 200000, 1, 8)
+        .select((col("id") % 997).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it => Thread.sleep(1500); it }
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Thread.sleep(800)
+    val removedBefore = executorsRemoved.get()
+    val victim = ProcessHandle.of(pidsBefore.head)
+    assert(victim.isPresent, s"executor pid ${pidsBefore.head} already gone")
+    val killNs = System.nanoTime()
+    victim.get().destroyForcibly()
+    val got = Await.result(job, 180.seconds)
+    assert(got == expected, "result changed after an executor was killed mid-job")
+    assert(lastJobEndNs.get() > killNs,
+      "the job finished before the kill landed — executor loss was not mid-job")
+    waitUntil(executorsRemoved.get() > removedBefore, 60.seconds,
+      "the killed executor was never reported removed")
+    // Standalone workers relaunch dead executors: a NEW executor JVM
+    // must join (new pid), restoring 2-executor capacity.
+    waitUntil({
+      val now = executorPids()
+      now.size == 2 && !now.contains(pidsBefore.head)
+    }, 120.seconds, "a replacement executor never registered")
+  }
+}
