@@ -100,6 +100,13 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val executorsRemoved = new AtomicInteger()
   private val executorsAdded = new AtomicInteger()
   private val lastJobEndNs = new AtomicLong()
+  private val lastExecRemovedNs = new AtomicLong()
+  private val fetchFailedTasks = new AtomicInteger()
+  private val resubmittedStages = new AtomicInteger()
+  private val liveExecutorIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val tasksByExecutor =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -134,14 +141,40 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.speculation.interval", "50ms")
       .config("spark.speculation.multiplier", "1.5")
       .config("spark.speculation.quantile", "0.4")
+      // graceful-decommission posture (inert until triggered): the
+      // executor migrates shuffle + cached blocks to peers, then exits
+      .config("spark.decommission.enabled", "true")
+      .config("spark.storage.decommission.enabled", "true")
+      .config("spark.storage.decommission.shuffleBlocks.enabled", "true")
+      .config("spark.storage.decommission.rddBlocks.enabled", "true")
+      // default 30s — the executor only notices "all blocks migrated"
+      // on this cadence, which is also what gates its self-exit
+      .config("spark.storage.decommission.replicationReattemptInterval", "500ms")
       .getOrCreate()
     s.sparkContext.addSparkListener(new SparkListener {
       override def onTaskStart(t: SparkListenerTaskStart): Unit =
         if (t.taskInfo.speculative) speculativeTasks.incrementAndGet()
-      override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        t.reason match {
+          case _: org.apache.spark.FetchFailed => fetchFailedTasks.incrementAndGet()
+          case org.apache.spark.Success =>
+            tasksByExecutor
+              .computeIfAbsent(t.taskInfo.executorId, _ => new AtomicInteger())
+              .incrementAndGet()
+          case _ =>
+        }
+      }
+      override def onStageSubmitted(st: SparkListenerStageSubmitted): Unit =
+        if (st.stageInfo.attemptNumber() > 0) resubmittedStages.incrementAndGet()
+      override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit = {
+        liveExecutorIds.add(e.executorId)
         executorsAdded.incrementAndGet()
-      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+      }
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        liveExecutorIds.remove(e.executorId)
+        lastExecRemovedNs.set(System.nanoTime())
         executorsRemoved.incrementAndGet()
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         lastJobEndNs.set(System.nanoTime())
     })
@@ -275,5 +308,73 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       val now = executorPids()
       now.size == 2 && !now.contains(pidsBefore.head)
     }, 120.seconds, "a replacement executor never registered")
+  }
+
+  test("graceful decommission: shuffle blocks migrate, zero recompute, the executor exits on its own") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    waitUntil(executorPids().size == 2 && liveExecutorIds.size == 2,
+      120.seconds, "capacity not restored before the decommission test")
+    val expected = spark.range(0, 100000, 1, 97)
+      .select((col("id") % 991).as("k"), col("id").as("v"))
+      .groupBy("k").agg(sum("v").as("s"))
+      .as[(Long, Long)].collect().map(_.toString).sorted.toSeq
+    val fetchBefore = fetchFailedTasks.get()
+    val resubBefore = resubmittedStages.get()
+    val tasksAtStart = liveExecutorIds.asScala.toSeq
+      .map(id => id -> tasksByExecutor.getOrDefault(id, new AtomicInteger()).get())
+      .toMap
+    // The kill test above proves the RECOMPUTE path (preemption without
+    // notice). This is the WITH-notice path: mid-MAP-stage, one executor
+    // is told to decommission — it finishes in-flight tasks, MIGRATES
+    // its completed map outputs to the peer, and exits by itself while
+    // the survivor still has seconds of map work left. Every reduce
+    // task therefore launches AFTER the victim is gone and must consume
+    // its map outputs from the migrated copies: a non-migrated block
+    // would surface as FetchFailed -> map-stage resubmission, which the
+    // zero-recompute asserts rule out. (Decommissioning mid-REDUCE is
+    // racy by construction — a reducer that resolved block locations
+    // before the exit legitimately retries its fetch — so the
+    // deterministic window is the map stage.)
+    val job = Future {
+      spark.range(0, 100000, 1, 97).as[Long]
+        .mapPartitions { it => Thread.sleep(200); it }
+        .map(id => (id % 991, id))
+        .toDF("k", "v")
+        .groupBy("k").agg(sum("v").as("s"))
+        .as[(Long, Long)]
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Thread.sleep(700)
+    val victim = liveExecutorIds.asScala.headOption
+      .getOrElse(fail("no live executor id recorded"))
+    val decomNs = System.nanoTime()
+    assert(org.apache.spark.deploy.graft.TwoHostCluster
+      .decommissionExecutor(spark.sparkContext, victim),
+      s"the scheduler refused to decommission executor $victim")
+    val got = Await.result(job, 180.seconds)
+    assert(got == expected, "result changed across a graceful decommission")
+    assert(fetchFailedTasks.get() == fetchBefore,
+      "a shuffle fetch failed — blocks were lost instead of migrated")
+    assert(resubmittedStages.get() == resubBefore,
+      "a stage was resubmitted — the decommission recomputed instead of migrating")
+    // The strong form: the victim must have EXITED while reduce tasks
+    // still had its blocks left to consume — otherwise the "migrated
+    // copies were actually read" window never opened and the test is
+    // vacuous. Exit takes ~1-2 s (drain + migrate + shutdown poll); the
+    // post-signal reduce tail runs several seconds, so a healthy
+    // migration always lands inside the job.
+    assert(!liveExecutorIds.contains(victim),
+      s"executor $victim was still alive when the job finished — migrated blocks were never needed")
+    val removedNs = lastExecRemovedNs.get()
+    assert(removedNs > decomNs && removedNs < lastJobEndNs.get(),
+      "the decommissioned executor did not exit mid-job")
+    // Non-vacuousness: the victim must have COMPLETED map tasks of this
+    // job before exiting — those outputs only exist as migrated copies,
+    // so the (green) reduce stage provably read them.
+    val victimRan = tasksByExecutor
+      .getOrDefault(victim, new AtomicInteger()).get() - tasksAtStart(victim)
+    assert(victimRan >= 1,
+      s"executor $victim completed no map tasks before exiting — nothing was migrated")
   }
 }

@@ -1,9 +1,11 @@
 package org.apache.spark.deploy.graft
 
-import org.apache.spark.SparkConf
+import org.apache.spark.{SparkConf, SparkContext}
 import org.apache.spark.deploy.master.Master
 import org.apache.spark.deploy.worker.Worker
 import org.apache.spark.rpc.RpcEnv
+import org.apache.spark.scheduler.ExecutorDecommissionInfo
+import org.apache.spark.scheduler.cluster.CoarseGrainedSchedulerBackend
 
 /** Test-only standalone cluster: one master + two workers in this JVM,
   * each worker bound to a DISTINCT loopback address (127.0.0.1 and
@@ -42,6 +44,17 @@ object TwoHostCluster {
     envs = masterEnv +: workers
     masterUrl
   }
+
+  /** Gracefully decommissions one executor (the driver-triggered spot-
+    * preemption-with-notice path): the executor stops accepting tasks,
+    * migrates its shuffle/RDD blocks to peers, and exits on its own.
+    * `decommissionExecutor` is private[spark]; this bridge is why the
+    * object lives under org.apache.spark. */
+  def decommissionExecutor(sc: SparkContext, executorId: String): Boolean =
+    sc.schedulerBackend.asInstanceOf[CoarseGrainedSchedulerBackend]
+      .decommissionExecutor(
+        executorId, ExecutorDecommissionInfo("test spot-preemption notice"),
+        adjustTargetNumExecutors = false)
 
   def stop(): Unit = {
     // workers first so they kill their executor child processes
