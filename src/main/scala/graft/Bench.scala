@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 32 like every other harness main (GenBench/SoloBench/ScaleBench/...):
+    // the old "4" default silently measured local[4] whenever the env var
+    // was forgotten — feeders read 8× low and the run was not the
+    // measurement it claimed to be. The driver always sets this explicitly.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -232,7 +236,7 @@ object Bench {
     val genRepsJson = genReps.mkString("[", ",", "]")
     val csvRepsJson = csvReps.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
