@@ -28,7 +28,11 @@ object Bench {
     // the old "4" default silently measured local[4] whenever the env var
     // was forgotten — feeders read 8× low and the run was not the
     // measurement it claimed to be. The driver always sets this explicitly.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Parsed eagerly: a malformed value must abort here, not interpolate
+    // unquoted garbage into BENCH_FULL.json.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loadStart = readLoadavg()
+    val (diskReadStart, diskWriteStart) = readDiskSectors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,6 +76,18 @@ object Bench {
       releaseState()
     }
 
+    // Calibration probe (round-14 directive): a FIXED constant workload —
+    // 4M-row modulo hash-agg into 100k keys through a cpus-partition
+    // shuffle, noop sink — measured min-of-3 at three points (before
+    // pass 1, between passes, after pass 2). Its steady-state envelope
+    // lives in SCALE.md §"Calibration probe"; readings inside it say the
+    // host was quiet, elevated readings say the run landed in a host
+    // window and totals scale accordingly — decidable from the artifact
+    // alone, no prose archaeology.
+    def probeMin3(): Double = (1 to 3).map(_ => probeOnce(spark, cpus)).min
+    probeOnce(spark, cpus); probeOnce(spark, cpus) // probe's own JIT warm-up
+    val probe0 = probeMin3()
+
     // failed queries report -1.0, never a fake duration — a regression
     // must be visible in the JSON, not summed into total as a fast run.
     // Each query is timed TWICE and the min reported: a single-shot
@@ -109,7 +125,9 @@ object Bench {
         name -> times.toSeq
       }.toMap
     val pass1 = timedPass(1)
+    val probe1 = probeMin3()
     val pass2 = timedPass(2)
+    val probe2 = probeMin3()
     // min = round-over-round comparison continuity; median = JIT-window
     // visibility (a query whose min is steady but whose median sits 2×
     // above it was caught in a compile window — SCALE.md §"Bench-mover
@@ -147,19 +165,19 @@ object Bench {
     val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_bench_csv")
     def genOnce(): Double = {
       val g0 = System.nanoTime()
-      gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt)
+      gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - g0) / 1e9
     }
     def csvOnce(): Double = {
       val c0 = System.nanoTime()
       gen.SqloadGen.textParity(
-          gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus.toInt))
+          gen.SqloadGen.table(spark, genSpec, genRows, numPartitions = cpus))
         .write.mode("overwrite").option("header", "false").option("emptyValue", "")
         .csv(csvDir.getAbsolutePath)
       (System.nanoTime() - c0) / 1e9
     }
-    gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus.toInt)
+    gen.SqloadGen.table(spark, genSpec, 100000, numPartitions = cpus)
       .write.format("noop").mode("overwrite").save() // gen warm-up
     val (genReps, csvReps) = try {
       val reps = (1 to 3).map(_ => (genOnce(), csvOnce()))
@@ -226,7 +244,16 @@ object Bench {
     // for 80 queries overflow the window (r01/r02 both came back
     // parsed=null), so the stdout line uses 2-significant-digit seconds and
     // the full-precision copy goes to BENCH_FULL.json for the judge.
-    val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate)
+    val loadEnd = readLoadavg()
+    val (diskReadEnd, diskWriteEnd) = readDiskSectors()
+    val probeSec = Seq(probe0, probe1, probe2)
+    // sectors are 512 bytes regardless of the device's logical block size
+    def mb(d: Long) = if (d < 0) -1.0 else d * 512.0 / 1e6
+    val diskReadMb = mb(diskReadEnd - diskReadStart)
+    val diskWriteMb = mb(diskWriteEnd - diskWriteStart)
+
+    val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate,
+      cpus, probeSec)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullMeds = medians.map { case (k, v) => "\"" + k + "\":" + v }
@@ -235,8 +262,9 @@ object Bench {
       .mkString("{", ",", "}")
     val genRepsJson = genReps.mkString("[", ",", "]")
     val csvRepsJson = csvReps.mkString("[", ",", "]")
+    val probeJson = probeSec.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -251,20 +279,62 @@ object Bench {
     System.out.flush()
   }
 
+  /** The fixed calibration workload: 4M rows hashed into 100k groups
+    * through a `parts`-partition shuffle, noop sink. Constant by
+    * construction (no input tables, no disk), so its wall time prices the
+    * HOST, not the inventory — the steady-state envelope is pinned in
+    * SCALE.md §"Calibration probe" and `graft.ProbeBench` re-measures it
+    * standalone.
+    */
+  def probeOnce(spark: SparkSession, parts: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 4000000L, 1, parts)
+      .selectExpr("id % 100000 as k")
+      .groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1-minute loadavg, -1.0 if unreadable (non-Linux). */
+  def readLoadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (sectorsRead, sectorsWritten) summed over whole physical devices in
+    * /proc/diskstats (partitions and loop/ram devices excluded so I/O is
+    * not double-counted). (-1,-1) if unreadable.
+    */
+  def readDiskSectors(): (Long, Long) =
+    try {
+      val dev = "^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|hd[a-z]+|nvme\\d+n\\d+|md\\d+|dm-\\d+)$".r
+      val src = scala.io.Source.fromFile("/proc/diskstats")
+      try src.getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length >= 14 && dev.findFirstIn(f(2)).isDefined)
+        .foldLeft((0L, 0L)) { case ((r, w), f) => (r + f(5).toLong, w + f(9).toLong) }
+      finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** One-line JSON under the driver's 2000-char tail window (minus sbt's
     * epilogue): 2-significant-digit seconds per query, numeric sf.
     * InventorySpec's bench-line test pins the budget as the inventory grows.
     */
   def renderLine(results: Seq[(String, Double)], total: Double, sfNum: String,
                  genRows: Long, genSec: Double, genRate: Long,
-                 csvRate: Long = -1L): String = {
+                 csvRate: Long = -1L, cpus: Int = -1,
+                 probeSec: Seq[Double] = Nil): String = {
     import java.util.Locale.ROOT
     val budget = 1870 // 2000-char driver tail minus sbt epilogue + slack
+    val probeField =
+      if (probeSec.isEmpty) ""
+      else s""","probe_sec":${probeSec.map("%.2g".formatLocal(ROOT, _)).mkString("[", ",", "]")}"""
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + "%.2g".formatLocal(ROOT, v) }
         .mkString("{", ",", "}")
       val omitField = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${"%.4g".formatLocal(ROOT, total)},"unit":"sec","queries":$qs$omitField,"sf":$sfNum,"gen_rows":$genRows,"gen_sec":${"%.3g".formatLocal(ROOT, genSec)},"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
+      s"""{"metric":"total","value":${"%.4g".formatLocal(ROOT, total)},"unit":"sec","cpus":$cpus$probeField,"queries":$qs$omitField,"sf":$sfNum,"gen_rows":$genRows,"gen_sec":${"%.3g".formatLocal(ROOT, genSec)},"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate}"""
     }
     val full = render(results, 0)
     if (full.length <= budget) full

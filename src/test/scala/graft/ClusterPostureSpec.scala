@@ -183,6 +183,14 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
+  /** Drain the async listener bus so listener-fed counters/timestamps
+    * are complete up to everything posted before the last action
+    * returned — asserting on them immediately after Await.result races
+    * the bus (spurious failure on a healthy run).
+    */
+  private def drainBus(): Unit =
+    org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+
   private def waitUntil(cond: => Boolean, timeout: Duration, msg: String): Unit = {
     val deadline = System.nanoTime() + timeout.toNanos
     while (!cond) {
@@ -244,6 +252,7 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum("value").as("s"), count(lit(1)).as("c"))
       .collect().map(_.toString).sorted.toSeq
     assert(got == expected, "result changed under a speculative map attempt")
+    drainBus()
     assert(speculativeTasks.get() > before,
       "no speculative task ever launched — the straggler was not speculated")
   }
@@ -265,6 +274,7 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == expectedCount,
       "row count changed after a speculated write — an attempt double-committed or leaked")
     assert(back.agg(sum("value")).head().getLong(0) == expectedSum)
+    drainBus()
     assert(speculativeTasks.get() > before,
       "no speculative write task ever launched — the commit race was not exercised")
   }
@@ -298,6 +308,7 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
     victim.get().destroyForcibly()
     val got = Await.result(job, 180.seconds)
     assert(got == expected, "result changed after an executor was killed mid-job")
+    drainBus()
     assert(lastJobEndNs.get() > killNs,
       "the job finished before the kill landed — executor loss was not mid-job")
     waitUntil(executorsRemoved.get() > removedBefore, 60.seconds,
@@ -354,6 +365,7 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the scheduler refused to decommission executor $victim")
     val got = Await.result(job, 180.seconds)
     assert(got == expected, "result changed across a graceful decommission")
+    drainBus()
     assert(fetchFailedTasks.get() == fetchBefore,
       "a shuffle fetch failed — blocks were lost instead of migrated")
     assert(resubmittedStages.get() == resubBefore,

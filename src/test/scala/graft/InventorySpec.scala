@@ -110,7 +110,8 @@ class InventorySpec extends AnyFunSuite {
     // renderLine must degrade to the slowest-N subset, never overflow
     for (vals <- Seq(names.map(_ -> 0.28), names.map(_ -> 0.00098),
                      names.map(_ -> -1.0))) {
-      val line = Bench.renderLine(vals, 123.4567, "0.1", 10000000L, 0.323, 30925774L)
+      val line = Bench.renderLine(vals, 123.4567, "0.1", 10000000L, 0.323, 30925774L,
+        1684511L, 32, Seq(0.0998, 0.1234, 0.0987))
       assert(line.length <= 1870, s"bench line ${line.length} chars > 1870 budget")
       assert(line.count(_ == '{') == line.count(_ == '}'))
       assert(line.contains("\"metric\":\"total\"") && line.contains("\"gen_rows_per_sec\""))

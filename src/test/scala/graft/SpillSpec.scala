@@ -152,9 +152,13 @@ class SpillSpec extends AnyFunSuite with BeforeAndAfterAll {
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name is bit-identical under forced sorter and operator-buffer spills") {
       val expected = truth(name)
-      val diskBefore = { spark; spilledDisk.get() } // touch to init listener
+      // drain the async listener bus around each sample so spill bytes
+      // attribute to THIS query, not whichever test reads the counter next
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      val diskBefore = spilledDisk.get()
       val sorterPressure = fingerprint(spark, name)
       val bufferPressured = withSqlConfs(bufferPressure: _*)(fingerprint(spark, name))
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
       if (spilledDisk.get() > diskBefore) spilledQueries += name
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -166,6 +170,7 @@ class SpillSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the pressure actually engaged (structural spill floor)") {
+    org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
     val disk = spilledDisk.get()
     val mem = spilledMem.get()
     assert(disk > 1L * 1024 * 1024,
