@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** The k ∝ n leg of semantic dedup — the round-14 directive, the one
+  * unmeasured claim left in the dedup chain. `q_dedup_semantic` (the
+  * SemDeDup shape) was measured at 100× with its FIXED k=8 cells and
+  * tracked its by-design n²/k pair volume exactly (slope 89.5/decade —
+  * quadratic, as stated). The documented 100 TB path is to RAISE k
+  * with n (SemDeDup itself uses tens of thousands of cells) so the
+  * per-cell pair volume n²/k stays ∝ n. This harness measures that
+  * path: k = 8·copies (8 cells at 1×, 80 at 10×, 800 at 100×), with
+  * centroids = each copy's 8 fixed-corpus centroid vectors (local ids
+  * 10..17 — the per-copy orthogonal images of exactly the centroid
+  * convention q_dedup_semantic/q_sim_ivf use, so the 1× point IS the
+  * gated query's geometry).
+  *
+  * Plan shape at large k (the honest deployment form): assignment is a
+  * broadcast-join fan-out (n × k codegen cosines) reduced by a
+  * map-side-combined max_by per vector — NOT the in-array HOF fold the
+  * k=8 query uses, which evaluates its lambda interpreted and would
+  * make assignment the bottleneck for reasons that are an
+  * implementation artifact, not SemDeDup cost structure. O(n·k)
+  * assignment work is inherent to SemDeDup either way (at real scale
+  * you'd kmeans-sample and probe a centroid index; the fan-out is the
+  * conservative upper bound). Pair search is the same equi-join on the
+  * cell id as the gated query, exact cosines at the 0.45 threshold.
+  *
+  * Recall: within-cell pairs are EXACT cosines, so the semantic pair
+  * set is a subset of the all-pairs truth at the same threshold —
+  * recall = |semantic| / |truth|, a count ratio, with truth =
+  * `q_dedup_embedding` on the same directory (broadcast form below its
+  * 500k bound, blocked form above it — at 100× = 520k vectors the
+  * blocked plan is the one that runs, which is also the honesty check
+  * that the truth pass itself stays scale-safe).
+  *
+  * Usage: runMain graft.SemKBench [sfDir] [skipTruth]
+  * (replicas under java.io.tmpdir, shared with ScaleBench /
+  * Scale100Bench — the `_sim` markers make reuse parameter-checked).
+  * Prints one JSON line: per scale {n_vectors, k, wall, pairs, truth
+  * pairs, recall}.
+  */
+object SemKBench {
+
+  private def dotD(x: Column, y: Column): Column =
+    ColumnBridge.column(graft.gen.DotProductExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  private def normD(x: Column): Column =
+    ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(x)))
+
+  /** Semantic-dedup pairs with k = 8·copies cells (see object doc). */
+  def semPairs(spark: SparkSession, d: String, copies: Int): DataFrame = {
+    val stride = ScaleBench.Stride
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    // per-copy centroid rows: cid = copy·8 + (local id − 10)
+    val cents = broadcast(
+      e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < 18)
+        .select((expr(s"vec_id div $stride") * 8 + (col("vec_id") % stride - 10)).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm")))
+    // assignment: n×k broadcast fan-out, codegen cosine, map-side-combined
+    // argmax (highest cosine, ties to the lowest cid — same total order
+    // as q_dedup_semantic's in-array fold)
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
+          (-col("cid")).as("ncid")).as("cand"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        max(col("cand")).as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.ncid")).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+      .filter(dotD(col("ae"), col("be")) / (col("an") * col("bn")) >= 0.45)
+      .select("a_id", "b_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val skipTruth = args.length > 1 && args(1) == "skipTruth"
+    val spark = ScaleBench.session()
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    def simReplica(copies: Int): String = {
+      val d = new java.io.File(tmp, s"graft_scale${copies}_semk").getAbsolutePath
+      val full = new java.io.File(tmp, if (copies == 10) "graft_scale10" else s"graft_scale${copies}_sim")
+      if (ScaleBench.replicaCompatible(full.getAbsolutePath, sfDir, copies, Set("embeddings")))
+        full.getAbsolutePath
+      else {
+        ScaleBench.buildTables(spark, sfDir, d, copies, Set("embeddings"))
+        d
+      }
+    }
+    val dirs = Seq((sfDir, 1), (simReplica(10), 10), (simReplica(100), 100))
+
+    // warm-up at 1×: the full plan family (assignment fan-out, cell
+    // join, truth query) compiles before anything is timed
+    semPairs(spark, sfDir, 1).count()
+    if (!skipTruth) SparkEntry.queries("q_dedup_embedding")(spark, sfDir).count()
+
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val rows = dirs.map { case (d, copies) =>
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      var pairs = 0L
+      val wall = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        pairs = semPairs(spark, d, copies).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        release(); dt
+      }.min
+      val (truth, truthWall) =
+        if (skipTruth) (-1L, -1.0)
+        else {
+          val t0 = System.nanoTime()
+          val t = SparkEntry.queries("q_dedup_embedding")(spark, d).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          release(); (t, dt)
+        }
+      val recall = if (truth > 0) pairs.toDouble / truth else -1.0
+      System.err.println(f"[semk] copies=$copies n=$n k=${copies * 8} wall=$wall%.2f pairs=$pairs truth=$truth recall=$recall%.3f truth_wall=$truthWall%.1f")
+      (copies, n, wall, pairs, truth, recall, truthWall)
+    }
+    val json = rows.map { case (c, n, w, p, t, r, tw) =>
+      f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"pairs":$p,"truth":$t,"recall":$r%.4f,"truth_wall":$tw%.1f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"semdedup_k_scaling","scales":$json}""")
+    spark.stop()
+  }
+}

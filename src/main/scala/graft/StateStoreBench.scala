@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** HDFS-backed vs RocksDB state store cost measurement (round-11
   * follow-through on the RocksDB posture switch): RocksDbStateSpec
@@ -14,16 +15,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * regime where the JVM map is naturally faster, so the posture choice
   * is about state SIZE, not per-batch speed.)
   *
-  *   runMain graft.StateStoreBench [sfDir]
+  *   runMain graft.StateStoreBench [sfDir] [store|throughput|all]
   *
-  * Times three custom-state streams (sessionize, debounce, LOCF — the
-  * original RocksDbStateSpec set) plus — round 12 — the stream-stream
-  * interval join, which buffers BOTH input sides in the store and so
-  * carries the largest state of any operator in the tier (the most
-  * provider-sensitive data point this inventory can produce). All run
-  * to completion over the single-batch file source, min-of-2 per
-  * provider, warm JVM, plus the on-disk state checkpoint size per
-  * provider.
+  * Mode `store` (the original section): times three custom-state
+  * streams (sessionize, debounce, LOCF — the original RocksDbStateSpec
+  * set) plus — round 12 — the stream-stream interval join, which
+  * buffers BOTH input sides in the store and so carries the largest
+  * state of any operator in the tier (the most provider-sensitive data
+  * point this inventory can produce). All run to completion over the
+  * single-batch file source, min-of-2 per provider, warm JVM, plus the
+  * on-disk state checkpoint size per provider.
+  *
+  * Mode `throughput` (round 14): the tier's first rows/s, per-batch
+  * latency, and state-growth numbers — sessionize + LOCF at 1× and 10×
+  * event volume under BOTH providers. The corpus is re-laid-out as 16
+  * event-time-ordered files (ntile over ts, written sequentially so
+  * both file-source orderings — path and modification time — replay in
+  * time order like a real ingestion feed; a random file order would
+  * push the watermark to the end of the range on batch 1 and drop
+  * everything after as late) and streamed with maxFilesPerTrigger=1:
+  * 16 micro-batches at both scales, 10× the rows per batch at 10×.
+  * Per run, from StreamingQueryProgress: total rows / wall (rows/s),
+  * median and max triggerExecution ms, state rows after first/last
+  * batch (growth per batch — the number that sizes RocksDB at 100 TB),
+  * and the final on-disk state checkpoint bytes.
   */
 object StateStoreBench {
 
@@ -32,6 +47,7 @@ object StateStoreBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,7 +117,7 @@ object StateStoreBench {
       }
     }
 
-    streams.foreach { case (name, mk) =>
+    if (mode != "throughput") streams.foreach { case (name, mk) =>
       val (hSec, hBytes) = withProvider(None) {
         val a = once(name, mk); val b = once(name, mk)
         (math.min(a._1, b._1), a._2)
@@ -113,6 +129,118 @@ object StateStoreBench {
       println(f"[state] $name%-12s hdfs=${hSec}%.2fs (${hBytes / 1e6}%.1f MB)  " +
         f"rocksdb=${rSec}%.2fs (${rBytes / 1e6}%.1f MB)  ratio=${rSec / hSec}%.2f")
     }
+
+    if (mode != "store") throughput(spark, sfDir, du, rm)
     spark.stop()
+  }
+
+  /** Round-14 throughput section — see the object doc. */
+  private def throughput(spark: SparkSession, sfDir: String,
+                         du: java.io.File => Long,
+                         rm: java.io.File => Unit): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = System.getProperty("java.io.tmpdir")
+    val Batches = 16
+
+    /** Lay the events table out as `Batches` event-time-ordered files,
+      * written sequentially (ascending names AND mod-times — whichever
+      * key the file source sorts by, replay is in time order).
+      */
+    def prepCorpus(src: DataFrame, out: String): String = {
+      val dir = new java.io.File(tmp, out)
+      val marker = new java.io.File(dir, "_built")
+      if (marker.exists()) return dir.getAbsolutePath
+      rm(dir); dir.mkdirs()
+      val sliced = src
+        .withColumn("slice", ntile(Batches).over(Window.orderBy("ts", "event_id")))
+      sliced.cache().count()
+      (1 to Batches).foreach { i =>
+        val stage = new java.io.File(dir, s"_stage$i")
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part under $stage"))
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(dir, f"ev_$i%02d.parquet").toPath)
+        rm(stage)
+      }
+      sliced.unpersist()
+      java.nio.file.Files.write(marker.toPath, "ok".getBytes("UTF-8"))
+      dir.getAbsolutePath
+    }
+
+    // 1×: the events table itself; 10×: ScaleBench's honest replica
+    // (disjoint per-copy user spaces — identical per-user structure,
+    // 10× the keys, which is what makes state growth comparable)
+    val ev1 = Tables.events(spark, sfDir)
+    val rep10 = new java.io.File(tmp, "graft_ssb_ev10").getAbsolutePath
+    ScaleBench.buildTables(spark, sfDir, rep10, 10, Set("events"))
+    val ev10 = Tables.events(spark, rep10)
+    val corpora = Seq(
+      ("1x", prepCorpus(ev1, "graft_ssb_thr1")),
+      ("10x", prepCorpus(ev10, "graft_ssb_thr10")))
+
+    def thrStream(dir: String): DataFrame = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "ev_*.parquet")
+        .parquet(dir)
+    }
+    val mkThr: Seq[(String, String => DataFrame)] = Seq(
+      "sessionize" -> ((d: String) => streaming.Sessionize.sessionsOfStream(
+        thrStream(d).selectExpr("user_id", "ts", "value"))),
+      "locf" -> ((d: String) => streaming.LocfStream.fillsOf(thrStream(d))))
+
+    def runOnce(name: String, df: DataFrame): String = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ssbthr_$name").toFile
+      val t0 = System.nanoTime()
+      val q = df.writeStream.outputMode("append").format("memory")
+        .queryName(s"ssbthr_$name").option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val rows = prog.map(_.numInputRows).sum
+      val lat = prog.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sorted
+      val stateRows = prog.flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      val stateBytes = du(new java.io.File(ckpt, "state"))
+      spark.sql(s"DROP VIEW IF EXISTS ssbthr_$name")
+      rm(ckpt)
+      f""""batches":${prog.size},"rows":$rows,"wall":$wall%.2f,"rows_per_sec":${(rows / wall).toLong},""" +
+        f""""lat_med_ms":${if (lat.nonEmpty) lat(lat.size / 2) else -1},"lat_max_ms":${if (lat.nonEmpty) lat.last else -1},""" +
+        f""""state_rows_first":${stateRows.headOption.getOrElse(-1L)},"state_rows_last":${stateRows.lastOption.getOrElse(-1L)},""" +
+        f""""state_rows_per_batch":${if (stateRows.size > 1) (stateRows.last - stateRows.head) / (stateRows.size - 1) else -1L},""" +
+        f""""state_mb":${stateBytes / 1e6}%.1f"""
+    }
+
+    val results = for {
+      (scale, dir) <- corpora
+      (sname, mk) <- mkThr
+      (pname, prov) <- Seq("hdfs" -> None, "rocksdb" -> Some(Rocks))
+    } yield {
+      val body = withProvider(spark, prov) {
+        runOnce(s"warm_${sname}_$scale$pname", mk(dir)) // warm run
+        runOnce(s"${sname}_$scale$pname", mk(dir))
+      }
+      System.err.println(s"[thr] $sname $scale $pname {$body}")
+      s""""${sname}_${scale}_$pname":{$body}"""
+    }
+    println(s"""{"metric":"streaming_throughput","batches":$Batches,"runs":${results.mkString("{", ",", "}")}}""")
+  }
+
+  private def withProvider[A](spark: SparkSession, provider: Option[String])(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    provider match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

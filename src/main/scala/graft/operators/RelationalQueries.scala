@@ -1459,23 +1459,45 @@ object RelationalQueries {
     // filtering and graph-cleanup passes: for each EDGE (a, b),
     // |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded as
     // da + db − common. Common-neighbor counting runs as the
-    // triangle-through-edge closure (expand N(a) per edge, probe the
-    // b–x edge set — two vertex-keyed equi-joins, Σ_edges deg(a) work,
-    // never an all-pairs comparison), and edges/deg are
-    // localCheckpoint-ed once (the q_graph_pagerank rule: the
-    // co-purchase derivation must not be re-derived per consumer).
-    // Output keeps edges IN at least one triangle (common ≥ 1 — the
-    // pairs a recommender would score); fractions are exact integer
-    // ratios in one double division.
+    // triangle-through-edge closure: expand the neighbor list of ONE
+    // endpoint per edge, probe the other endpoint's edge set — two
+    // equi-joins, never an all-pairs comparison. The expanded endpoint
+    // is the LOWER-DEGREE one (ties to the lower id), NOT the
+    // canonical lower-ID one: expansion work is then Σ_edges
+    // min(da, db) ≤ O(E^1.5) — the same orientation bound triangles
+    // use — and, critically, it is what keeps a power-law hot vertex
+    // out of the expansion key. Canonical-ID orientation put a degree-
+    // 37k hot vertex (SkewBench, 5% hot-basket injection at 10×) on
+    // the expansion side of its ~37k edges: deg(hot)² ≈ 1.4e9 wedge
+    // rows through the ONE reduce task owning that join key — measured
+    // 96.7 s wall vs 4.3 s balanced, max/median task 795×. Min-degree
+    // orientation expands the small side (the hot vertex is the
+    // expansion key only for hot–hot edges, which barely exist), and
+    // the probe join keys on the COMPOSITE (w, x) — hash-distributed
+    // even when w is hot. Same pairs, same counts: common-neighbor
+    // counting is symmetric in the edge's endpoints, so the oracle is
+    // unchanged. Edges/deg are localCheckpoint-ed once (the
+    // q_graph_pagerank rule: the co-purchase derivation must not be
+    // re-derived per consumer). Output keeps edges IN at least one
+    // triangle (common ≥ 1 — the pairs a recommender would score);
+    // fractions are exact integer ratios in one double division.
     "q_graph_jaccard" -> ((s, d) => {
       val edges = coPurchaseEdges(s, d).transform(graft.Checkpoint.apply)
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .union(edges.select(col("b").as("u"), col("a").as("v")))
         .transform(graft.Checkpoint.apply)
       val deg = und.groupBy("u").agg(count(lit(1)).as("dg")).transform(graft.Checkpoint.apply)
-      val common = edges
-        .join(und.as("na"), col("a") === col("na.u"))
-        .join(und.as("nb"), col("b") === col("nb.u") && col("na.v") === col("nb.v"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+        .select(col("a"), col("b"),
+          when(lowFirst, col("a")).otherwise(col("b")).as("m"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("w"))
+      val common = oriented
+        .join(und.as("na"), col("m") === col("na.u"))
+        .join(und.as("nb"), col("w") === col("nb.u") && col("na.v") === col("nb.v"))
         .groupBy("a", "b").agg(count(lit(1)).as("common"))
       common
         .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
