@@ -110,29 +110,76 @@ object SemKBench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // Recall is reported STRATIFIED by pair cosine and by within-copy
+    // membership, because the single number at 0.45 conflates three
+    // different populations: (a) the replica's real near-dup structure
+    // (within-copy pairs — copy 0's exact geometry, replicated by
+    // orthogonality: truth_within is exactly 144·copies), (b)
+    // cross-copy coincidence pairs (orthogonal transforms decorrelate
+    // copies, but a 64-dim random cosine still crosses 0.45 at ~1e-4
+    // rate and n²/2 candidates make that the dominant truth mass at
+    // 100×), and (c) the threshold itself: cos 0.45 is a 63° angle —
+    // such pairs straddle cell boundaries no matter how good the
+    // centroids are, and MORE so as k grows and cells shrink. SemDeDup
+    // is a tight-threshold tool in production; the per-band recalls
+    // measure exactly that (tight pairs are nearly coincident and land
+    // in the same cell even at large k).
+    val stride = ScaleBench.Stride
+    val bands = Seq(0.45, 0.6, 0.75, 0.9)
+    /** Per cosine-band (≥ b) pair counts: (total, within-copy). The
+      * cosines are recomputed by joining the pair list back to the
+      * vectors — |pairs| × one 64-dim dot, trivial next to the pair
+      * search that produced the list.
+      */
+    def bandCounts(pairs: DataFrame, d: String): Map[Double, (Long, Long)] = {
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      val withCos = pairs
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"), col("nrm").as("an")), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"), col("nrm").as("bn")), Seq("b_id"))
+        .select(expr(s"a_id div $stride = b_id div $stride").as("within"),
+          (dotD(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
+      val aggs = bands.flatMap(b => Seq(
+        sum(when(col("cos") >= b, 1L).otherwise(0L)).as(s"t$b"),
+        sum(when(col("cos") >= b && col("within"), 1L).otherwise(0L)).as(s"w$b")))
+      val r = withCos.agg(aggs.head, aggs.tail: _*).head()
+      bands.zipWithIndex.map { case (b, i) =>
+        b -> (if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i),
+          if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
+      }.toMap
+    }
     val rows = dirs.map { case (d, copies) =>
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
-      var pairs = 0L
       val wall = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        pairs = semPairs(spark, d, copies).count()
+        semPairs(spark, d, copies).count()
         val dt = (System.nanoTime() - t0) / 1e9
         release(); dt
       }.min
-      val (truth, truthWall) =
-        if (skipTruth) (-1L, -1.0)
+      val semBands = bandCounts(semPairs(spark, d, copies), d)
+      release()
+      val (truthBands, truthWall) =
+        if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
         else {
           val t0 = System.nanoTime()
-          val t = SparkEntry.queries("q_dedup_embedding")(spark, d).count()
+          val tb = bandCounts(
+            SparkEntry.queries("q_dedup_embedding")(spark, d).select("a_id", "b_id"), d)
           val dt = (System.nanoTime() - t0) / 1e9
-          release(); (t, dt)
+          release(); (tb, dt)
         }
-      val recall = if (truth > 0) pairs.toDouble / truth else -1.0
-      System.err.println(f"[semk] copies=$copies n=$n k=${copies * 8} wall=$wall%.2f pairs=$pairs truth=$truth recall=$recall%.3f truth_wall=$truthWall%.1f")
-      (copies, n, wall, pairs, truth, recall, truthWall)
+      def recallJson: String = bands.map { b =>
+        val (st, sw) = semBands(b)
+        val (tt, tw) = truthBands.getOrElse(b, (-1L, -1L))
+        val r = if (tt > 0) st.toDouble / tt else -1.0
+        val rw = if (tw > 0) sw.toDouble / tw else -1.0
+        f""""ge$b":{"pairs":$st,"pairs_within":$sw,"truth":$tt,"truth_within":$tw,"recall":$r%.4f,"recall_within":$rw%.4f}"""
+      }.mkString("{", ",", "}")
+      System.err.println(f"[semk] copies=$copies n=$n k=${copies * 8} wall=$wall%.2f " +
+        f"truth_wall=$truthWall%.1f bands=$recallJson")
+      (copies, n, wall, truthWall, recallJson)
     }
-    val json = rows.map { case (c, n, w, p, t, r, tw) =>
-      f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"pairs":$p,"truth":$t,"recall":$r%.4f,"truth_wall":$tw%.1f}"""
+    val json = rows.map { case (c, n, w, tw, bandsJson) =>
+      f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"truth_wall":$tw%.1f,"bands":$bandsJson}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"semdedup_k_scaling","scales":$json}""")
     spark.stop()
