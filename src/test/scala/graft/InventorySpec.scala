@@ -24,6 +24,19 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 
+  test("host-state probes read sane values (calibration stamps cannot silently go -1)") {
+    // the round-14 bench artifact fields are only useful if they carry
+    // real readings on this platform; a parse regression would quietly
+    // stamp -1 and the window-vs-regression rule would stop working
+    assert(Bench.readLoadavg() >= 0.0, "loadavg unreadable on Linux")
+    val (r1, w1) = Bench.readDiskSectors()
+    assert(r1 > 0 && w1 > 0, s"diskstats sectors unreadable: ($r1, $w1)")
+    val (r2, w2) = Bench.readDiskSectors()
+    assert(r2 >= r1 && w2 >= w1, "sector counters must be monotonic")
+    val probe = Bench.probeOnce(spark, 4)
+    assert(probe > 0 && probe < 60, s"calibration probe wall $probe out of range")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
