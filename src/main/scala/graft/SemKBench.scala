@@ -51,21 +51,25 @@ object SemKBench {
   private def normD(x: Column): Column =
     ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(x)))
 
-  /** Semantic-dedup pairs with k = 8·copies cells (see object doc). */
-  def semPairs(spark: SparkSession, d: String, copies: Int): DataFrame = {
-    val stride = ScaleBench.Stride
-    val e = spark.read.parquet(s"$d/embeddings.parquet")
+  private def corpus(spark: SparkSession, d: String): DataFrame =
+    spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    // per-copy centroid rows: cid = copy·8 + (local id − 10)
-    val cents = broadcast(
-      e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < 18)
-        .select((expr(s"vec_id div $stride") * 8 + (col("vec_id") % stride - 10)).as("cid"),
-          col("embedding").as("cemb"), col("nrm").as("cnrm")))
-    // assignment: n×k broadcast fan-out, codegen cosine, map-side-combined
-    // argmax (highest cosine, ties to the lowest cid — same total order
-    // as q_dedup_semantic's in-array fold)
-    val assigned = e.crossJoin(cents)
+
+  /** Per-copy centroid rows: cid = copy·8 + (local id − 10). */
+  private def centroidRows(e: DataFrame): DataFrame = {
+    val stride = ScaleBench.Stride
+    e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < 18)
+      .select((expr(s"vec_id div $stride") * 8 + (col("vec_id") % stride - 10)).as("cid"),
+        col("embedding").as("cemb"), col("nrm").as("cnrm"))
+  }
+
+  /** Exact (flat) assignment: n×k broadcast fan-out, codegen cosine,
+    * map-side-combined argmax (highest cosine, ties to the lowest
+    * cid — same total order as q_dedup_semantic's in-array fold).
+    */
+  private def assignFlat(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
           (-col("cid")).as("ncid")).as("cand"))
@@ -74,6 +78,71 @@ object SemKBench {
         max(col("cand")).as("best"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (-col("best.ncid")).as("cell"))
+
+  /** Two-level (IVF-over-centroids) assignment — the large-k remedy for
+    * the n×k flat fan-out: centroids are bucketed into g = k/8 groups
+    * (cid div 8), each group summarized by its MEAN vector; a vector
+    * first scores the g group means (n×g), keeps the top `nprobe`
+    * groups (bounded collect_list of g structs per key — g ≤ 100 at the
+    * scales here), then scores only those groups' centroids (n×8·nprobe)
+    * — n×(g + 8·nprobe) cosines instead of n×k. The group means ride in
+    * as a broadcast table computed from the k×dim centroid matrix on
+    * the driver (the same ~400 KB the flat form broadcasts anyway).
+    * Approximate exactly like production IVF: a vector whose true best
+    * centroid lives outside its probed groups lands in a neighbor cell
+    * (assignment disagreement is measured, not assumed).
+    */
+  private def assignIndexed(spark: SparkSession, e: DataFrame, cents: DataFrame,
+                            nprobe: Int): DataFrame = {
+    val rows = cents.collect()
+    val byGid = rows.groupBy(r => r.getLong(0) / 8).toSeq.sortBy(_._1)
+    val gmeans = byGid.map { case (gid, rs) =>
+      val dim = rs.head.getSeq[Any](1).size
+      val m = new Array[Double](dim)
+      rs.foreach { r =>
+        val v = r.getSeq[Any](1)
+        var i = 0
+        while (i < dim) {
+          m(i) += (v(i) match { case f: Float => f.toDouble; case d: Double => d })
+          i += 1
+        }
+      }
+      var n2 = 0.0
+      (0 until dim).foreach { i => m(i) /= rs.size; n2 += m(i) * m(i) }
+      (gid, m.toSeq, math.sqrt(n2))
+    }
+    import spark.implicits._
+    // means quantized to float: the codegen dot is ARRAY<FLOAT>-only,
+    // and a float-rounded probe score cannot change which groups are
+    // "near" beyond the approximation the probe already is
+    val groups = broadcast(gmeans.toDF("gid", "gemb", "gnrm")
+      .select(col("gid"), col("gemb").cast("array<float>").as("gemb"), col("gnrm")))
+    // stage 1: top-nprobe groups per vector (bounded per-key list of g)
+    val probed = e.crossJoin(groups)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct((-dotD(col("embedding"), col("gemb")) / (col("nrm") * col("gnrm"))).as("nscore"),
+          col("gid")).as("gcand"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        slice(array_sort(collect_list(col("gcand"))), 1, nprobe).as("top"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("top")).as("g"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("g.gid").as("gid"))
+    // stage 2: argmax over the probed groups' centroids only
+    probed
+      .join(broadcast(cents.withColumn("gid", expr("cid div 8"))), Seq("gid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
+          (-col("cid")).as("ncid")).as("cand"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        max(col("cand")).as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best.ncid")).as("cell"))
+  }
+
+  /** Cell-equi-join pair search at the 0.45 threshold. */
+  private def pairsOf(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("nrm").as("an"))
     val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
@@ -81,6 +150,19 @@ object SemKBench {
     a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
       .filter(dotD(col("ae"), col("be")) / (col("an") * col("bn")) >= 0.45)
       .select("a_id", "b_id")
+  }
+
+  /** Semantic-dedup pairs with k = 8·copies cells (see object doc). */
+  def semPairs(spark: SparkSession, d: String, copies: Int): DataFrame = {
+    val e = corpus(spark, d)
+    pairsOf(assignFlat(e, centroidRows(e)))
+  }
+
+  /** Same pipeline with the two-level assignment. */
+  def semPairsIndexed(spark: SparkSession, d: String, copies: Int,
+                      nprobe: Int = 2): DataFrame = {
+    val e = corpus(spark, d)
+    pairsOf(assignIndexed(spark, e, centroidRows(e), nprobe))
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,9 +183,10 @@ object SemKBench {
     }
     val dirs = Seq((sfDir, 1), (simReplica(10), 10), (simReplica(100), 100))
 
-    // warm-up at 1×: the full plan family (assignment fan-out, cell
+    // warm-up at 1×: the full plan family (both assignment forms, cell
     // join, truth query) compiles before anything is timed
     semPairs(spark, sfDir, 1).count()
+    semPairsIndexed(spark, sfDir, 1).count()
     if (!skipTruth) SparkEntry.queries("q_dedup_embedding")(spark, sfDir).count()
 
     def release(): Unit = {
@@ -156,7 +239,24 @@ object SemKBench {
         val dt = (System.nanoTime() - t0) / 1e9
         release(); dt
       }.min
+      val wallIdx = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        semPairsIndexed(spark, d, copies).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        release(); dt
+      }.min
+      // assignment disagreement: vectors whose two-level cell differs
+      // from the flat-argmax cell (the IVF approximation, measured)
+      val e = corpus(spark, d)
+      val cents = centroidRows(e)
+      val disagree = assignFlat(e, cents).select(col("vec_id"), col("cell").as("cf"))
+        .join(assignIndexed(spark, e, cents, 2).select(col("vec_id"), col("cell").as("ci")),
+          Seq("vec_id"))
+        .filter(col("cf") =!= col("ci")).count()
+      release()
       val semBands = bandCounts(semPairs(spark, d, copies), d)
+      release()
+      val semBandsIdx = bandCounts(semPairsIndexed(spark, d, copies), d)
       release()
       val (truthBands, truthWall) =
         if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
@@ -167,19 +267,23 @@ object SemKBench {
           val dt = (System.nanoTime() - t0) / 1e9
           release(); (tb, dt)
         }
-      def recallJson: String = bands.map { b =>
-        val (st, sw) = semBands(b)
+      def bandsJsonOf(sb: Map[Double, (Long, Long)]): String = bands.map { b =>
+        val (st, sw) = sb(b)
         val (tt, tw) = truthBands.getOrElse(b, (-1L, -1L))
         val r = if (tt > 0) st.toDouble / tt else -1.0
         val rw = if (tw > 0) sw.toDouble / tw else -1.0
         f""""ge$b":{"pairs":$st,"pairs_within":$sw,"truth":$tt,"truth_within":$tw,"recall":$r%.4f,"recall_within":$rw%.4f}"""
       }.mkString("{", ",", "}")
+      val recallJson = bandsJsonOf(semBands)
+      val recallJsonIdx = bandsJsonOf(semBandsIdx)
       System.err.println(f"[semk] copies=$copies n=$n k=${copies * 8} wall=$wall%.2f " +
-        f"truth_wall=$truthWall%.1f bands=$recallJson")
-      (copies, n, wall, truthWall, recallJson)
+        f"wall_idx=$wallIdx%.2f disagree=$disagree/$n truth_wall=$truthWall%.1f " +
+        f"bands=$recallJson bands_idx=$recallJsonIdx")
+      (copies, n, wall, wallIdx, disagree, truthWall, recallJson, recallJsonIdx)
     }
-    val json = rows.map { case (c, n, w, tw, bandsJson) =>
-      f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"truth_wall":$tw%.1f,"bands":$bandsJson}"""
+    val json = rows.map { case (c, n, w, wi, dis, tw, bandsJson, bandsIdxJson) =>
+      f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"wall_indexed":$wi%.2f,"assign_disagree":$dis,""" +
+        f""""truth_wall":$tw%.1f,"bands":$bandsJson,"bands_indexed":$bandsIdxJson}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"semdedup_k_scaling","scales":$json}""")
     spark.stop()
