@@ -36,11 +36,19 @@ import org.apache.spark.sql.graft.ColumnBridge
   * blocked plan is the one that runs, which is also the honesty check
   * that the truth pass itself stays scale-safe).
   *
+  * Both assignment forms are measured: the flat n×k fan-out and a
+  * two-level IVF-over-centroids variant (score k/8 group means, probe
+  * the top-2 groups — n·(g+16) cosines), plus the per-scale cell
+  * disagreement between them, so the indexed remedy's cost is a
+  * number, not an assumption (SCALE.md §"Semantic dedup, the k ∝ n
+  * leg" reads the round-14 results).
+  *
   * Usage: runMain graft.SemKBench [sfDir] [skipTruth]
   * (replicas under java.io.tmpdir, shared with ScaleBench /
   * Scale100Bench — the `_sim` markers make reuse parameter-checked).
-  * Prints one JSON line: per scale {n_vectors, k, wall, pairs, truth
-  * pairs, recall}.
+  * Prints one JSON line: per scale {n, k, flat and indexed walls,
+  * assignment disagreement, truth wall, per-cosine-band recalls for
+  * both forms}.
   */
 object SemKBench {
 
