@@ -43,9 +43,13 @@ import org.apache.spark.sql.graft.ColumnBridge
   * number, not an assumption (SCALE.md §"Semantic dedup, the k ∝ n
   * leg" reads the round-14 results).
   *
-  * Usage: runMain graft.SemKBench [sfDir] [skipTruth]
-  * (replicas under java.io.tmpdir, shared with ScaleBench /
-  * Scale100Bench — the `_sim` markers make reuse parameter-checked).
+  * Usage: runMain graft.SemKBench [sfDir] [cluster] [skipTruth]
+  * — `cluster` switches to the CLUSTERED replica (real near-dup
+  * clusters via ramped hash-noise; see buildClusterReplica), the
+  * corpus that makes tight-threshold recall measurable; default is
+  * the orthogonal replica (decorrelated copies, cost shapes only).
+  * (Replicas under java.io.tmpdir, shared with ScaleBench /
+  * Scale100Bench — the markers make reuse parameter-checked.)
   * Prints one JSON line: per scale {n, k, flat and indexed walls,
   * assignment disagreement, truth wall, per-cosine-band recalls for
   * both forms}.
@@ -64,12 +68,75 @@ object SemKBench {
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
 
-  /** Per-copy centroid rows: cid = copy·8 + (local id − 10). */
-  private def centroidRows(e: DataFrame): DataFrame = {
+  /** The CLUSTERED scale replica — the corpus model near-dup dedup
+    * actually assumes, which the orthogonal-transform replica cannot
+    * provide (its copies are decorrelated by design, so it has no
+    * tight near-dups at all; SCALE.md flagged tight-threshold SemDeDup
+    * recall as unmeasurable on it). Copy i of each base vector is the
+    * base plus deterministic hash-noise of amplitude ε_i ramping
+    * 0.05→0.60 of the per-dimension RMS across copies, so every base
+    * vector becomes a `copies`-member cluster whose internal pair
+    * cosines span the full band ladder (~0.999 near copy 0 down to
+    * ~0.75 between the noisiest members) — real tight duplicates, in
+    * known places, at every band. Noise is a pure function of
+    * (vec_id, copy, dim) via xxhash64, so the replica is byte-stable
+    * across rebuilds. Copy 0 is the base itself.
+    */
+  def buildClusterReplica(spark: SparkSession, sfDir: String, out: String,
+                          copies: Int): String = {
     val stride = ScaleBench.Stride
-    e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < 18)
-      .select((expr(s"vec_id div $stride") * 8 + (col("vec_id") % stride - 10)).as("cid"),
-        col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val marker = new java.io.File(out, "_built")
+    val sig = s"semk_cluster=v1 copies=$copies sf=$sfDir"
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == sig)
+      return out
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val parts = (0 until copies).map { i =>
+      if (i == 0) base
+      else {
+        // ε_i · (vector RMS / dim-RMS-of-unit-noise): noise_j uniform in
+        // [-1, 1] from xxhash64(vec_id, i, j); per-dim scale = ε_i ·
+        // ||v|| / √dim so the RELATIVE perturbation is ε_i for every
+        // vector regardless of its norm
+        val eps = 0.05 + 0.55 * i / (copies - 1).max(1)
+        base
+          .withColumn("vec_id", col("vec_id") + i * stride)
+          .withColumn("scl",
+            ColumnBridge.column(graft.gen.VecNormExpr(
+              ColumnBridge.expression(col("embedding")))) * eps / 8.0)
+          .withColumn("embedding",
+            expr(s"""transform(embedding, (x, j) ->
+                    |  cast(x + scl * (pmod(xxhash64(vec_id, $i, j), 2001) - 1000) / 1000.0
+                    |    as float))""".stripMargin))
+          .drop("scl")
+      }
+    }
+    parts.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.write(marker.toPath,
+      sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out
+  }
+
+  /** Centroid rows, k = 8·copies. Orthogonal replica: each copy's 8
+    * fixed centroid vectors (cid = copy·8 + local id − 10). Clustered
+    * replica: that rule would put all 800 centroids inside EIGHT
+    * clusters (copies of base ids 10..17), so there each centroid
+    * comes from a DISTINCT base cluster instead — base ids
+    * 10 until 10+8·copies, each taken from copy (base − 10) mod copies
+    * so the noise amplitudes are spread too.
+    */
+  private def centroidRows(e: DataFrame, copies: Int, clustered: Boolean): DataFrame = {
+    val stride = ScaleBench.Stride
+    if (!clustered)
+      e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < 18)
+        .select((expr(s"vec_id div $stride") * 8 + (col("vec_id") % stride - 10)).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    else
+      e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < (10 + 8 * copies) &&
+          expr(s"vec_id div $stride") === (col("vec_id") % stride - 10) % copies)
+        .select((col("vec_id") % stride - 10).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
   }
 
   /** Exact (flat) assignment: n×k broadcast fan-out, codegen cosine,
@@ -161,21 +228,23 @@ object SemKBench {
   }
 
   /** Semantic-dedup pairs with k = 8·copies cells (see object doc). */
-  def semPairs(spark: SparkSession, d: String, copies: Int): DataFrame = {
+  def semPairs(spark: SparkSession, d: String, copies: Int,
+               clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignFlat(e, centroidRows(e)))
+    pairsOf(assignFlat(e, centroidRows(e, copies, clustered)))
   }
 
   /** Same pipeline with the two-level assignment. */
   def semPairsIndexed(spark: SparkSession, d: String, copies: Int,
-                      nprobe: Int = 2): DataFrame = {
+                      nprobe: Int = 2, clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignIndexed(spark, e, centroidRows(e), nprobe))
+    pairsOf(assignIndexed(spark, e, centroidRows(e, copies, clustered), nprobe))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val skipTruth = args.length > 1 && args(1) == "skipTruth"
+    val clustered = args.contains("cluster")
+    val skipTruth = args.contains("skipTruth")
     val spark = ScaleBench.session()
     val tmp = System.getProperty("java.io.tmpdir")
 
@@ -189,13 +258,20 @@ object SemKBench {
         d
       }
     }
-    val dirs = Seq((sfDir, 1), (simReplica(10), 10), (simReplica(100), 100))
+    def clusterReplica(copies: Int): String =
+      buildClusterReplica(spark, sfDir,
+        new java.io.File(tmp, s"graft_cluster${copies}_semk").getAbsolutePath, copies)
+    // cluster mode has no 1× point (a 1-copy replica has no clusters)
+    val dirs =
+      if (clustered) Seq((clusterReplica(10), 10), (clusterReplica(100), 100))
+      else Seq((sfDir, 1), (simReplica(10), 10), (simReplica(100), 100))
 
-    // warm-up at 1×: the full plan family (both assignment forms, cell
+    // warm-up: the full plan family (both assignment forms, cell
     // join, truth query) compiles before anything is timed
-    semPairs(spark, sfDir, 1).count()
-    semPairsIndexed(spark, sfDir, 1).count()
-    if (!skipTruth) SparkEntry.queries("q_dedup_embedding")(spark, sfDir).count()
+    val (warmDir, warmCopies) = (dirs.head._1, dirs.head._2)
+    semPairs(spark, warmDir, warmCopies, clustered).count()
+    semPairsIndexed(spark, warmDir, warmCopies, clustered = clustered).count()
+    if (!skipTruth) SparkEntry.queries("q_dedup_embedding")(spark, warmDir).count()
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -216,6 +292,12 @@ object SemKBench {
     // measure exactly that (tight pairs are nearly coincident and land
     // in the same cell even at large k).
     val stride = ScaleBench.Stride
+    // orthogonal replica: "within" = same copy (the replicated real
+    // structure); clustered replica: "within" = same base vector (the
+    // known cluster membership)
+    val withinExpr =
+      if (clustered) s"a_id % $stride = b_id % $stride"
+      else s"a_id div $stride = b_id div $stride"
     val bands = Seq(0.45, 0.6, 0.75, 0.9)
     /** Per cosine-band (≥ b) pair counts: (total, within-copy). The
       * cosines are recomputed by joining the pair list back to the
@@ -228,7 +310,7 @@ object SemKBench {
       val withCos = pairs
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"), col("nrm").as("an")), Seq("a_id"))
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"), col("nrm").as("bn")), Seq("b_id"))
-        .select(expr(s"a_id div $stride = b_id div $stride").as("within"),
+        .select(expr(withinExpr).as("within"),
           (dotD(col("ae"), col("be")) / (col("an") * col("bn"))).as("cos"))
       val aggs = bands.flatMap(b => Seq(
         sum(when(col("cos") >= b, 1L).otherwise(0L)).as(s"t$b"),
@@ -243,28 +325,28 @@ object SemKBench {
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
       val wall = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        semPairs(spark, d, copies).count()
+        semPairs(spark, d, copies, clustered).count()
         val dt = (System.nanoTime() - t0) / 1e9
         release(); dt
       }.min
       val wallIdx = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        semPairsIndexed(spark, d, copies).count()
+        semPairsIndexed(spark, d, copies, clustered = clustered).count()
         val dt = (System.nanoTime() - t0) / 1e9
         release(); dt
       }.min
       // assignment disagreement: vectors whose two-level cell differs
       // from the flat-argmax cell (the IVF approximation, measured)
       val e = corpus(spark, d)
-      val cents = centroidRows(e)
+      val cents = centroidRows(e, copies, clustered)
       val disagree = assignFlat(e, cents).select(col("vec_id"), col("cell").as("cf"))
         .join(assignIndexed(spark, e, cents, 2).select(col("vec_id"), col("cell").as("ci")),
           Seq("vec_id"))
         .filter(col("cf") =!= col("ci")).count()
       release()
-      val semBands = bandCounts(semPairs(spark, d, copies), d)
+      val semBands = bandCounts(semPairs(spark, d, copies, clustered), d)
       release()
-      val semBandsIdx = bandCounts(semPairsIndexed(spark, d, copies), d)
+      val semBandsIdx = bandCounts(semPairsIndexed(spark, d, copies, clustered = clustered), d)
       release()
       val (truthBands, truthWall) =
         if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
@@ -293,7 +375,7 @@ object SemKBench {
       f""""x$c":{"n":$n,"k":${c * 8},"wall":$w%.2f,"wall_indexed":$wi%.2f,"assign_disagree":$dis,""" +
         f""""truth_wall":$tw%.1f,"bands":$bandsJson,"bands_indexed":$bandsIdxJson}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"semdedup_k_scaling","scales":$json}""")
+    println(s"""{"metric":"semdedup_k_scaling","mode":"${if (clustered) "cluster" else "ortho"}","scales":$json}""")
     spark.stop()
   }
 }
