@@ -171,14 +171,23 @@ object StateStoreBench {
 
     // 1×: the events table itself; 10×: ScaleBench's honest replica
     // (disjoint per-copy user spaces — identical per-user structure,
-    // 10× the keys, which is what makes state growth comparable)
+    // 10× the keys, which is what makes state growth comparable).
+    // 10x_hot: the streaming analog of SkewBench's hot vertex — 20% of
+    // ALL events reassigned to ONE user (id outside every copy's user
+    // space), so the keyed-state shuffle hands one task 20% of each
+    // micro-batch's rows and that key's group iterator processes them
+    // serially; per-batch straggler stats say whether the per-key
+    // state operators bend under a power-law entity.
     val ev1 = Tables.events(spark, sfDir)
     val rep10 = new java.io.File(tmp, "graft_ssb_ev10").getAbsolutePath
     ScaleBench.buildTables(spark, sfDir, rep10, 10, Set("events"))
     val ev10 = Tables.events(spark, rep10)
+    val ev10hot = ev10.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) === 0, lit(77777777L)).otherwise(col("user_id")))
     val corpora = Seq(
       ("1x", prepCorpus(ev1, "graft_ssb_thr1")),
-      ("10x", prepCorpus(ev10, "graft_ssb_thr10")))
+      ("10x", prepCorpus(ev10, "graft_ssb_thr10")),
+      ("10xhot", prepCorpus(ev10hot, "graft_ssb_thr10hot")))
 
     def thrStream(dir: String): DataFrame = {
       val schema = spark.read.parquet(dir).schema
@@ -192,8 +201,18 @@ object StateStoreBench {
         thrStream(d).selectExpr("user_id", "ts", "value"))),
       "locf" -> ((d: String) => streaming.LocfStream.fillsOf(thrStream(d))))
 
+    // per-task durations for the straggler read (hot-key skew shows up
+    // as one long task per micro-batch, not in the batch count)
+    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskDurs.add(t.taskInfo.duration)
+    })
+
     def runOnce(name: String, df: DataFrame): String = {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ssbthr_$name").toFile
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      taskDurs.clear()
       val t0 = System.nanoTime()
       val q = df.writeStream.outputMode("append").format("memory")
         .queryName(s"ssbthr_$name").option("checkpointLocation", ckpt.getAbsolutePath)
@@ -201,6 +220,13 @@ object StateStoreBench {
       try q.processAllAvailable()
       finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+      val ds = {
+        val it = taskDurs.iterator(); val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next(); b.result().sorted
+      }
+      val taskMax = if (ds.nonEmpty) ds.last else -1L
+      val taskMed = if (ds.nonEmpty) ds(ds.size / 2) else -1L
       val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       val rows = prog.map(_.numInputRows).sum
       val lat = prog.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sorted
@@ -212,6 +238,7 @@ object StateStoreBench {
         f""""lat_med_ms":${if (lat.nonEmpty) lat(lat.size / 2) else -1},"lat_max_ms":${if (lat.nonEmpty) lat.last else -1},""" +
         f""""state_rows_first":${stateRows.headOption.getOrElse(-1L)},"state_rows_last":${stateRows.lastOption.getOrElse(-1L)},""" +
         f""""state_rows_per_batch":${if (stateRows.size > 1) (stateRows.last - stateRows.head) / (stateRows.size - 1) else -1L},""" +
+        f""""task_max_ms":$taskMax,"task_med_ms":$taskMed,""" +
         f""""state_mb":${stateBytes / 1e6}%.1f"""
     }
 
