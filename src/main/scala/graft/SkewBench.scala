@@ -60,24 +60,27 @@ object SkewBench {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val pct = if (args.length > 1) args(1).toInt else 1
     require(pct >= 1 && pct <= 50, s"pct=$pct out of range")
+    val copies = if (args.length > 2) args(2).toInt else 10
+    require(copies >= 2 && copies <= 100, s"copies=$copies out of range")
     val spark = ScaleBench.session()
     val tmp = System.getProperty("java.io.tmpdir")
 
-    // Balanced 10×: reuse ScaleBench's cached replica when compatible
+    // Balanced replica: reuse ScaleBench's cached one when compatible
     // (same rule as Scale100Bench), else build a lineitem-only one.
-    val dir10full = new java.io.File(tmp, "graft_scale10")
+    val dirFull = new java.io.File(tmp, s"graft_scale$copies")
     val balDir =
-      if (ScaleBench.replicaCompatible(dir10full.getAbsolutePath, sfDir, 10, Set("lineitem")))
-        dir10full.getAbsolutePath
+      if (ScaleBench.replicaCompatible(dirFull.getAbsolutePath, sfDir, copies, Set("lineitem")))
+        dirFull.getAbsolutePath
       else {
-        val d = new java.io.File(tmp, "graft_scale10_li").getAbsolutePath
-        ScaleBench.buildTables(spark, sfDir, d, 10, Set("lineitem"))
+        val d = new java.io.File(tmp, s"graft_scale${copies}_li").getAbsolutePath
+        ScaleBench.buildTables(spark, sfDir, d, copies, Set("lineitem"))
         d
       }
 
-    // Skewed 10×: balanced lineitem ∪ one hot-part row per 1% of orders.
+    // Skewed: balanced lineitem ∪ one hot-part row per pct% of orders.
     val skewDir = new java.io.File(tmp,
-      if (pct == 1) "graft_scale10_skew" else s"graft_scale10_skew$pct").getAbsolutePath
+      if (pct == 1 && copies == 10) "graft_scale10_skew"
+      else s"graft_scale${copies}_skew$pct").getAbsolutePath
     val marker = new java.io.File(skewDir, "_built")
     val sig = s"skew=v1 hot=$HotPart pct=$pct base=$balDir"
     if (!marker.exists() ||
@@ -142,7 +145,7 @@ object SkewBench {
         f""""skew_wall":$sw%.2f,"skew_max_task_ms":$sMax,"skew_med_task_ms":$sMed,""" +
         f""""skew_ratio":${if (sMed > 0) sMax.toDouble / sMed else -1.0}%.1f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"graph_skew","hot_degree":$hotDeg,"median_degree":$medDeg,"n_vertices":$nVerts,"queries":$json}""")
+    println(s"""{"metric":"graph_skew","copies":$copies,"hot_degree":$hotDeg,"median_degree":$medDeg,"n_vertices":$nVerts,"queries":$json}""")
     spark.stop()
   }
 }
