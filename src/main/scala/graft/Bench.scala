@@ -247,10 +247,13 @@ object Bench {
     val loadEnd = readLoadavg()
     val (diskReadEnd, diskWriteEnd) = readDiskSectors()
     val probeSec = Seq(probe0, probe1, probe2)
-    // sectors are 512 bytes regardless of the device's logical block size
-    def mb(d: Long) = if (d < 0) -1.0 else d * 512.0 / 1e6
-    val diskReadMb = mb(diskReadEnd - diskReadStart)
-    val diskWriteMb = mb(diskWriteEnd - diskWriteStart)
+    // sectors are 512 bytes regardless of the device's logical block size;
+    // -1 (unreadable) at EITHER endpoint propagates as -1, never a bogus
+    // delta (round-15 ADVICE)
+    def mb(start: Long, end: Long) =
+      if (start < 0 || end < 0) -1.0 else (end - start) * 512.0 / 1e6
+    val diskReadMb = mb(diskReadStart, diskReadEnd)
+    val diskWriteMb = mb(diskWriteStart, diskWriteEnd)
 
     val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate,
       cpus, probeSec)
@@ -303,12 +306,15 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** (sectorsRead, sectorsWritten) summed over whole physical devices in
-    * /proc/diskstats (partitions and loop/ram devices excluded so I/O is
-    * not double-counted). (-1,-1) if unreadable.
+    * /proc/diskstats (partitions, loop/ram devices, and md/dm mapper
+    * devices excluded — mapper devices re-count I/O that already appears
+    * on their member sd/vd/nvme disks, so counting physical devices only
+    * is what avoids double-counting on LVM/RAID/crypt hosts; round-15
+    * ADVICE). (-1,-1) if unreadable.
     */
   def readDiskSectors(): (Long, Long) =
     try {
-      val dev = "^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|hd[a-z]+|nvme\\d+n\\d+|md\\d+|dm-\\d+)$".r
+      val dev = "^(sd[a-z]+|vd[a-z]+|xvd[a-z]+|hd[a-z]+|nvme\\d+n\\d+)$".r
       val src = scala.io.Source.fromFile("/proc/diskstats")
       try src.getLines()
         .map(_.trim.split("\\s+"))

@@ -94,10 +94,13 @@ object SemKBench {
     val parts = (0 until copies).map { i =>
       if (i == 0) base
       else {
-        // ε_i · (vector RMS / dim-RMS-of-unit-noise): noise_j uniform in
-        // [-1, 1] from xxhash64(vec_id, i, j); per-dim scale = ε_i ·
-        // ||v|| / √dim so the RELATIVE perturbation is ε_i for every
-        // vector regardless of its norm
+        // noise_j uniform in [-1, 1] from xxhash64(vec_id, i, j); per-dim
+        // scale = ε_i · ||v|| / √dim. Uniform[-1,1] has per-dim RMS 1/√3,
+        // so the EFFECTIVE relative perturbation is ε_i/√3 ≈ 0.577·ε_i
+        // (≈0.029–0.35 across the 0.05→0.60 ramp), the amplitude the
+        // SCALE.md cosine-band mapping is stated against (round-15
+        // ADVICE: the replica is kept byte-stable — the comment and the
+        // band mapping carry the √3 factor, not the data)
         val eps = 0.05 + 0.55 * i / (copies - 1).max(1)
         base
           .withColumn("vec_id", col("vec_id") + i * stride)
@@ -227,18 +230,32 @@ object SemKBench {
       .select("a_id", "b_id")
   }
 
+  /** centroidRows with the claimed k asserted: a sparse/filtered corpus
+    * missing any required base vec_id would silently shrink k and the
+    * k∝n claim would be measured at a different k than reported
+    * (round-15 ADVICE) — fail fast like the replica-marker checks.
+    */
+  private def centroidRowsChecked(e: DataFrame, copies: Int, clustered: Boolean): DataFrame = {
+    val cents = centroidRows(e, copies, clustered)
+    val got = cents.count()
+    require(got == 8L * copies,
+      s"centroid set incomplete: expected k=${8L * copies}, found $got " +
+        "(source corpus is missing required base vec_ids)")
+    cents
+  }
+
   /** Semantic-dedup pairs with k = 8·copies cells (see object doc). */
   def semPairs(spark: SparkSession, d: String, copies: Int,
                clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignFlat(e, centroidRows(e, copies, clustered)))
+    pairsOf(assignFlat(e, centroidRowsChecked(e, copies, clustered)))
   }
 
   /** Same pipeline with the two-level assignment. */
   def semPairsIndexed(spark: SparkSession, d: String, copies: Int,
                       nprobe: Int = 2, clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignIndexed(spark, e, centroidRows(e, copies, clustered), nprobe))
+    pairsOf(assignIndexed(spark, e, centroidRowsChecked(e, copies, clustered), nprobe))
   }
 
   def main(args: Array[String]): Unit = {

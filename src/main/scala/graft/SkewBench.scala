@@ -82,11 +82,15 @@ object SkewBench {
       if (pct == 1 && copies == 10) "graft_scale10_skew"
       else s"graft_scale${copies}_skew$pct").getAbsolutePath
     val marker = new java.io.File(skewDir, "_built")
-    val sig = s"skew=v1 hot=$HotPart pct=$pct base=$balDir"
+    // v2: selection is l_orderkey % 100 < pct, so the injection rate is
+    // exactly pct% for ANY pct — the v1 form (% (100/pct) == 0) diverged
+    // for non-divisors of 100 (pct=3 → 3.03%, pct=40 → 50%) while the
+    // dir name and JSON were labeled by the requested pct (round-15 ADVICE)
+    val sig = s"skew=v2 hot=$HotPart pct=$pct base=$balDir"
     if (!marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != sig) {
       val li = spark.read.parquet(s"$balDir/lineitem.parquet")
-      val hotRows = li.filter(col("l_orderkey") % (100 / pct) === 0 && col("l_linenumber") === 1)
+      val hotRows = li.filter(pmod(col("l_orderkey"), lit(100)) < pct && col("l_linenumber") === 1)
         .withColumn("l_partkey", lit(HotPart))
       li.unionAll(hotRows).write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
       java.nio.file.Files.write(marker.toPath,

@@ -146,10 +146,16 @@ object StateStoreBench {
       * written sequentially (ascending names AND mod-times — whichever
       * key the file source sorts by, replay is in time order).
       */
-    def prepCorpus(src: DataFrame, out: String): String = {
+    def prepCorpus(src: DataFrame, out: String, sig: String): String = {
       val dir = new java.io.File(tmp, out)
       val marker = new java.io.File(dir, "_built")
-      if (marker.exists()) return dir.getAbsolutePath
+      // parameter-checked reuse (round-15 ADVICE): a bare existence check
+      // would silently replay a stale corpus if sfDir, the hot fraction,
+      // or the batch count changed — the exact failure mode
+      // ScaleBench.replicaCompatible exists to prevent
+      if (marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == sig)
+        return dir.getAbsolutePath
       rm(dir); dir.mkdirs()
       val sliced = src
         .withColumn("slice", ntile(Batches).over(Window.orderBy("ts", "event_id")))
@@ -165,7 +171,8 @@ object StateStoreBench {
         rm(stage)
       }
       sliced.unpersist()
-      java.nio.file.Files.write(marker.toPath, "ok".getBytes("UTF-8"))
+      java.nio.file.Files.write(marker.toPath,
+        sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dir.getAbsolutePath
     }
 
@@ -185,9 +192,12 @@ object StateStoreBench {
     val ev10hot = ev10.withColumn("user_id",
       when(pmod(col("event_id"), lit(5)) === 0, lit(77777777L)).otherwise(col("user_id")))
     val corpora = Seq(
-      ("1x", prepCorpus(ev1, "graft_ssb_thr1")),
-      ("10x", prepCorpus(ev10, "graft_ssb_thr10")),
-      ("10xhot", prepCorpus(ev10hot, "graft_ssb_thr10hot")))
+      ("1x", prepCorpus(ev1, "graft_ssb_thr1",
+        s"ssbthr=v2 sf=$sfDir src=1x batches=$Batches")),
+      ("10x", prepCorpus(ev10, "graft_ssb_thr10",
+        s"ssbthr=v2 sf=$sfDir src=$rep10 batches=$Batches")),
+      ("10xhot", prepCorpus(ev10hot, "graft_ssb_thr10hot",
+        s"ssbthr=v2 sf=$sfDir src=$rep10 hot=mod5->77777777 batches=$Batches")))
 
     def thrStream(dir: String): DataFrame = {
       val schema = spark.read.parquet(dir).schema
