@@ -171,53 +171,14 @@ object SemKBench {
     * (assignment disagreement is measured, not assumed).
     */
   private def assignIndexed(spark: SparkSession, e: DataFrame, cents: DataFrame,
-                            nprobe: Int): DataFrame = {
-    val rows = cents.collect()
-    val byGid = rows.groupBy(r => r.getLong(0) / 8).toSeq.sortBy(_._1)
-    val gmeans = byGid.map { case (gid, rs) =>
-      val dim = rs.head.getSeq[Any](1).size
-      val m = new Array[Double](dim)
-      rs.foreach { r =>
-        val v = r.getSeq[Any](1)
-        var i = 0
-        while (i < dim) {
-          m(i) += (v(i) match { case f: Float => f.toDouble; case d: Double => d })
-          i += 1
-        }
-      }
-      var n2 = 0.0
-      (0 until dim).foreach { i => m(i) /= rs.size; n2 += m(i) * m(i) }
-      (gid, m.toSeq, math.sqrt(n2))
-    }
-    import spark.implicits._
-    // means quantized to float: the codegen dot is ARRAY<FLOAT>-only,
-    // and a float-rounded probe score cannot change which groups are
-    // "near" beyond the approximation the probe already is
-    val groups = broadcast(gmeans.toDF("gid", "gemb", "gnrm")
-      .select(col("gid"), col("gemb").cast("array<float>").as("gemb"), col("gnrm")))
-    // stage 1: top-nprobe groups per vector (bounded per-key list of g)
-    val probed = e.crossJoin(groups)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        struct((-dotD(col("embedding"), col("gemb")) / (col("nrm") * col("gnrm"))).as("nscore"),
-          col("gid")).as("gcand"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
-        slice(array_sort(collect_list(col("gcand"))), 1, nprobe).as("top"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("top")).as("g"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("g.gid").as("gid"))
-    // stage 2: argmax over the probed groups' centroids only
-    probed
-      .join(broadcast(cents.withColumn("gid", expr("cid div 8"))), Seq("gid"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
-          (-col("cid")).as("ncid")).as("cand"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
-        max(col("cand")).as("best"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best.ncid")).as("cell"))
-  }
+                            nprobe: Int): DataFrame =
+    // round 15: delegates to the SHIPPED product path — the harness now
+    // measures graft.functions.IvfIndex.assignIndexed (plan-side group
+    // means, row-local stage-1 routing, one keyed stage-2 argmax), the
+    // same code q_dedup_semantic_indexed gates. The round-14 in-harness
+    // form differed only in computing group means on the driver and in
+    // a groupBy-based stage 1; geometry and cost shape are identical.
+    graft.functions.IvfIndex.assignIndexed(e, cents, groupSize = 8, nprobe = nprobe)
 
   /** Cell-equi-join pair search at the 0.45 threshold. */
   private def pairsOf(assigned: DataFrame): DataFrame = {

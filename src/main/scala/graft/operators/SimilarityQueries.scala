@@ -61,6 +61,14 @@ object SimilarityQueries {
   private val ProjDims = 8
   private val ProjBase = 100
 
+  // Indexed (two-level) semantic dedup: k=32 centroids (corpus vectors
+  // 10..41, the same fixed-corpus convention as IVF — an offline
+  // k-means fit at deployment, graft.functions.IvfIndex.fit), bucketed
+  // into groups of 8 whose means form the stage-1 routing table.
+  private val IdxK = 32
+  private val IdxGroup = 8
+  private val IdxProbe = 2
+
   // Codegen dot/norm (graft.gen.VecExprs): same ascending-index fold as
   // the HOF form and the DuckDB list_reduce oracle — identical double
   // bits, ~none of the interpreted-lambda cost.
@@ -430,6 +438,44 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
       val assigned = assignCells(e, centArrOf(e))
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("an"))
+      val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+      a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+        .filter(dotD(col("ae"), col("be")) / (col("an") * col("bn")) >= 0.45)
+        .select(col("cell"), col("a_id"), col("b_id"))
+        .orderBy("cell", "a_id", "b_id")
+    }),
+
+    // Semantic dedup through the TWO-LEVEL (IVF-over-centroids)
+    // assignment — the large-k path q_dedup_semantic's flat argmax
+    // cannot take: SemDeDup at production scale raises k ∝ n (tens of
+    // thousands of cells), and the flat n×k fan-out then dominates
+    // (round-14 SemKBench: 15.96 s flat vs 4.34 s indexed at
+    // 100×/k=800, indexed slope sub-linear ~3×/decade). This query
+    // gates the SHIPPED product path (graft.functions.IvfIndex
+    // .assignIndexed): k=32 fixed-corpus centroids in 4 groups of 8,
+    // group means broadcast as a single-row sorted array, stage-1
+    // routing row-local (array_sort+slice — no shuffle, no window),
+    // stage-2 argmax a map-side-combined max(struct) over the 2 probed
+    // groups' 16 centroids — n×(4+16) cosines instead of n×32, and the
+    // gap widens as k/8 groups grow. Pair search is the same cell
+    // equi-join at 0.45 as q_dedup_semantic, so the two queries'
+    // outputs differ exactly by the routing approximation (IVF's
+    // standard trade, measured in SemKBench). Determinism: group means
+    // fold members cid-ascending and dims ascending then quantize to
+    // float32 once (IEEE round-to-nearest both engines); cosines are
+    // the codegen ascending folds; ties break low-gid / low-cid.
+    "q_dedup_semantic_indexed" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+      val cents = e
+        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IdxK)
+        .select((col("vec_id") - NumQueries).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val assigned = graft.functions.IvfIndex.assignIndexed(e, cents, IdxGroup, IdxProbe)
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
         col("embedding").as("ae"), col("nrm").as("an"))
       val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
@@ -1038,6 +1084,63 @@ object SimilarityQueries {
            |  FROM en CROSS JOIN cents
            |), m AS (
            |  SELECT vec_id, embedding, nrm, cid AS cell FROM ranked WHERE cr = 1)
+           |SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+           |FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |WHERE list_reduce(list_transform(generate_series(1, 64),
+           |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+           |    / (a.nrm * b.nrm) >= 0.45
+           |ORDER BY a.cell, a_id, b_id""".stripMargin,
+
+      // Mirrors IvfIndex.assignIndexed stage by stage: group means fold
+      // members cid-ascending / dims-ascending, divide once, quantize
+      // to FLOAT once (IEEE round-to-nearest both engines); stage-1
+      // routing = score DESC, gid ASC rank ≤ nprobe; stage-2 argmax =
+      // score DESC, cid ASC rank 1; pair search identical to
+      // q_dedup_semantic on the indexed cells.
+      "q_dedup_semantic_indexed" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), cents AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IdxK}
+           |), gmemb AS (
+           |  SELECT cid // $IdxGroup AS gid, list(cemb ORDER BY cid) AS membs
+           |  FROM cents GROUP BY cid // $IdxGroup
+           |), gmd AS (
+           |  SELECT gid, list_transform(generate_series(1, 64), d ->
+           |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(membs, v -> v[d]::DOUBLE)), (x, y) -> x + y)
+           |      / CAST(len(membs) AS DOUBLE) AS FLOAT)) AS gemb
+           |  FROM gmemb
+           |), gm AS (
+           |  SELECT gid, gemb,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> gemb[i]::DOUBLE * gemb[i]::DOUBLE), (x, y) -> x + y)) AS gnrm
+           |  FROM gmd
+           |), gmn AS (
+           |  SELECT * FROM gm WHERE gnrm > 0
+           |), granked AS (
+           |  SELECT en.vec_id, en.embedding, en.nrm, gmn.gid,
+           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> en.embedding[i]::DOUBLE * gmn.gemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (en.nrm * gmn.gnrm) DESC, gmn.gid) AS gr
+           |  FROM en CROSS JOIN gmn
+           |), cranked AS (
+           |  SELECT p.vec_id, p.embedding, p.nrm, c.cid,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |      list_reduce(list_transform(generate_series(1, 64),
+           |        i -> p.embedding[i]::DOUBLE * c.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |        / (p.nrm * c.cnrm) DESC, c.cid) AS cr
+           |  FROM (SELECT vec_id, embedding, nrm, gid FROM granked WHERE gr <= $IdxProbe) p
+           |  JOIN cents c ON p.gid = c.cid // $IdxGroup
+           |), m AS (
+           |  SELECT vec_id, embedding, nrm, cid AS cell FROM cranked WHERE cr = 1)
            |SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
            |FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
            |WHERE list_reduce(list_transform(generate_series(1, 64),

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-level IVF-over-centroids assignment (graft.functions.IvfIndex)
+  * — the round-15 promotion of SemKBench's measured large-k path into
+  * the product surface: routing correctness against the flat argmax,
+  * probe-constraint honesty (an indexed cell is always one of the
+  * vector's probed groups), and bit-stability of the large-k fit across
+  * partition layouts (the KMeans decimal-sum rule).
+  */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def normD(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.VecNormExpr(ColumnBridge.expression(c)))
+  }
+
+  private def dotD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.gen.DotProductExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
+  }
+
+  private def corpus: DataFrame = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    .filter(col("nrm") > 0)
+
+  private def cents32: DataFrame = corpus
+    .filter(col("vec_id") >= 10 && col("vec_id") < 42)
+    .select((col("vec_id") - 10).as("cid"),
+      col("embedding").as("cemb"), col("nrm").as("cnrm"))
+
+  /** Exact flat argmax-cosine assignment (the reference the index
+    * approximates): highest cosine, ties to the lowest cid.
+    */
+  private def flatCells: DataFrame =
+    corpus.crossJoin(broadcast(cents32))
+      .select(col("vec_id"),
+        struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
+          (-col("cid")).as("ncid")).as("cand"))
+      .groupBy("vec_id").agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best").getField("ncid")).as("cf"))
+
+  test("every vector is assigned exactly one cell, and that cell is in a probed group") {
+    val assigned = functions.IvfIndex.assignIndexed(corpus, cents32, groupSize = 8, nprobe = 2)
+    val n = corpus.count()
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+    val cells = assigned.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 32), cells.toSeq)
+    // probe-constraint honesty: recompute stage-1's top-2 groups
+    // independently (rank group means by cosine) and check membership
+    val gma = functions.IvfIndex.groupMeansArr(cents32, 8)
+    val probes = corpus.crossJoin(gma)
+      .select(col("vec_id"),
+        slice(array_sort(transform(col("gma"), g => struct(
+          (-(dotD(col("embedding"), g.getField("gemb")) / (col("nrm") * g.getField("gnrm")))).as("ns"),
+          g.getField("gid").as("gid")))), 1, 2).as("top"))
+      .select(col("vec_id"), expr("transform(top, t -> t.gid)").as("gids"))
+    val offside = assigned.join(probes, "vec_id")
+      .filter(!array_contains(col("gids"), expr("cell div 8"))).count()
+    assert(offside == 0, s"$offside vectors assigned outside their probed groups")
+  }
+
+  test("indexed assignment agrees with the flat argmax except where routing diverges") {
+    // agreement is the geometry check; disagreement is bounded, not
+    // zero — that IS the IVF approximation. This corpus is the WORST
+    // case for mean-based routing (near-orthogonal random vectors, max
+    // pairwise cosine ≈ 0.51, so group means summarize weakly — ~75%
+    // agreement measured); real near-dup corpora route far better
+    // (SemKBench's clustered replica). The exactness check below
+    // (nprobe = g) is the hard correctness bound.
+    val assigned = functions.IvfIndex.assignIndexed(corpus, cents32, groupSize = 8, nprobe = 2)
+    val joined = assigned.select(col("vec_id"), col("cell")).join(flatCells, "vec_id")
+    val n = joined.count()
+    val agree = joined.filter(col("cell") === col("cf")).count()
+    assert(agree >= (n * 0.6).toLong, s"only $agree/$n agree with flat argmax")
+    // and with nprobe = number of groups the index IS the flat argmax
+    val all = functions.IvfIndex.assignIndexed(corpus, cents32, groupSize = 8, nprobe = 4)
+      .select(col("vec_id"), col("cell")).join(flatCells, "vec_id")
+    assert(all.filter(col("cell") =!= col("cf")).count() == 0,
+      "nprobe=g must reduce to exact flat argmax")
+  }
+
+  test("large-k fit is bit-stable across partition layouts and returns k live centroids") {
+    val in = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def fitWith(parts: Int): Array[(Long, Seq[Float], Double)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try functions.IvfIndex.fit(in.repartition(parts, col("vec_id")),
+          "vec_id", "embedding", k = 16, iters = 2, groupSize = 8, nprobe = 2)
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = fitWith(4)
+    val b = fitWith(13)
+    assert(a.length == 16)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, va, na), (_, vb, nb)) => va == vb && na == nb },
+      "fit centroids must be bit-identical across partition layouts")
+    // the fit moved off the seed vectors
+    val seed = in.orderBy("vec_id").limit(16).collect().map(_.getSeq[Float](1))
+    assert(a.map(_._2).zip(seed).exists { case (c, s) => c != s })
+  }
+}

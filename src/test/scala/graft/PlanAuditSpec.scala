@@ -253,6 +253,33 @@ class PlanAuditSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_dedup_semantic_indexed: broadcast group means, window-free two-level assignment") {
+    // the round-15 promotion of SemKBench's indexed assignment into the
+    // gated surface (VERDICT r14 #1): stage-1 routing must ride a
+    // BROADCAST single-row group-means array scored row-locally (no
+    // Window anywhere), stage-2 must probe the centroids through a
+    // BroadcastHashJoin, and the pair search stays a cell equi-join
+    val plan = planOf("q_dedup_semantic_indexed")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 0, s"two-level assignment must be window-free, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair search must equi-join on the cell id:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stage-2 centroid probe must broadcast the centroid table:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stage-1 group means must ride in as a broadcast array:\n$plan")
+    // runtime: the a/b sides of the pair self-join must share ONE
+    // assignment aggregate via ReuseExchange (an AQE-time decision, so
+    // pin the FINAL executed plan — at sf0.01, where the result is
+    // non-empty; sf0.001 yields zero pairs and AQE collapses the plan
+    // to EmptyRelation before any exchange materializes)
+    val df = SparkEntry.queries("q_dedup_semantic_indexed")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(executed.contains("ReusedExchange"),
+      s"assignment must be computed once and reused across the pair self-join:\n$executed")
+  }
+
   test("q_decontaminate: benchmark gram set broadcasts; corpus grams probe map-side") {
     val plan = planOf("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"),
