@@ -86,7 +86,14 @@ object Bench {
     // alone, no prose archaeology.
     def probeMin3(): Double = (1 to 3).map(_ => probeOnce(spark, cpus)).min
     probeOnce(spark, cpus); probeOnce(spark, cpus) // probe's own JIT warm-up
+    // the IO probe prices the page-cache/disk axis the CPU probe is
+    // blind to (round-14 closure run #3: probe-quiet yet +7%); its own
+    // write volume (~9 × 250 MB per bench run) is fixed and documented
+    // so disk_write_mb stays interpretable
+    def probeIoMin3(): Double = (1 to 3).map(_ => probeIoOnce(spark)).min
+    probeIoOnce(spark) // warm-up (plan compile + first-write allocation)
     val probe0 = probeMin3()
+    val probeIo0 = probeIoMin3()
 
     // failed queries report -1.0, never a fake duration — a regression
     // must be visible in the JSON, not summed into total as a fast run.
@@ -112,8 +119,18 @@ object Bench {
     //    consecutive-rep solo mins reproduce the r9-comparable 77 s
     //    level). The pass-2 double-run restores that hot rep on a JVM
     //    that is fully warm AND past any compile window.
+    // SPARK_GRAFT_ORDER=reverse runs each pass in reverse name order —
+    // the round-15 diagnostic for ORDER-DEPENDENT in-run interference
+    // (q_bpe_encode reads 2.35-2.40 in every in-run measurement and
+    // 2.05-2.14 in every fresh-JVM solo; if the elevation follows the
+    // predecessors and not the query, reversing the order moves it).
+    // The driver never sets it, so driver artifacts stay alphabetical.
+    val queryOrder: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val base = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) base.reverse else base
+    }
     def timedPass(reps: Int): Map[String, Seq[Double]] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queryOrder.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -126,8 +143,10 @@ object Bench {
       }.toMap
     val pass1 = timedPass(1)
     val probe1 = probeMin3()
+    val probeIo1 = probeIoMin3()
     val pass2 = timedPass(2)
     val probe2 = probeMin3()
+    val probeIo2 = probeIoMin3()
     // min = round-over-round comparison continuity; median = JIT-window
     // visibility (a query whose min is steady but whose median sits 2×
     // above it was caught in a compile window — SCALE.md §"Bench-mover
@@ -247,6 +266,7 @@ object Bench {
     val loadEnd = readLoadavg()
     val (diskReadEnd, diskWriteEnd) = readDiskSectors()
     val probeSec = Seq(probe0, probe1, probe2)
+    val probeIoSec = Seq(probeIo0, probeIo1, probeIo2)
     // sectors are 512 bytes regardless of the device's logical block size;
     // -1 (unreadable) at EITHER endpoint propagates as -1, never a bogus
     // delta (round-15 ADVICE)
@@ -256,7 +276,7 @@ object Bench {
     val diskWriteMb = mb(diskWriteStart, diskWriteEnd)
 
     val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate,
-      cpus, probeSec)
+      cpus, probeSec, probeIoSec)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullMeds = medians.map { case (k, v) => "\"" + k + "\":" + v }
@@ -266,8 +286,9 @@ object Bench {
     val genRepsJson = genReps.mkString("[", ",", "]")
     val csvRepsJson = csvReps.mkString("[", ",", "]")
     val probeJson = probeSec.mkString("[", ",", "]")
+    val probeIoJson = probeIoSec.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"probe_io_sec":$probeIoJson,"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -280,6 +301,28 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
     System.out.flush()
+  }
+
+  /** The fixed IO calibration workload: write a ~250 MB high-entropy
+    * parquet (md5 hex payloads — random hex defeats snappy, so the file
+    * size is stable by construction) to the bench tmpdir, then read it
+    * back through a full-column aggregate. Prices the page-cache/disk
+    * axis the CPU probe cannot see: round-14 closure run #3 read +7%
+    * total on a CPU-probe-quiet host, which pinned the blind spot this
+    * probe closes. Envelope alongside the CPU probe's in SCALE.md
+    * §"Calibration probe"; `graft.ProbeBench` re-measures standalone.
+    */
+  def probeIoOnce(spark: SparkSession): Double = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_probe_io").getAbsolutePath
+    val t0 = System.nanoTime()
+    spark.range(0, 4000000L, 1, 8)
+      .selectExpr("id", "md5(cast(id as string)) as h1",
+        "md5(cast(id * 2654435761 as string)) as h2")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .selectExpr("sum(length(h1) + length(h2))").collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** The fixed calibration workload: 4M rows hashed into 100k groups
@@ -330,12 +373,15 @@ object Bench {
   def renderLine(results: Seq[(String, Double)], total: Double, sfNum: String,
                  genRows: Long, genSec: Double, genRate: Long,
                  csvRate: Long = -1L, cpus: Int = -1,
-                 probeSec: Seq[Double] = Nil): String = {
+                 probeSec: Seq[Double] = Nil,
+                 probeIoSec: Seq[Double] = Nil): String = {
     import java.util.Locale.ROOT
     val budget = 1870 // 2000-char driver tail minus sbt epilogue + slack
     val probeField =
-      if (probeSec.isEmpty) ""
-      else s""","probe_sec":${probeSec.map("%.2g".formatLocal(ROOT, _)).mkString("[", ",", "]")}"""
+      (if (probeSec.isEmpty) ""
+       else s""","probe_sec":${probeSec.map("%.2g".formatLocal(ROOT, _)).mkString("[", ",", "]")}""") +
+      (if (probeIoSec.isEmpty) ""
+       else s""","probe_io_sec":${probeIoSec.map("%.2g".formatLocal(ROOT, _)).mkString("[", ",", "]")}""")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + "%.2g".formatLocal(ROOT, v) }
         .mkString("{", ",", "}")

@@ -299,6 +299,73 @@ object SemKBench {
           if (r.isNullAt(2 * i + 1)) 0L else r.getLong(2 * i + 1))
       }.toMap
     }
+    // Round-15 fit mode (VERDICT r14 #1 done-criterion): the centroid-
+    // COVERAGE recall gap, measured. The pooled convention draws
+    // 8·copies centroids from 8·copies of the replica's base clusters —
+    // coverage 800 centroids / 2000 clusters at 100× — while a
+    // spherical k-means FIT of the same k (graft.functions.IvfIndex.fit,
+    // 3 Lloyd iterations, smallest-id seed) places centroids where the
+    // data is. Both centroid sets feed the SAME shipped indexed
+    // assignment; the per-band recall delta prices what fit centroids
+    // buy (or cost) at identical k and probe budget.
+    if (args.contains("fit")) {
+      require(clustered,
+        "fit mode measures the clustered replica (usage: SemKBench <sfDir> cluster fit)")
+      val rows = dirs.map { case (d, copies) =>
+        val e = corpus(spark, d)
+        val n = e.count()
+        val k = 8 * copies
+        val pooled = centroidRowsChecked(e, copies, clustered = true)
+        val tF = System.nanoTime()
+        val fitCents = graft.functions.IvfIndex.fit(
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          k = k, iters = 3)
+        val kFit = fitCents.count() // forces the fit; also the live-centroid count
+        val fitWall = (System.nanoTime() - tF) / 1e9
+        release()
+        def wallOf(cents: DataFrame): Double = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, cents, 8, 2)).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          release(); dt
+        }.min
+        val wallPooled = wallOf(pooled)
+        val wallFit = wallOf(fitCents)
+        val bandsPooled = bandCounts(
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, pooled, 8, 2)), d)
+        release()
+        val bandsFit = bandCounts(
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 2)), d)
+        release()
+        val (truthBands, truthWall) =
+          if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
+          else {
+            val t0 = System.nanoTime()
+            val tb = bandCounts(
+              SparkEntry.queries("q_dedup_embedding")(spark, d).select("a_id", "b_id"), d)
+            val dt = (System.nanoTime() - t0) / 1e9
+            release(); (tb, dt)
+          }
+        def bandsJsonOf(sb: Map[Double, (Long, Long)]): String = bands.map { b =>
+          val (st, sw) = sb(b)
+          val (tt, tw) = truthBands.getOrElse(b, (-1L, -1L))
+          val r = if (tt > 0) st.toDouble / tt else -1.0
+          val rw = if (tw > 0) sw.toDouble / tw else -1.0
+          f""""ge$b":{"pairs":$st,"pairs_within":$sw,"truth":$tt,"truth_within":$tw,"recall":$r%.4f,"recall_within":$rw%.4f}"""
+        }.mkString("{", ",", "}")
+        val bp = bandsJsonOf(bandsPooled)
+        val bf = bandsJsonOf(bandsFit)
+        System.err.println(f"[semk-fit] copies=$copies n=$n k=$k k_fit=$kFit " +
+          f"fit_wall=$fitWall%.1f wall_pooled=$wallPooled%.2f wall_fit=$wallFit%.2f " +
+          f"truth_wall=$truthWall%.1f bands_pooled=$bp bands_fit=$bf")
+        f""""x$copies":{"n":$n,"k":$k,"k_fit":$kFit,"fit_wall":$fitWall%.1f,""" +
+          f""""wall_pooled":$wallPooled%.2f,"wall_fit":$wallFit%.2f,"truth_wall":$truthWall%.1f,""" +
+          f""""bands_pooled":$bp,"bands_fit":$bf}"""
+      }
+      println(s"""{"metric":"semdedup_fit_centroids","mode":"cluster","scales":${rows.mkString("{", ",", "}")}}""")
+      spark.stop()
+      return
+    }
     val rows = dirs.map { case (d, copies) =>
       val n = spark.read.parquet(s"$d/embeddings.parquet").count()
       val wall = (1 to 2).map { _ =>

@@ -117,7 +117,7 @@ object StateStoreBench {
       }
     }
 
-    if (mode != "throughput") streams.foreach { case (name, mk) =>
+    if (mode == "store" || mode == "all") streams.foreach { case (name, mk) =>
       val (hSec, hBytes) = withProvider(None) {
         val a = once(name, mk); val b = once(name, mk)
         (math.min(a._1, b._1), a._2)
@@ -130,14 +130,27 @@ object StateStoreBench {
         f"rocksdb=${rSec}%.2fs (${rBytes / 1e6}%.1f MB)  ratio=${rSec / hSec}%.2f")
     }
 
-    if (mode != "store") throughput(spark, sfDir, du, rm)
+    if (mode == "throughput" || mode == "all" || mode == "batchsize")
+      throughput(spark, sfDir, du, rm, mode)
     spark.stop()
   }
 
-  /** Round-14 throughput section — see the object doc. */
+  /** Round-14 throughput section — see the object doc. Round 15 adds
+    * mode `batchsize`: (a) the per-row regime — sessionize on the 10×
+    * corpus at maxFilesPerTrigger 1/4/16 (62.5k / 250k / 1M rows per
+    * batch), both providers, so the per-row cost is separable from the
+    * 0.6–0.9 s per-batch fixed floor the round-14 numbers sat on; and
+    * (b) the hot-entity config remedies as MEASURED rows — the 10xhot
+    * corpus under RocksDB with the two levers round 14 named as
+    * "config, not code": shuffle-partition sizing (non-hot keys spread
+    * away from the hot task) and the RocksDB write-path configs
+    * (trackTotalNumberOfRows=false removes the get-before-put on every
+    * update; changelog checkpointing removes the per-commit snapshot).
+    */
   private def throughput(spark: SparkSession, sfDir: String,
                          du: java.io.File => Long,
-                         rm: java.io.File => Unit): Unit = {
+                         rm: java.io.File => Unit,
+                         mode: String = "throughput"): Unit = {
     import org.apache.spark.sql.expressions.Window
     val tmp = System.getProperty("java.io.tmpdir")
     val Batches = 16
@@ -199,10 +212,10 @@ object StateStoreBench {
       ("10xhot", prepCorpus(ev10hot, "graft_ssb_thr10hot",
         s"ssbthr=v2 sf=$sfDir src=$rep10 hot=mod5->77777777 batches=$Batches")))
 
-    def thrStream(dir: String): DataFrame = {
+    def thrStream(dir: String, mft: Int = 1): DataFrame = {
       val schema = spark.read.parquet(dir).schema
       spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", mft)
         .option("pathGlobFilter", "ev_*.parquet")
         .parquet(dir)
     }
@@ -250,6 +263,61 @@ object StateStoreBench {
         f""""state_rows_per_batch":${if (stateRows.size > 1) (stateRows.last - stateRows.head) / (stateRows.size - 1) else -1L},""" +
         f""""task_max_ms":$taskMax,"task_med_ms":$taskMed,""" +
         f""""state_mb":${stateBytes / 1e6}%.1f"""
+    }
+
+    if (mode == "batchsize") {
+      val dir10 = corpora.find(_._1 == "10x").get._2
+      val dirHot = corpora.find(_._1 == "10xhot").get._2
+      def mkSess(d: String, mft: Int): DataFrame =
+        streaming.Sessionize.sessionsOfStream(
+          thrStream(d, mft).selectExpr("user_id", "ts", "value"))
+      // (a) per-row regime: same 1M-row corpus, batches of 62.5k / 250k
+      // / 1M rows — the fixed per-batch floor amortizes 1×/4×/16×, so
+      // the rows/s spread IS the per-row cost becoming visible
+      val sweep = for {
+        mft <- Seq(1, 4, 16)
+        (pname, prov) <- Seq("hdfs" -> None, "rocksdb" -> Some(Rocks))
+      } yield {
+        val body = withProvider(spark, prov) {
+          runOnce(s"warm_bs${mft}_$pname", mkSess(dir10, mft))
+          runOnce(s"bs${mft}_$pname", mkSess(dir10, mft))
+        }
+        System.err.println(s"[bs] mft=$mft $pname {$body}")
+        s""""mft${mft}_$pname":{$body}"""
+      }
+      // (b) hot-entity levers, RocksDB (the provider that paid the 2×
+      // straggler in round 14), measured one at a time then combined
+      def withConfs[A](confs: Map[String, String])(body: => A): A = {
+        val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally prevs.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+      val rp = "spark.sql.streaming.stateStore.rocksdb."
+      val levers: Seq[(String, Map[String, String])] = Seq(
+        "base" -> Map.empty,
+        "parts128" -> Map("spark.sql.shuffle.partitions" -> "128"),
+        "notrack" -> Map(rp + "trackTotalNumberOfRows" -> "false"),
+        "changelog" -> Map(rp + "changelogCheckpointing.enabled" -> "true"),
+        "combined" -> Map(
+          "spark.sql.shuffle.partitions" -> "128",
+          rp + "trackTotalNumberOfRows" -> "false",
+          rp + "changelogCheckpointing.enabled" -> "true"))
+      val hot = levers.map { case (lname, confs) =>
+        val body = withProvider(spark, Some(Rocks)) {
+          withConfs(confs) {
+            runOnce(s"warm_hot_$lname", mkSess(dirHot, 1))
+            runOnce(s"hot_$lname", mkSess(dirHot, 1))
+          }
+        }
+        System.err.println(s"[hot] $lname {$body}")
+        s""""hot_$lname":{$body}"""
+      }
+      println(s"""{"metric":"streaming_batchsize","runs":${(sweep ++ hot).mkString("{", ",", "}")}}""")
+      return
     }
 
     val results = for {
