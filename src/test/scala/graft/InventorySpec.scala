@@ -35,6 +35,17 @@ class InventorySpec extends AnyFunSuite {
     assert(r2 >= r1 && w2 >= w1, "sector counters must be monotonic")
     val probe = Bench.probeOnce(spark, 4)
     assert(probe > 0 && probe < 60, s"calibration probe wall $probe out of range")
+    // round 15: the IO probe must also read sane (and actually write —
+    // a silently-empty write would price the page cache, not the disk)
+    val io = Bench.probeIoOnce(spark)
+    assert(io > 0 && io < 120, s"IO probe wall $io out of range")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_probe_io")
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    val bytes = du(dir)
+    assert(bytes > 150e6, s"IO probe parquet only $bytes bytes — " +
+      "high-entropy payload no longer defeats compression")
   }
 
   test("flagship entry returns rows") {
