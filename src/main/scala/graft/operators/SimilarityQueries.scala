@@ -236,9 +236,14 @@ object SimilarityQueries {
     // The NProbe ranking runs the same way (sorted slice of the struct
     // array) over just the NumQueries query rows. Centroids are 8
     // fixed corpus vectors (vec_id 10..17); at 100 TB they'd come from
-    // an offline k-means fit (graft.functions.KMeans implements
-    // Lloyd's; see KMeansSpec) — the pipeline shape (assign → invert →
-    // probe) is identical and that's what this query pins down.
+    // an offline k-means fit (graft.functions.KMeans for small k;
+    // graft.functions.IvfIndex.fit for large k — its per-iteration
+    // assignment is the two-level indexed pass, so k never becomes a
+    // k-wide expression tree) — the pipeline shape (assign → invert →
+    // probe) is identical and that's what this query pins down. Past
+    // k ≈ 32 the assignment itself goes through IvfIndex.assignIndexed
+    // (gated by q_dedup_semantic_indexed; measured sub-linear at
+    // 100×/k=800 in SCALE.md §"Semantic dedup" round-15 subsection).
     "q_sim_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
