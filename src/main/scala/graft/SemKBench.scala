@@ -337,6 +337,12 @@ object SemKBench {
         val bandsFit = bandCounts(
           pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 2)), d)
         release()
+        // nprobe sensitivity: does doubling the probe budget close the
+        // residual recall gap (⇒ routing loss) or not (⇒ coverage/
+        // threshold residue)? One extra indexed pass at nprobe=4.
+        val bandsFit4 = bandCounts(
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 4)), d)
+        release()
         val (truthBands, truthWall) =
           if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
           else {
@@ -355,12 +361,13 @@ object SemKBench {
         }.mkString("{", ",", "}")
         val bp = bandsJsonOf(bandsPooled)
         val bf = bandsJsonOf(bandsFit)
+        val bf4 = bandsJsonOf(bandsFit4)
         System.err.println(f"[semk-fit] copies=$copies n=$n k=$k k_fit=$kFit " +
           f"fit_wall=$fitWall%.1f wall_pooled=$wallPooled%.2f wall_fit=$wallFit%.2f " +
-          f"truth_wall=$truthWall%.1f bands_pooled=$bp bands_fit=$bf")
+          f"truth_wall=$truthWall%.1f bands_pooled=$bp bands_fit=$bf bands_fit_np4=$bf4")
         f""""x$copies":{"n":$n,"k":$k,"k_fit":$kFit,"fit_wall":$fitWall%.1f,""" +
           f""""wall_pooled":$wallPooled%.2f,"wall_fit":$wallFit%.2f,"truth_wall":$truthWall%.1f,""" +
-          f""""bands_pooled":$bp,"bands_fit":$bf}"""
+          f""""bands_pooled":$bp,"bands_fit":$bf,"bands_fit_np4":$bf4}"""
       }
       println(s"""{"metric":"semdedup_fit_centroids","mode":"cluster","scales":${rows.mkString("{", ",", "}")}}""")
       spark.stop()
