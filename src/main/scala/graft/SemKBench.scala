@@ -317,11 +317,13 @@ object SemKBench {
         val k = 8 * copies
         val pooled = centroidRowsChecked(e, copies, clustered = true)
         val tF = System.nanoTime()
-        val fitCents = graft.functions.IvfIndex.fit(
+        val (fitCents, fitObj) = graft.functions.IvfIndex.fit(
           e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           k = k, iters = 3)
         val kFit = fitCents.count() // forces the fit; also the live-centroid count
         val fitWall = (System.nanoTime() - tF) / 1e9
+        System.err.println(f"[semk-fit] objective (mean assignment cosine/iter): " +
+          fitObj.map(o => f"$o%.4f").mkString(" -> "))
         release()
         def wallOf(cents: DataFrame): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -134,12 +134,20 @@ object IvfIndex {
     * so the fit is bit-stable across partitionings. Driver state is the
     * k×dim matrix only (~400 KB at k=800).
     *
-    * Returns the centroid table (cid, cemb: array<float>, cnrm) ready
-    * for assignIndexed — float-quantized once at the END of the fit,
-    * matching the groupMeansArr convention.
+    * Returns (centroid table, per-iteration objective): the table is
+    * (cid, cemb: array<float>, cnrm) ready for assignIndexed —
+    * float-quantized once at the END of the fit, matching the
+    * groupMeansArr convention — and the objective is the MEAN
+    * assignment cosine under the centroids each iteration STARTED from
+    * (the spherical-k-means analogue of KMeans.fit's WCSS; Dhillon &
+    * Modha 2001 — non-decreasing up to the per-iteration float32
+    * centroid quantization and empty-cell carryover, both ≪ 1e-6
+    * here). The objective rides the same single corpus pass as the
+    * mean update (the KMeans d2-on-dim0 trick), summed in decimal so
+    * it is bit-stable too.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-          groupSize: Int = 8, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+          groupSize: Int = 8, nprobe: Int = 2, dim: Int = 64): (DataFrame, Array[Double]) = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
     val spark = df.sparkSession
     import spark.implicits._
@@ -157,27 +165,39 @@ object IvfIndex {
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("embedding"))
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    for (_ <- 0 until iters) {
+    val objective = new Array[Double](iters)
+    for (it <- 0 until iters) {
       val centDf = cents.toSeq.toDF("cid", "cd")
         .select(col("cid"), col("cd").cast("array<float>").as("cemb"))
         .select(col("cid"), col("cemb"), normD(col("cemb")).as("cnrm"))
         .filter(col("cnrm") > 0)
       val stats = assignIndexed(e, centDf, groupSize, nprobe, dim)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dimIdx", "x")))
+        .join(broadcast(centDf.select(col("cid").as("cell"),
+          col("cemb").as("acemb"), col("cnrm").as("acnrm"))), Seq("cell"))
+        .select(col("cell"),
+          (dotD(col("embedding"), col("acemb")) / (col("nrm") * col("acnrm"))).as("cos"),
+          posexplode(col("embedding")).as(Seq("dimIdx", "x")))
         .groupBy("cell", "dimIdx")
         .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1)))
-          .cast("double").as("m"))
+          .cast("double").as("m"),
+          sum(when(col("dimIdx") === 0, col("cos")).cast("decimal(28,15)"))
+            .cast("double").as("cossum"),
+          sum(when(col("dimIdx") === 0, 1L).otherwise(0L)).as("cn"))
         .collect()
       val next = cents.map { case (cid, v) => (cid, v.toArray) }
       val byCid = next.map { case (cid, arr) => cid -> arr }.toMap
+      var cosSum = 0.0; var n = 0L
       stats.sortBy(r => (r.getLong(0), r.getInt(1))).foreach { r =>
         byCid.get(r.getLong(0)).foreach(_(r.getInt(1)) = r.getDouble(2))
+        if (r.getInt(1) == 0 && !r.isNullAt(3)) { cosSum += r.getDouble(3); n += r.getLong(4) }
       }
+      objective(it) = if (n > 0) cosSum / n else 0.0
       cents = next.map { case (cid, arr) => (cid, arr.toSeq) }
     }
-    cents.toSeq.toDF("cid", "cd")
+    val table = cents.toSeq.toDF("cid", "cd")
       .select(col("cid"), col("cd").cast("array<float>").as("cemb"))
       .select(col("cid"), col("cemb"), normD(col("cemb")).as("cnrm"))
       .filter(col("cnrm") > 0)
+    (table, objective)
   }
 }

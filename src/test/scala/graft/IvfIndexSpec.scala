@@ -97,21 +97,30 @@ class IvfIndexSpec extends AnyFunSuite {
 
   test("large-k fit is bit-stable across partition layouts and returns k live centroids") {
     val in = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    def fitWith(parts: Int): Array[(Long, Seq[Float], Double)] = {
+    def fitWith(parts: Int): (Array[(Long, Seq[Float], Double)], Array[Double]) = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try functions.IvfIndex.fit(in.repartition(parts, col("vec_id")),
+      try {
+        val (table, obj) = functions.IvfIndex.fit(in.repartition(parts, col("vec_id")),
           "vec_id", "embedding", k = 16, iters = 2, groupSize = 8, nprobe = 2)
-        .orderBy("cid").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        (table.orderBy("cid").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))), obj)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    val a = fitWith(4)
-    val b = fitWith(13)
+    val (a, objA) = fitWith(4)
+    val (b, objB) = fitWith(13)
     assert(a.length == 16)
     assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
     assert(a.zip(b).forall { case ((_, va, na), (_, vb, nb)) => va == vb && na == nb },
       "fit centroids must be bit-identical across partition layouts")
+    // decimal-summed objective is bit-stable too, and non-decreasing
+    // (spherical Lloyd; tolerance covers the per-iteration float32
+    // centroid quantization)
+    assert(objA.toSeq == objB.toSeq, "objective must be bit-identical across layouts")
+    objA.toSeq.sliding(2).foreach {
+      case Seq(x, y) => assert(y >= x - 1e-6, s"objective decreased: ${objA.toSeq}")
+      case _ =>
+    }
     // the fit moved off the seed vectors
     val seed = in.orderBy("vec_id").limit(16).collect().map(_.getSeq[Float](1))
     assert(a.map(_._2).zip(seed).exists { case (c, s) => c != s })
