@@ -131,7 +131,7 @@ object StateStoreBench {
     }
 
     if (mode == "throughput" || mode == "all" || mode == "batchsize")
-      throughput(spark, sfDir, du, rm, mode)
+      throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"))
     spark.stop()
   }
 
@@ -150,7 +150,8 @@ object StateStoreBench {
   private def throughput(spark: SparkSession, sfDir: String,
                          du: java.io.File => Long,
                          rm: java.io.File => Unit,
-                         mode: String = "throughput"): Unit = {
+                         mode: String = "throughput",
+                         big: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     val tmp = System.getProperty("java.io.tmpdir")
     val Batches = 16
@@ -285,6 +286,28 @@ object StateStoreBench {
         System.err.println(s"[bs] mft=$mft $pname {$body}")
         s""""mft${mft}_$pname":{$body}"""
       }
+      // (a2) optional 100× extension (`batchsize 100x`): the same
+      // per-row measurement a decade up — 10M rows in 16 files, 10×
+      // the active keys — at mft=1 (625k/batch) and mft=4 (2.5M/batch),
+      // both providers; extends the per-row-cost fit past the 10×
+      // corpus without assuming the keys axis is free
+      val sweep100 = if (!big) Nil else {
+        val rep100 = new java.io.File(tmp, "graft_ssb_ev100").getAbsolutePath
+        ScaleBench.buildTables(spark, sfDir, rep100, 100, Set("events"))
+        val dir100 = prepCorpus(Tables.events(spark, rep100), "graft_ssb_thr100",
+          s"ssbthr=v2 sf=$sfDir src=$rep100 batches=$Batches")
+        for {
+          mft <- Seq(1, 4)
+          (pname, prov) <- Seq("hdfs" -> None, "rocksdb" -> Some(Rocks))
+        } yield {
+          val body = withProvider(spark, prov) {
+            runOnce(s"warm_bs100_${mft}_$pname", mkSess(dir100, mft))
+            runOnce(s"bs100_${mft}_$pname", mkSess(dir100, mft))
+          }
+          System.err.println(s"[bs100] mft=$mft $pname {$body}")
+          s""""bs100_mft${mft}_$pname":{$body}"""
+        }
+      }
       // (b) hot-entity levers, RocksDB (the provider that paid the 2×
       // straggler in round 14), measured one at a time then combined
       def withConfs[A](confs: Map[String, String])(body: => A): A = {
@@ -316,7 +339,7 @@ object StateStoreBench {
         System.err.println(s"[hot] $lname {$body}")
         s""""hot_$lname":{$body}"""
       }
-      println(s"""{"metric":"streaming_batchsize","runs":${(sweep ++ hot).mkString("{", ",", "}")}}""")
+      println(s"""{"metric":"streaming_batchsize","runs":${(sweep ++ sweep100 ++ hot).mkString("{", ",", "}")}}""")
       return
     }
 
