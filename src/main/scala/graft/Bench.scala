@@ -88,8 +88,9 @@ object Bench {
     probeOnce(spark, cpus); probeOnce(spark, cpus) // probe's own JIT warm-up
     // the IO probe prices the page-cache/disk axis the CPU probe is
     // blind to (round-14 closure run #3: probe-quiet yet +7%); its own
-    // write volume (~9 × 250 MB per bench run) is fixed and documented
-    // so disk_write_mb stays interpretable
+    // write volume (10 × ~250 MB per bench run) is measured and reported
+    // as probe_io_write_mb, and the probe directory is deleted after the
+    // final probe call (round-16 ADVICE)
     def probeIoMin3(): Double = (1 to 3).map(_ => probeIoOnce(spark)).min
     probeIoOnce(spark) // warm-up (plan compile + first-write allocation)
     val probe0 = probeMin3()
@@ -147,6 +148,27 @@ object Bench {
     val pass2 = timedPass(2)
     val probe2 = probeMin3()
     val probeIo2 = probeIoMin3()
+    // round-16 ADVICE: the IO probe's write volume is fixed (10 writes
+    // per run: 1 warm-up + 3 × min-of-3, ~250 MB each) but it was left
+    // in tmpdir permanently and silently folded into disk_write_mb.
+    // Measure one snapshot's bytes, report the run's total probe volume
+    // separately (probe_io_write_mb in BENCH_FULL.json), and delete the
+    // directory — disk_write_mb stays a raw device-level delta, with the
+    // probe's share now stated in the artifact instead of guessed.
+    val probeIoWriteMb: Double = {
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_probe_io")
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      val snapshot = du(dir)
+      rm(dir)
+      snapshot * 10.0 / 1e6
+    }
     // min = round-over-round comparison continuity; median = JIT-window
     // visibility (a query whose min is steady but whose median sits 2×
     // above it was caught in a compile window — SCALE.md §"Bench-mover
@@ -288,7 +310,7 @@ object Bench {
     val probeJson = probeSec.mkString("[", ",", "]")
     val probeIoJson = probeIoSec.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"probe_io_sec":$probeIoJson,"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"probe_io_sec":$probeIoJson,"probe_io_write_mb":${"%.1f".formatLocal(java.util.Locale.ROOT, probeIoWriteMb)},"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

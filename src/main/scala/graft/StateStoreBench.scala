@@ -48,6 +48,11 @@ object StateStoreBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mode = if (args.length > 1) args(1) else "all"
+    // fail loudly on a typo'd mode (round-16 ADVICE): the round-15 mode
+    // gating made an unrecognized mode run only the warm-up and exit
+    // with no output, which reads as a silent empty run
+    require(Set("store", "throughput", "all", "batchsize", "keydepth").contains(mode),
+      s"unknown mode '$mode' (expected store|throughput|all|batchsize|keydepth)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
