@@ -171,14 +171,17 @@ object SemKBench {
     * (assignment disagreement is measured, not assumed).
     */
   private def assignIndexed(spark: SparkSession, e: DataFrame, cents: DataFrame,
-                            nprobe: Int): DataFrame =
+                            nprobe: Int, kHint: Long = -1L): DataFrame =
     // round 15: delegates to the SHIPPED product path — the harness now
     // measures graft.functions.IvfIndex.assignIndexed (plan-side group
     // means, row-local stage-1 routing, one keyed stage-2 argmax), the
     // same code q_dedup_semantic_indexed gates. The round-14 in-harness
     // form differed only in computing group means on the driver and in
     // a groupBy-based stage 1; geometry and cost shape are identical.
-    graft.functions.IvfIndex.assignIndexed(e, cents, groupSize = 8, nprobe = nprobe)
+    // kHint = 8·copies from the callers keeps the round-16 size gate's
+    // centroid count off the timed walls (it would re-scan the corpus).
+    graft.functions.IvfIndex.assignIndexed(e, cents, groupSize = 8, nprobe = nprobe,
+      kHint = kHint)
 
   /** Cell-equi-join pair search at the 0.45 threshold. */
   private def pairsOf(assigned: DataFrame): DataFrame = {
@@ -195,13 +198,24 @@ object SemKBench {
     * missing any required base vec_id would silently shrink k and the
     * k∝n claim would be measured at a different k than reported
     * (round-15 ADVICE) — fail fast like the replica-marker checks.
+    * The count is validated ONCE per (dir, copies, clustered) and
+    * memoized (round-16 ADVICE): semPairs/semPairsIndexed run inside
+    * the timed min-of-2 walls, and an eager corpus-scan count on every
+    * rep would inflate the measured walls relative to the round-14
+    * numbers SCALE.md compares against.
     */
-  private def centroidRowsChecked(e: DataFrame, copies: Int, clustered: Boolean): DataFrame = {
+  private val centroidsValidated =
+    scala.collection.mutable.Set.empty[(String, Int, Boolean)]
+  private def centroidRowsChecked(e: DataFrame, d: String, copies: Int,
+                                  clustered: Boolean): DataFrame = {
     val cents = centroidRows(e, copies, clustered)
-    val got = cents.count()
-    require(got == 8L * copies,
-      s"centroid set incomplete: expected k=${8L * copies}, found $got " +
-        "(source corpus is missing required base vec_ids)")
+    if (!centroidsValidated.contains((d, copies, clustered))) {
+      val got = cents.count()
+      require(got == 8L * copies,
+        s"centroid set incomplete: expected k=${8L * copies}, found $got " +
+          "(source corpus is missing required base vec_ids)")
+      centroidsValidated += ((d, copies, clustered))
+    }
     cents
   }
 
@@ -209,14 +223,15 @@ object SemKBench {
   def semPairs(spark: SparkSession, d: String, copies: Int,
                clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignFlat(e, centroidRowsChecked(e, copies, clustered)))
+    pairsOf(assignFlat(e, centroidRowsChecked(e, d, copies, clustered)))
   }
 
   /** Same pipeline with the two-level assignment. */
   def semPairsIndexed(spark: SparkSession, d: String, copies: Int,
                       nprobe: Int = 2, clustered: Boolean = false): DataFrame = {
     val e = corpus(spark, d)
-    pairsOf(assignIndexed(spark, e, centroidRowsChecked(e, copies, clustered), nprobe))
+    pairsOf(assignIndexed(spark, e, centroidRowsChecked(e, d, copies, clustered), nprobe,
+      kHint = 8L * copies))
   }
 
   def main(args: Array[String]): Unit = {
@@ -315,7 +330,7 @@ object SemKBench {
         val e = corpus(spark, d)
         val n = e.count()
         val k = 8 * copies
-        val pooled = centroidRowsChecked(e, copies, clustered = true)
+        val pooled = centroidRowsChecked(e, d, copies, clustered = true)
         val tF = System.nanoTime()
         val (fitCents, fitObj) = graft.functions.IvfIndex.fit(
           e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
@@ -327,23 +342,23 @@ object SemKBench {
         release()
         def wallOf(cents: DataFrame): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          pairsOf(graft.functions.IvfIndex.assignIndexed(e, cents, 8, 2)).count()
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, cents, 8, 2, kHint = k)).count()
           val dt = (System.nanoTime() - t0) / 1e9
           release(); dt
         }.min
         val wallPooled = wallOf(pooled)
         val wallFit = wallOf(fitCents)
         val bandsPooled = bandCounts(
-          pairsOf(graft.functions.IvfIndex.assignIndexed(e, pooled, 8, 2)), d)
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, pooled, 8, 2, kHint = k)), d)
         release()
         val bandsFit = bandCounts(
-          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 2)), d)
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 2, kHint = kFit)), d)
         release()
         // nprobe sensitivity: does doubling the probe budget close the
         // residual recall gap (⇒ routing loss) or not (⇒ coverage/
         // threshold residue)? One extra indexed pass at nprobe=4.
         val bandsFit4 = bandCounts(
-          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 4)), d)
+          pairsOf(graft.functions.IvfIndex.assignIndexed(e, fitCents, 8, 4, kHint = kFit)), d)
         release()
         val (truthBands, truthWall) =
           if (skipTruth) (Map.empty[Double, (Long, Long)], -1.0)
@@ -394,7 +409,8 @@ object SemKBench {
       val e = corpus(spark, d)
       val cents = centroidRows(e, copies, clustered)
       val disagree = assignFlat(e, cents).select(col("vec_id"), col("cell").as("cf"))
-        .join(assignIndexed(spark, e, cents, 2).select(col("vec_id"), col("cell").as("ci")),
+        .join(assignIndexed(spark, e, cents, 2, kHint = 8L * copies)
+          .select(col("vec_id"), col("cell").as("ci")),
           Seq("vec_id"))
         .filter(col("cf") =!= col("ci")).count()
       release()

@@ -42,13 +42,30 @@ import org.apache.spark.sql.graft.ColumnBridge
   * the lower gid, stage-2 ties to the lower cid. Every step has an
   * exact DuckDB mirror (see q_dedup_semantic_indexed's oracle).
   *
-  * Scale posture: the group-mean array is g structs of dim floats —
-  * ~29 KB at k=800/dim=64, broadcast; the centroid side of stage 2 is
-  * k rows — broadcast to ~10⁵ cids, a cell-keyed shuffle join beyond
-  * that (same plan, bigger right side). Nothing here ever shuffles the
-  * corpus more than once.
+  * Scale posture (round 16 — ENFORCED, not just documented): the
+  * group-mean array is g structs of dim floats — ~29 KB at
+  * k=800/dim=64, broadcast; g must stay ≤ BroadcastMaxCids (pick
+  * groupSize ≈ √k at very large k so BOTH levels stay bounded —
+  * k=10⁶/groupSize=1000 gives a 1000-struct routing array and
+  * 1000-centroid probe groups). The centroid side of stage 2
+  * broadcasts up to BroadcastMaxCids = 10⁵ cids (~26-40 MB with row
+  * overhead) and DELEGATES to a cell-keyed shuffle-hash join beyond
+  * that — same plan shape, the k-row table exchanged on gid instead
+  * of shipped whole to every task (the q_dedup_embedding →
+  * q_dedup_embedding_blocked precedent; IvfIndexSpec's forced-
+  * delegation test pins result identity across the two regimes).
+  * Nothing here ever shuffles the corpus more than once.
   */
 object IvfIndex {
+
+  /** Stage-2 broadcast ceiling, in centroid rows: 10⁵ cids × (dim=64
+    * floats + cid + cnrm + row overhead) ≈ 26-40 MB — the last size a
+    * per-executor full copy is cheaper than exchanging the table.
+    * Above it assignIndexed switches the stage-2 join to shuffle-hash
+    * on the group id, and fit switches its centroid update to the
+    * distributed (driver-collect-free) path.
+    */
+  val BroadcastMaxCids: Long = 100000L
 
   private def dotD(x: Column, y: Column): Column =
     ColumnBridge.column(graft.gen.DotProductExpr(
@@ -69,7 +86,15 @@ object IvfIndex {
     * the group's centroids cancel and routing to it is meaningless).
     */
   def groupMeansArr(cents: DataFrame, groupSize: Int, dim: Int = 64): DataFrame = {
-    val gm = cents
+    // fail fast on a dim mismatch (round-16 ADVICE): with dim > the true
+    // embedding length every cemb[d] past the end is null, every group
+    // mean nulls out, gnrm fails the > 0 filter, and the assignment
+    // silently returns ZERO rows. assert_true returns null on success so
+    // the filter passes every honest row and throws on the first bad one;
+    // a filter (unlike a dropped projection) survives column pruning.
+    val checked = cents.filter(assert_true(size(col("cemb")) === dim,
+      lit(s"IvfIndex: centroid embedding length != dim=$dim")).isNull)
+    val gm = checked
       .groupBy(expr(s"cid div $groupSize").as("gid"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cemb")))).as("membs"))
       .select(col("gid"), expr(
@@ -88,10 +113,28 @@ object IvfIndex {
     * (vec_id, embedding, nrm, cell) the pair-search consumers expect).
     * `cents`: (cid, cemb, cnrm) with cid densely grouped by
     * `cid div groupSize`.
+    *
+    * `kHint` is the centroid count when the caller knows it (every
+    * in-repo caller does — the gated query's fixed IdxK, SemKBench's
+    * 8·copies, fit's own k); pass -1 to have it counted (one k-row job,
+    * cheap next to the assignment, but a job nonetheless — the hint
+    * exists so the size gate costs nothing on the hot path).
+    * `broadcastMaxCids` is the stage-2 broadcast ceiling (see
+    * BroadcastMaxCids); tests force the shuffle-join regime by passing
+    * a tiny bound. Result is IDENTICAL across regimes — the join is an
+    * equi-join on gid either way, only the exchange strategy moves.
     */
   def assignIndexed(e: DataFrame, cents: DataFrame,
                     groupSize: Int = 8, nprobe: Int = 2,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, kHint: Long = -1L,
+                    broadcastMaxCids: Long = BroadcastMaxCids): DataFrame = {
+    val k = if (kHint >= 0L) kHint else cents.count()
+    // stage 1 ALWAYS broadcasts its g-struct routing array, so g is
+    // bounded by the absolute ceiling (not the overridable stage-2
+    // bound, which tests shrink to force the shuffle regime)
+    require(k / groupSize.max(1) <= BroadcastMaxCids,
+      s"stage-1 routing array would hold ${k / groupSize.max(1)} group means " +
+        s"(> $BroadcastMaxCids): raise groupSize (≈ √k keeps both levels bounded)")
     val gma = groupMeansArr(cents, groupSize, dim)
     // stage 1: row-local top-nprobe groups — ascending sort on
     // struct(-score, gid) == (score DESC, gid ASC), sliced in place
@@ -104,9 +147,18 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("p").getField("gid").as("gid"))
     // stage 2: argmax over the probed groups' centroids only — highest
-    // cosine wins, ties to the LOWEST cid via max(struct(score, -cid))
-    probed
-      .join(broadcast(cents.withColumn("gid", expr(s"cid div $groupSize"))), Seq("gid"))
+    // cosine wins, ties to the LOWEST cid via max(struct(score, -cid)).
+    // Small k: broadcast the centroid table. Past broadcastMaxCids:
+    // cell-keyed (gid) shuffle-hash join — the probed corpus exchanges
+    // once on gid (it was about to shuffle for the argmax groupBy
+    // anyway) and the k-row table exchanges once instead of being
+    // copied to every task. The shuffle_hash hint keeps the planner
+    // from sort-merge-joining a build side that fits per-partition.
+    val centsByGid = cents.withColumn("gid", expr(s"cid div $groupSize"))
+    val joined =
+      if (k <= broadcastMaxCids) probed.join(broadcast(centsByGid), Seq("gid"))
+      else probed.join(centsByGid.hint("shuffle_hash"), Seq("gid"))
+    joined
       .select(col("vec_id"), col("embedding"), col("nrm"),
         struct((dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cscore"),
           (-col("cid")).as("ncid")).as("cand"))
@@ -131,8 +183,22 @@ object IvfIndex {
     * Determinism: init = the k smallest-id vectors (no RNG); per-cell
     * per-dimension means are DECIMAL-exact partial aggregates (the
     * KMeans.fit rule — order-independent fold, one double conversion),
-    * so the fit is bit-stable across partitionings. Driver state is the
-    * k×dim matrix only (~400 KB at k=800).
+    * so the fit is bit-stable across partitionings.
+    *
+    * Driver state (round 16 — size-gated like stage 2): up to
+    * `collectMaxK` the per-iteration (cell, dim) stats collect to the
+    * driver and the centroid matrix lives there (k×dim doubles —
+    * ~400 KB at k=800, ~5 MB at the 10⁴ default ceiling); past it the
+    * update runs DISTRIBUTED — previous centroids stay a DataFrame,
+    * the new means join against them for empty-cell carryover, and
+    * each iteration materializes through graft.Checkpoint so lineage
+    * stays flat. k ∝ n puts k at 10⁵–10⁶ for 100 TB corpora, where a
+    * k×dim×iters driver collect is the bottleneck the gate removes;
+    * the two paths are BIT-IDENTICAL (same decimal sums, same
+    * cid-ascending objective fold — IvfIndexSpec's forced-distributed
+    * test pins table and objective equality), and assumes every input
+    * vector carries all `dim` dimensions (enforced for centroids by
+    * groupMeansArr's assert; ragged inputs would diverge on carryover).
     *
     * Returns (centroid table, per-iteration objective): the table is
     * (cid, cemb: array<float>, cnrm) ready for assignIndexed —
@@ -140,40 +206,54 @@ object IvfIndex {
     * groupMeansArr convention — and the objective is the MEAN
     * assignment cosine under the centroids each iteration STARTED from
     * (the spherical-k-means analogue of KMeans.fit's WCSS; Dhillon &
-    * Modha 2001 — non-decreasing up to the per-iteration float32
-    * centroid quantization and empty-cell carryover, both ≪ 1e-6
-    * here). The objective rides the same single corpus pass as the
-    * mean update (the KMeans d2-on-dim0 trick), summed in decimal so
-    * it is bit-stable too.
+    * Modha 2001 — non-decreasing up to THREE slack sources: the
+    * per-iteration float32 centroid quantization and empty-cell
+    * carryover, both ≪ 1e-6 here, and — whenever nprobe < g — the
+    * ROUTING APPROXIMATION itself: the per-iteration assignment is the
+    * two-level pass, so a vector whose previous cell's group drops out
+    * of its probed set can be re-assigned to a strictly worse cell,
+    * breaking Lloyd monotonicity by arbitrarily more than quantization
+    * slack (round-16 ADVICE; IvfIndexSpec's monotonicity check
+    * therefore runs at nprobe = g, where the assignment is exact). The
+    * objective rides the same single corpus pass as the mean update
+    * (the KMeans d2-on-dim0 trick), summed in decimal so it is
+    * bit-stable too.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-          groupSize: Int = 8, nprobe: Int = 2, dim: Int = 64): (DataFrame, Array[Double]) = {
+          groupSize: Int = 8, nprobe: Int = 2, dim: Int = 64,
+          collectMaxK: Int = 10000,
+          broadcastMaxCids: Long = BroadcastMaxCids): (DataFrame, Array[Double]) = {
     require(k > 0 && iters >= 0, s"need k > 0 and iters >= 0, got k=$k iters=$iters")
     val spark = df.sparkSession
     import spark.implicits._
-    var cents: Array[(Long, Seq[Double])] = df
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        (i.toLong, r.getSeq[Any](0).map {
-          case f: Float  => f.toDouble
-          case d: Double => d
-        })
-      }
-    require(cents.length == k, s"need at least $k input vectors, found ${cents.length}")
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<float>").as("embedding"))
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
     val objective = new Array[Double](iters)
-    for (it <- 0 until iters) {
-      val centDf = cents.toSeq.toDF("cid", "cd")
-        .select(col("cid"), col("cd").cast("array<float>").as("cemb"))
-        .select(col("cid"), col("cemb"), normD(col("cemb")).as("cnrm"))
-        .filter(col("cnrm") > 0)
-      val stats = assignIndexed(e, centDf, groupSize, nprobe, dim)
-        .join(broadcast(centDf.select(col("cid").as("cell"),
-          col("cemb").as("acemb"), col("cnrm").as("acnrm"))), Seq("cell"))
+
+    /** (cid, cemb float, cnrm) view of a (cid, cd double) centroid set —
+      * the one float quantization per iteration both paths share.
+      */
+    def centView(cd: DataFrame): DataFrame = cd
+      .select(col("cid"), col("cd").cast("array<float>").as("cemb"))
+      .select(col("cid"), col("cemb"), normD(col("cemb")).as("cnrm"))
+      .filter(col("cnrm") > 0)
+
+    /** Per-(cell, dimIdx) decimal-exact stats for one Lloyd step under
+      * `centDf`: the member mean `m`, and on the dimIdx=0 rows the
+      * per-cell decimal cosine sum + member count the objective reads.
+      * The centroid join follows the same broadcast-vs-shuffle gate as
+      * stage 2 (it is the same k-row table at the same k).
+      */
+    def statsOf(centDf: DataFrame): DataFrame = {
+      val acemb = centDf.select(col("cid").as("cell"),
+        col("cemb").as("acemb"), col("cnrm").as("acnrm"))
+      val assigned = assignIndexed(e, centDf, groupSize, nprobe, dim,
+        kHint = k, broadcastMaxCids = broadcastMaxCids)
+      val joined =
+        if (k <= broadcastMaxCids) assigned.join(broadcast(acemb), Seq("cell"))
+        else assigned.join(acemb.hint("shuffle_hash"), Seq("cell"))
+      joined
         .select(col("cell"),
           (dotD(col("embedding"), col("acemb")) / (col("nrm") * col("acnrm"))).as("cos"),
           posexplode(col("embedding")).as(Seq("dimIdx", "x")))
@@ -183,21 +263,74 @@ object IvfIndex {
           sum(when(col("dimIdx") === 0, col("cos")).cast("decimal(28,15)"))
             .cast("double").as("cossum"),
           sum(when(col("dimIdx") === 0, 1L).otherwise(0L)).as("cn"))
-        .collect()
-      val next = cents.map { case (cid, v) => (cid, v.toArray) }
-      val byCid = next.map { case (cid, arr) => cid -> arr }.toMap
-      var cosSum = 0.0; var n = 0L
-      stats.sortBy(r => (r.getLong(0), r.getInt(1))).foreach { r =>
-        byCid.get(r.getLong(0)).foreach(_(r.getInt(1)) = r.getDouble(2))
-        if (r.getInt(1) == 0 && !r.isNullAt(3)) { cosSum += r.getDouble(3); n += r.getLong(4) }
-      }
-      objective(it) = if (n > 0) cosSum / n else 0.0
-      cents = next.map { case (cid, arr) => (cid, arr.toSeq) }
     }
-    val table = cents.toSeq.toDF("cid", "cd")
-      .select(col("cid"), col("cd").cast("array<float>").as("cemb"))
-      .select(col("cid"), col("cemb"), normD(col("cemb")).as("cnrm"))
-      .filter(col("cnrm") > 0)
-    (table, objective)
+
+    if (k <= collectMaxK) {
+      // driver path: the centroid matrix lives on the driver (k×dim
+      // doubles), per-iteration stats collect as k×dim rows
+      var cents: Array[(Long, Seq[Double])] = df
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          (i.toLong, r.getSeq[Any](0).map {
+            case f: Float  => f.toDouble
+            case d: Double => d
+          })
+        }
+      require(cents.length == k, s"need at least $k input vectors, found ${cents.length}")
+      for (it <- 0 until iters) {
+        val centDf = centView(cents.toSeq.toDF("cid", "cd"))
+        val stats = statsOf(centDf).collect()
+        val next = cents.map { case (cid, v) => (cid, v.toArray) }
+        val byCid = next.map { case (cid, arr) => cid -> arr }.toMap
+        var cosSum = 0.0; var n = 0L
+        stats.sortBy(r => (r.getLong(0), r.getInt(1))).foreach { r =>
+          byCid.get(r.getLong(0)).foreach(_(r.getInt(1)) = r.getDouble(2))
+          if (r.getInt(1) == 0 && !r.isNullAt(3)) { cosSum += r.getDouble(3); n += r.getLong(4) }
+        }
+        objective(it) = if (n > 0) cosSum / n else 0.0
+        cents = next.map { case (cid, arr) => (cid, arr.toSeq) }
+      }
+      (centView(cents.toSeq.toDF("cid", "cd")), objective)
+    } else {
+      // distributed path (k > collectMaxK): centroids never visit the
+      // driver as k×dim rows. Seed cids by row_number over the k
+      // smallest ids (k rows — a single-task window, not a collect);
+      // each iteration joins the new means LEFT onto the previous
+      // centroids for empty-cell carryover and materializes through
+      // graft.Checkpoint so lineage stays flat across iterations. The
+      // objective folds the per-cell decimal cosine sums in
+      // cid-ascending order (array_sort before the fold), the exact
+      // order the driver path's sortBy walks — bit-identical.
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      var cur: DataFrame = graft.Checkpoint(
+        df.orderBy(col(idCol)).limit(k)
+          .select((row_number().over(w).cast("long") - 1).as("cid"),
+            col(vecCol).cast("array<double>").as("cd")))
+      require(cur.count() == k, s"need at least $k input vectors")
+      for (it <- 0 until iters) {
+        val upd = graft.Checkpoint(statsOf(centView(cur))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dimIdx"), col("m")))).as("dm"),
+            max(when(col("dimIdx") === 0, col("cossum"))).as("cossum"),
+            max(when(col("dimIdx") === 0, col("cn"))).as("cn"))
+          .select(col("cell").as("cid"),
+            expr("transform(dm, t -> t.m)").as("cdNew"),
+            col("cossum"), col("cn")))
+        val objRow = upd.agg(
+          expr("aggregate(array_sort(collect_list(struct(cid, cossum))), 0D, " +
+            "(a, x) -> a + x.cossum)").as("cs"),
+          sum(col("cn")).as("n")).head()
+        objective(it) =
+          if (!objRow.isNullAt(1) && objRow.getLong(1) > 0)
+            objRow.getDouble(0) / objRow.getLong(1)
+          else 0.0
+        cur = graft.Checkpoint(
+          cur.join(upd.select(col("cid"), col("cdNew")), Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("cdNew"), col("cd")).as("cd")))
+      }
+      (centView(cur), objective)
+    }
   }
 }

@@ -480,7 +480,8 @@ object SimilarityQueries {
         .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IdxK)
         .select((col("vec_id") - NumQueries).as("cid"),
           col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      val assigned = graft.functions.IvfIndex.assignIndexed(e, cents, IdxGroup, IdxProbe)
+      val assigned = graft.functions.IvfIndex.assignIndexed(e, cents, IdxGroup, IdxProbe,
+        kHint = IdxK)
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
         col("embedding").as("ae"), col("nrm").as("an"))
       val b = assigned.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
