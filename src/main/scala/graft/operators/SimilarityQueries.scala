@@ -68,6 +68,7 @@ object SimilarityQueries {
   private val IdxK = 32
   private val IdxGroup = 8
   private val IdxProbe = 2
+  private val IdxFitIters = 1
 
   // Codegen dot/norm (graft.gen.VecExprs): same ascending-index fold as
   // the HOF form and the DuckDB list_reduce oracle — identical double
@@ -459,27 +460,36 @@ object SimilarityQueries {
     // thousands of cells), and the flat n×k fan-out then dominates
     // (round-14 SemKBench: 15.96 s flat vs 4.34 s indexed at
     // 100×/k=800, indexed slope sub-linear ~3×/decade). This query
-    // gates the SHIPPED product path (graft.functions.IvfIndex
-    // .assignIndexed): k=32 fixed-corpus centroids in 4 groups of 8,
-    // group means broadcast as a single-row sorted array, stage-1
-    // routing row-local (array_sort+slice — no shuffle, no window),
-    // stage-2 argmax a map-side-combined max(struct) over the 2 probed
-    // groups' 16 centroids — n×(4+16) cosines instead of n×32, and the
-    // gap widens as k/8 groups grow. Pair search is the same cell
-    // equi-join at 0.45 as q_dedup_semantic, so the two queries'
-    // outputs differ exactly by the routing approximation (IVF's
-    // standard trade, measured in SemKBench). Determinism: group means
-    // fold members cid-ascending and dims ascending then quantize to
+    // gates the SHIPPED product path end to end — since round 16 that
+    // includes the TRAINER (VERDICT r15 #2): centroids are no longer
+    // pooled corpus vectors but ONE spherical-Lloyd iteration of
+    // graft.functions.IvfIndex.fit (seeded from the IdxK smallest
+    // vec_ids, per-iteration assignment = the indexed pass itself),
+    // exactly the 100 TB deployment form (sample-fit offline →
+    // broadcast → two-level assign). Assignment then runs
+    // IvfIndex.assignIndexed over the fitted table: k=32 centroids in
+    // 4 groups of 8, group means broadcast as a single-row sorted
+    // array, stage-1 routing row-local (array_sort+slice — no shuffle,
+    // no window), stage-2 argmax a map-side-combined max(struct) over
+    // the 2 probed groups' 16 centroids. Pair search is the same cell
+    // equi-join at 0.45 as q_dedup_semantic. Determinism: the fit's
+    // member means are order-independent decimal sums converted once
+    // to double and quantized to float32 once at the end; the oracle
+    // mirrors the fold as an ordered double sum — the two agree after
+    // the float32 quantization (a disagreement needs the double mean
+    // to sit within ~1e-16 relative of a float rounding boundary),
+    // and the gated output is the integer pair list, insulated from
+    // last-ulp representation by assignment margins. Group means fold
+    // members cid-ascending and dims ascending then quantize to
     // float32 once (IEEE round-to-nearest both engines); cosines are
     // the codegen ascending folds; ties break low-gid / low-cid.
     "q_dedup_semantic_indexed" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0)
-      val cents = e
-        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IdxK)
-        .select((col("vec_id") - NumQueries).as("cid"),
-          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val (cents, _) = graft.functions.IvfIndex.fit(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = IdxK, iters = IdxFitIters, groupSize = IdxGroup, nprobe = IdxProbe)
       val assigned = graft.functions.IvfIndex.assignIndexed(e, cents, IdxGroup, IdxProbe,
         kHint = IdxK)
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
@@ -1097,13 +1107,60 @@ object SimilarityQueries {
            |    / (a.nrm * b.nrm) >= 0.45
            |ORDER BY a.cell, a_id, b_id""".stripMargin,
 
-      // Mirrors IvfIndex.assignIndexed stage by stage: group means fold
-      // members cid-ascending / dims-ascending, divide once, quantize
-      // to FLOAT once (IEEE round-to-nearest both engines); stage-1
-      // routing = score DESC, gid ASC rank ≤ nprobe; stage-2 argmax =
-      // score DESC, cid ASC rank 1; pair search identical to
-      // q_dedup_semantic on the indexed cells.
-      "q_dedup_semantic_indexed" ->
+      // Mirrors the round-16 fit-then-assign pipeline stage by stage.
+      // The two-level assignment chain (IvfIndex.assignIndexed) appears
+      // TWICE — once inside the unrolled spherical-Lloyd iteration
+      // (IvfIndex.fit's per-iteration assignment IS the indexed pass)
+      // and once for the final assignment under the fitted centroids —
+      // so it is generated by `twoLevel` below, parametrized by the
+      // centroid CTE and a prefix (the q_sim_kmeans unrolled-iteration
+      // precedent). Group means fold members cid-ascending /
+      // dims-ascending, divide once, quantize to FLOAT once (IEEE
+      // round-to-nearest both engines); stage-1 routing = score DESC,
+      // gid ASC rank ≤ nprobe; stage-2 argmax = score DESC, cid ASC
+      // rank 1. The fit's member means fold in vec_id order as doubles
+      // where the engine sums decimals — identical after the one
+      // float32 quantization (see the query doc). Empty cells carry
+      // the seed centroid (COALESCE), dead centroids drop (cnrm > 0),
+      // pair search identical to q_dedup_semantic on the fitted cells.
+      "q_dedup_semantic_indexed" -> {
+        // two-level assignment over centroid CTE `cents` (cid, cemb,
+        // cnrm): emits CTEs `<p>gmemb..<p>m`, with `<p>m` =
+        // (vec_id, embedding, nrm, cell)
+        def twoLevel(cents: String, p: String): String =
+          s"""${p}gmemb AS (
+             |  SELECT cid // $IdxGroup AS gid, list(cemb ORDER BY cid) AS membs
+             |  FROM $cents GROUP BY cid // $IdxGroup
+             |), ${p}gmd AS (
+             |  SELECT gid, list_transform(generate_series(1, 64), d ->
+             |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(membs, v -> v[d]::DOUBLE)), (x, y) -> x + y)
+             |      / CAST(len(membs) AS DOUBLE) AS FLOAT)) AS gemb
+             |  FROM ${p}gmemb
+             |), ${p}gm AS (
+             |  SELECT gid, gemb,
+             |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+             |      i -> gemb[i]::DOUBLE * gemb[i]::DOUBLE), (x, y) -> x + y)) AS gnrm
+             |  FROM ${p}gmd
+             |), ${p}gmn AS (
+             |  SELECT * FROM ${p}gm WHERE gnrm > 0
+             |), ${p}granked AS (
+             |  SELECT en.vec_id, en.embedding, en.nrm, g.gid,
+             |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+             |      list_reduce(list_transform(generate_series(1, 64),
+             |        i -> en.embedding[i]::DOUBLE * g.gemb[i]::DOUBLE), (x, y) -> x + y)
+             |        / (en.nrm * g.gnrm) DESC, g.gid) AS gr
+             |  FROM en CROSS JOIN ${p}gmn g
+             |), ${p}cranked AS (
+             |  SELECT p.vec_id, p.embedding, p.nrm, c.cid,
+             |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             |      list_reduce(list_transform(generate_series(1, 64),
+             |        i -> p.embedding[i]::DOUBLE * c.cemb[i]::DOUBLE), (x, y) -> x + y)
+             |        / (p.nrm * c.cnrm) DESC, c.cid) AS cr
+             |  FROM (SELECT vec_id, embedding, nrm, gid FROM ${p}granked WHERE gr <= $IdxProbe) p
+             |  JOIN $cents c ON p.gid = c.cid // $IdxGroup
+             |), ${p}m AS (
+             |  SELECT vec_id, embedding, nrm, cid AS cell FROM ${p}cranked WHERE cr = 1)""".stripMargin
         s"""WITH e AS (
            |  SELECT vec_id, embedding,
            |    sqrt(list_reduce(list_transform(generate_series(1, 64),
@@ -1111,48 +1168,37 @@ object SimilarityQueries {
            |  FROM embeddings
            |), en AS (
            |  SELECT * FROM e WHERE nrm > 0
-           |), cents AS (
-           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
-           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IdxK}
-           |), gmemb AS (
-           |  SELECT cid // $IdxGroup AS gid, list(cemb ORDER BY cid) AS membs
-           |  FROM cents GROUP BY cid // $IdxGroup
-           |), gmd AS (
-           |  SELECT gid, list_transform(generate_series(1, 64), d ->
-           |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |      list_transform(membs, v -> v[d]::DOUBLE)), (x, y) -> x + y)
-           |      / CAST(len(membs) AS DOUBLE) AS FLOAT)) AS gemb
-           |  FROM gmemb
-           |), gm AS (
-           |  SELECT gid, gemb,
-           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
-           |      i -> gemb[i]::DOUBLE * gemb[i]::DOUBLE), (x, y) -> x + y)) AS gnrm
-           |  FROM gmd
-           |), gmn AS (
-           |  SELECT * FROM gm WHERE gnrm > 0
-           |), granked AS (
-           |  SELECT en.vec_id, en.embedding, en.nrm, gmn.gid,
-           |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
-           |      list_reduce(list_transform(generate_series(1, 64),
-           |        i -> en.embedding[i]::DOUBLE * gmn.gemb[i]::DOUBLE), (x, y) -> x + y)
-           |        / (en.nrm * gmn.gnrm) DESC, gmn.gid) AS gr
-           |  FROM en CROSS JOIN gmn
-           |), cranked AS (
-           |  SELECT p.vec_id, p.embedding, p.nrm, c.cid,
-           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |      list_reduce(list_transform(generate_series(1, 64),
-           |        i -> p.embedding[i]::DOUBLE * c.cemb[i]::DOUBLE), (x, y) -> x + y)
-           |        / (p.nrm * c.cnrm) DESC, c.cid) AS cr
-           |  FROM (SELECT vec_id, embedding, nrm, gid FROM granked WHERE gr <= $IdxProbe) p
-           |  JOIN cents c ON p.gid = c.cid // $IdxGroup
-           |), m AS (
-           |  SELECT vec_id, embedding, nrm, cid AS cell FROM cranked WHERE cr = 1)
+           |), c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           |    embedding AS cemb, nrm AS cnrm
+           |  FROM (SELECT vec_id, embedding, nrm FROM en ORDER BY vec_id LIMIT $IdxK)
+           |), ${twoLevel("c0", "f")},
+           |fmean AS (
+           |  SELECT cell AS cid,
+           |    list_transform(generate_series(1, 64), d ->
+           |      CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(docs, v -> v[d]::DOUBLE)), (x, y) -> x + y)
+           |        / CAST(len(docs) AS DOUBLE) AS FLOAT)) AS cemb
+           |  FROM (SELECT cell, list(embedding ORDER BY vec_id) AS docs
+           |        FROM fm GROUP BY cell)
+           |), cup AS (
+           |  SELECT c0.cid, COALESCE(fmean.cemb, c0.cemb) AS cemb
+           |  FROM c0 LEFT JOIN fmean ON c0.cid = fmean.cid
+           |), cfit AS (
+           |  SELECT cid, cemb, cnrm FROM (
+           |    SELECT cid, cemb,
+           |      sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |        i -> cemb[i]::DOUBLE * cemb[i]::DOUBLE), (x, y) -> x + y)) AS cnrm
+           |    FROM cup)
+           |  WHERE cnrm > 0
+           |), ${twoLevel("cfit", "s")}
            |SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
-           |FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |FROM sm a JOIN sm b ON a.cell = b.cell AND a.vec_id < b.vec_id
            |WHERE list_reduce(list_transform(generate_series(1, 64),
            |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
            |    / (a.nrm * b.nrm) >= 0.45
-           |ORDER BY a.cell, a_id, b_id""".stripMargin,
+           |ORDER BY a.cell, a_id, b_id""".stripMargin
+      },
 
       "q_embed_project" -> {
         def projSql(p: Int): String =
