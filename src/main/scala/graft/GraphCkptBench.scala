@@ -88,21 +88,19 @@ object GraphCkptBench {
       "q_graph_degdist", "q_graph_kcore")
     val own = gated.map { n => n -> ScaleBench.timeQuery(spark, n, dir) }
 
-    // 3. derive once, feed all five post-edge bodies. Min-of-2 over the
-    // WHOLE pass (the derivation is inside the measured wall, honestly)
-    val bodies: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "q_graph_triangles" -> graphCounts,
-      "q_graph_pagerank" -> pagerankOf,
-      "q_graph_jaccard" -> jaccardOf,
-      "q_graph_degdist" -> degdistOf,
-      "q_graph_kcore" -> kcoreOf)
+    // 3. derive once, feed all five post-edge bodies — since round 16
+    // measured THROUGH the shipped product surface
+    // (graft.functions.GraphPass, the promotion of this recipe;
+    // GraphPassSpec pins result-identity with the gated queries).
+    // Min-of-2 over the WHOLE pass (construction runs the derivation
+    // job — GraphPass checkpoints eagerly — so it is inside the
+    // measured wall, honestly)
     var sharedPer: Seq[(String, Double)] = Nil
     val sharedTotal = minOf2 {
-      val e = coPurchaseEdges(spark, dir).transform(graft.Checkpoint.apply)
-      e.count()
-      sharedPer = bodies.map { case (n, f) =>
+      val pass = functions.GraphPass.coPurchase(spark, dir)
+      sharedPer = pass.all.map { case (n, df) =>
         val t0 = System.nanoTime()
-        f(e).count()
+        df.count()
         n -> (System.nanoTime() - t0) / 1e9
       }
     }
