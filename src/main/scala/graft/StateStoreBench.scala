@@ -135,7 +135,7 @@ object StateStoreBench {
         f"rocksdb=${rSec}%.2fs (${rBytes / 1e6}%.1f MB)  ratio=${rSec / hSec}%.2f")
     }
 
-    if (mode == "throughput" || mode == "all" || mode == "batchsize")
+    if (mode == "throughput" || mode == "all" || mode == "batchsize" || mode == "keydepth")
       throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"))
     spark.stop()
   }
@@ -271,12 +271,55 @@ object StateStoreBench {
         f""""state_mb":${stateBytes / 1e6}%.1f"""
     }
 
+    def mkSess(d: String, mft: Int): DataFrame =
+      streaming.Sessionize.sessionsOfStream(
+        thrStream(d, mft).selectExpr("user_id", "ts", "value"))
+
+    // mode `keydepth` (round 16; VERDICT r15 #5): the ACTIVE-KEYS axis,
+    // isolated. The r15 per-row points confounded rows with keys (1M
+    // rows/14.7k keys, then 10M/147k); here the SAME 10M rows (the 100×
+    // events replica) are re-keyed three ways — user_id div 10 squeezes
+    // to ~14.7k keys, identity keeps ~147k, user_id*10 + event-salt
+    // spreads toward ~1.5M (bounded by per-user event counts; the
+    // measured distinct count is reported) — so any per-row cost change
+    // is store DEPTH, not volume. Sessionize at mft=4 (2.5M rows/batch,
+    // the per-row regime), both providers, HDFS as the control that
+    // prices the keyed-shuffle share. SCALE.md §"Streaming per-row
+    // regime" carries the three-point keys-axis fit.
+    if (mode == "keydepth") {
+      val rep100 = new java.io.File(tmp, "graft_ssb_ev100").getAbsolutePath
+      ScaleBench.buildTables(spark, sfDir, rep100, 100, Set("events"))
+      val ev100 = Tables.events(spark, rep100)
+      val shapes = Seq(
+        ("k15k", ev100.withColumn("user_id", expr("user_id div 10")),
+          s"ssbkd=v1 sf=$sfDir src=$rep100 keys=div10 batches=$Batches"),
+        ("k147k", ev100,
+          s"ssbthr=v2 sf=$sfDir src=$rep100 batches=$Batches"),
+        ("k1500k", ev100.withColumn("user_id",
+            expr("user_id * 10 + pmod(event_id, 10)")),
+          s"ssbkd=v1 sf=$sfDir src=$rep100 keys=x10salt batches=$Batches"))
+      val rows = shapes.map { case (name, df, sig) =>
+        // k147k reuses the batchsize-100x corpus (same sig) when present
+        val out = if (name == "k147k") "graft_ssb_thr100" else s"graft_ssb_kd_$name"
+        val dir = prepCorpus(df, out, sig)
+        val keys = spark.read.parquet(dir).select("user_id").distinct().count()
+        val runs = Seq("hdfs" -> None, "rocksdb" -> Some(Rocks)).map { case (pname, prov) =>
+          val body = withProvider(spark, prov) {
+            runOnce(s"warm_kd_${name}_$pname", mkSess(dir, 4))
+            runOnce(s"kd_${name}_$pname", mkSess(dir, 4))
+          }
+          System.err.println(s"[kd] $name $pname keys=$keys {$body}")
+          s""""$pname":{$body}"""
+        }
+        s""""$name":{"keys":$keys,${runs.mkString(",")}}"""
+      }
+      println(s"""{"metric":"streaming_keydepth","rows_per_corpus":10000000,"runs":${rows.mkString("{", ",", "}")}}""")
+      return
+    }
+
     if (mode == "batchsize") {
       val dir10 = corpora.find(_._1 == "10x").get._2
       val dirHot = corpora.find(_._1 == "10xhot").get._2
-      def mkSess(d: String, mft: Int): DataFrame =
-        streaming.Sessionize.sessionsOfStream(
-          thrStream(d, mft).selectExpr("user_id", "ts", "value"))
       // (a) per-row regime: same 1M-row corpus, batches of 62.5k / 250k
       // / 1M rows — the fixed per-batch floor amortizes 1×/4×/16×, so
       // the rows/s spread IS the per-row cost becoming visible
@@ -333,7 +376,12 @@ object StateStoreBench {
         "combined" -> Map(
           "spark.sql.shuffle.partitions" -> "128",
           rp + "trackTotalNumberOfRows" -> "false",
-          rp + "changelogCheckpointing.enabled" -> "true"))
+          rp + "changelogCheckpointing.enabled" -> "true"),
+        // the SHIPPED defaults, measured through the helper itself
+        // (round 16: graft.streaming.StatePosture turned the winning
+        // changelog lever into the library default — this row confirms
+        // the delta survives the flip, exactly as deployed)
+        "posture" -> streaming.StatePosture.rocksDbConfs)
       val hot = levers.map { case (lname, confs) =>
         val body = withProvider(spark, Some(Rocks)) {
           withConfs(confs) {

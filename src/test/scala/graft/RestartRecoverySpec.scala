@@ -81,18 +81,24 @@ class RestartRecoverySpec extends AnyFunSuite {
     stage.listFiles().foreach(_.delete()); stage.delete()
   }
 
-  private def withProvider[A](provider: Option[String])(body: => A): A = {
-    val prev = spark.conf.getOption(ProviderKey)
+  /** None = the HDFS-backed default; Some(RocksProvider) = the SHIPPED
+    * RocksDB posture (graft.streaming.StatePosture — provider +
+    * changelog checkpointing, the round-16 default), so the restart
+    * tests prove recovery works against the changelog checkpoint
+    * LAYOUT the library now writes, not just the snapshot one.
+    */
+  private def withProvider[A](provider: Option[String])(body: => A): A =
     provider match {
-      case Some(p) => spark.conf.set(ProviderKey, p)
-      case None    => spark.conf.unset(ProviderKey)
+      case Some(_) => streaming.StatePosture.withRocksDb(spark)(body)
+      case None =>
+        val prev = spark.conf.getOption(ProviderKey)
+        spark.conf.unset(ProviderKey)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(ProviderKey, v)
+          case None    => spark.conf.unset(ProviderKey)
+        }
     }
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
-    }
-  }
 
   /** Start an append-mode query over the file source at `srcDir`,
     * drain everything available, stop. Each call constructs a FRESH

@@ -38,23 +38,16 @@ class RocksDbStateSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
-  private val Provider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Runs `body` with the RocksDB provider set, restoring the prior
-    * provider after — suites share one JVM/session, so the conf must
-    * not leak into StreamingSpec's HDFS-backed runs.
+  /** Runs `body` under the SHIPPED posture (graft.streaming.StatePosture
+    * — RocksDB provider + changelog checkpointing, the round-16
+    * default), restoring prior confs after — suites share one
+    * JVM/session, so the conf must not leak into StreamingSpec's
+    * HDFS-backed runs. Every bit-identity test below therefore runs
+    * under exactly the defaults the library ships.
     */
-  private def withRocksDb[A](body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, Provider)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  private def withRocksDb[A](body: => A): A =
+    streaming.StatePosture.withRocksDb(spark)(body)
 
   /** Run to completion in the given output mode with an explicit
     * checkpoint dir; returns the memory-sink table and the flat list
