@@ -142,6 +142,19 @@ object SemKBench {
           col("embedding").as("cemb"), col("nrm").as("cnrm"))
   }
 
+  /** k = per·copies centroid rows for the WIDE-k legs (orthogonal
+    * replica only): `per` centroids per copy from base ids
+    * 10 until 10+per, cid = copy·per + (local − 10) — the
+    * centroidRows convention generalized past 8/copy so the k ∝ n
+    * ladder can take one more decade (k=8000 = 80/copy at 100×).
+    */
+  private def centroidRowsWide(e: DataFrame, per: Int): DataFrame = {
+    val stride = ScaleBench.Stride
+    e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < (10 + per))
+      .select((expr(s"vec_id div $stride") * per + (col("vec_id") % stride - 10)).as("cid"),
+        col("embedding").as("cemb"), col("nrm").as("cnrm"))
+  }
+
   /** Exact (flat) assignment: n×k broadcast fan-out, codegen cosine,
     * map-side-combined argmax (highest cosine, ties to the lowest
     * cid — same total order as q_dedup_semantic's in-array fold).
@@ -254,6 +267,63 @@ object SemKBench {
     def clusterReplica(copies: Int): String =
       buildClusterReplica(spark, sfDir,
         new java.io.File(tmp, s"graft_cluster${copies}_semk").getAbsolutePath, copies)
+    // Round-16 bigk mode (VERDICT r15 #1 done-criterion): the NEXT k∝n
+    // decade — k=8000 (80 centroids/copy) on the 100× replica — with
+    // groupSize following the √k rule (80 ⇒ g=100 groups, so indexed
+    // work is n×(100 + 2·80) cosines vs n×(100 + 2·8) at k=800:
+    // ~2.2× for 10× the k, the sub-linear claim measured). The same
+    // leg runs the stage-2 SHUFFLE regime (broadcastMaxCids=1000
+    // forces the size gate that k ≥ 10⁵ takes automatically) and pins
+    // that the delegated plan engages (ShuffledHashJoin present) and
+    // assigns identically.
+    if (args.contains("bigk")) {
+      val d100 = simReplica(100)
+      val e = corpus(spark, d100)
+      val n = e.count()
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      val c800 = centroidRows(e, 100, clustered = false)
+      val c8000 = centroidRowsWide(e, 80)
+      val k8000 = c8000.count()
+      require(k8000 == 8000L, s"expected k=8000 wide centroids, found $k8000")
+      def assignWall(cents: DataFrame, gs: Int, k: Long, maxB: Long): Double = {
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.functions.IvfIndex.assignIndexed(e, cents, gs, 2,
+            kHint = k, broadcastMaxCids = maxB).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          release(); dt
+        }.min
+      }
+      // warm-up both plan families
+      graft.functions.IvfIndex.assignIndexed(e, c800, 8, 2, kHint = 800L).count()
+      graft.functions.IvfIndex.assignIndexed(e, c8000, 80, 2, kHint = 8000L,
+        broadcastMaxCids = 1000L).count()
+      release()
+      val w800 = assignWall(c800, 8, 800L, graft.functions.IvfIndex.BroadcastMaxCids)
+      val w8000b = assignWall(c8000, 80, 8000L, graft.functions.IvfIndex.BroadcastMaxCids)
+      val w8000s = assignWall(c8000, 80, 8000L, 1000L)
+      val delegated = graft.functions.IvfIndex.assignIndexed(e, c8000, 80, 2,
+        kHint = 8000L, broadcastMaxCids = 1000L)
+      val shuffleEngaged =
+        delegated.queryExecution.executedPlan.toString.contains("ShuffledHashJoin")
+      val disagree = graft.functions.IvfIndex.assignIndexed(e, c8000, 80, 2, kHint = 8000L)
+        .select(col("vec_id"), col("cell").as("cb"))
+        .join(delegated.select(col("vec_id"), col("cell").as("cs")), Seq("vec_id"))
+        .filter(col("cb") =!= col("cs")).count()
+      release()
+      System.err.println(f"[semk-bigk] n=$n k800_wall=$w800%.2f " +
+        f"k8000_bcast=$w8000b%.2f k8000_shuffle=$w8000s%.2f " +
+        f"shuffle_engaged=$shuffleEngaged disagree=$disagree")
+      println(f"""{"metric":"semk_bigk","n":$n,"k800_wall":$w800%.2f,""" +
+        f""""k8000_bcast_wall":$w8000b%.2f,"k8000_shuffle_wall":$w8000s%.2f,""" +
+        f""""shuffle_engaged":$shuffleEngaged,"assign_disagree":$disagree}""")
+      spark.stop()
+      return
+    }
+
     // cluster mode has no 1× point (a 1-copy replica has no clusters)
     val dirs =
       if (clustered) Seq((clusterReplica(10), 10), (clusterReplica(100), 100))

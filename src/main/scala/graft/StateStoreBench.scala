@@ -136,7 +136,8 @@ object StateStoreBench {
     }
 
     if (mode == "throughput" || mode == "all" || mode == "batchsize" || mode == "keydepth")
-      throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"))
+      throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"),
+        hotOnly = args.contains("hotonly"))
     spark.stop()
   }
 
@@ -156,7 +157,8 @@ object StateStoreBench {
                          du: java.io.File => Long,
                          rm: java.io.File => Unit,
                          mode: String = "throughput",
-                         big: Boolean = false): Unit = {
+                         big: Boolean = false,
+                         hotOnly: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     val tmp = System.getProperty("java.io.tmpdir")
     val Batches = 16
@@ -322,8 +324,11 @@ object StateStoreBench {
       val dirHot = corpora.find(_._1 == "10xhot").get._2
       // (a) per-row regime: same 1M-row corpus, batches of 62.5k / 250k
       // / 1M rows — the fixed per-batch floor amortizes 1×/4×/16×, so
-      // the rows/s spread IS the per-row cost becoming visible
-      val sweep = for {
+      // the rows/s spread IS the per-row cost becoming visible.
+      // `batchsize hotonly` skips this sweep and runs only the (b)
+      // lever grid — the cheap re-measurement path for a single lever
+      // row (round 16 added the shipped-posture row there).
+      val sweep = if (hotOnly) Nil else for {
         mft <- Seq(1, 4, 16)
         (pname, prov) <- Seq("hdfs" -> None, "rocksdb" -> Some(Rocks))
       } yield {
