@@ -324,6 +324,52 @@ object SemKBench {
       return
     }
 
+    // Round-16 fitdist mode: price the size-gated DISTRIBUTED fit
+    // update at a real k. IvfIndexSpec pins bit-identity at k=16; this
+    // measures the k=800/100× point — what the gate costs when it
+    // engages (per-iteration Checkpoint materialization + the
+    // carryover join vs a k×dim driver collect), with the result
+    // equality re-asserted at full k. At k ≤ 10⁴ the driver path wins
+    // (that is why the gate sits there); the distributed wall is the
+    // price the k ~ 10⁵–10⁶ deployment pays INSTEAD OF a driver
+    // bottleneck, measured here a decade early on the same code path.
+    if (args.contains("fitdist")) {
+      val d100 = simReplica(100)
+      val e = corpus(spark, d100)
+      val in = e.select(col("vec_id"), col("embedding"))
+      val n = in.count()
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      // warm both plan families at small k
+      graft.functions.IvfIndex.fit(in, "vec_id", "embedding", k = 16, iters = 1)._1.count()
+      graft.functions.IvfIndex.fit(in, "vec_id", "embedding", k = 16, iters = 1,
+        collectMaxK = 0)._1.count()
+      release()
+      def fitWall(collectMax: Int): (Double, DataFrame, Array[Double]) = {
+        val t0 = System.nanoTime()
+        val (t, obj) = graft.functions.IvfIndex.fit(in, "vec_id", "embedding",
+          k = 800, iters = 2, collectMaxK = collectMax)
+        t.count()
+        ((System.nanoTime() - t0) / 1e9, t, obj)
+      }
+      val (wDrv, tDrv, oDrv) = fitWall(10000)
+      val (wDist, tDist, oDist) = fitWall(0)
+      val diff = tDrv
+        .join(tDist.select(col("cid"), col("cemb").as("xe"), col("cnrm").as("xn")), Seq("cid"))
+        .filter(col("cemb") =!= col("xe") || col("cnrm") =!= col("xn")).count()
+      val objEq = oDrv.toSeq == oDist.toSeq
+      release()
+      System.err.println(f"[semk-fitdist] n=$n k=800 iters=2 driver=$wDrv%.1f " +
+        f"distributed=$wDist%.1f centroid_diff=$diff obj_equal=$objEq")
+      println(f"""{"metric":"semk_fitdist","n":$n,"k":800,"iters":2,""" +
+        f""""driver_wall":$wDrv%.1f,"distributed_wall":$wDist%.1f,""" +
+        f""""centroid_diff":$diff,"objective_equal":$objEq}""")
+      spark.stop()
+      return
+    }
+
     // cluster mode has no 1× point (a 1-copy replica has no clusters)
     val dirs =
       if (clustered) Seq((clusterReplica(10), 10), (clusterReplica(100), 100))
