@@ -16,7 +16,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dropped); the aggregation state store partitions by (window, type)
   * — the same single-shuffle shape as the batch query. For continuous
   * ingestion swap the file source for Kafka; the plan below the source
-  * is unchanged.
+  * is unchanged. For large keyed state apply the shipped RocksDB
+  * posture before starting queries —
+  * `graft.streaming.StatePosture.set(spark)` (provider + changelog
+  * checkpointing, the round-16 default; see its scaladoc for the
+  * measurements and the partitions-sized-to-state rule).
   */
 object EventsStreaming {
 
