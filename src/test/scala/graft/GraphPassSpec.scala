@@ -33,6 +33,34 @@ class GraphPassSpec extends AnyFunSuite {
     }
   }
 
+  test("GraphPass.apply works on an arbitrary canonical edge list, not just co-purchase") {
+    // the API contract: any (a < b) edge DataFrame drives the five
+    // analyses. A 5-vertex graph with one triangle (1-2-3), a tail
+    // (3-4), and an isolated edge (4-5 would attach; use 0-4): verify
+    // the hand-countable invariants so the pass is pinned beyond the
+    // gated derivation it ships with.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (0L, 4L))
+      .toDF("a", "b")
+    val pass = functions.GraphPass(edges)
+    val tri = pass.triangles.collect().head
+    assert(tri.getLong(tri.fieldIndex("n_vertices")) == 5)
+    assert(tri.getLong(tri.fieldIndex("n_edges")) == 5)
+    assert(tri.getLong(tri.fieldIndex("n_triangles")) == 1)
+    val deg = pass.degdist.collect()
+    assert(deg.map(_.getLong(deg.head.fieldIndex("n_vertices"))).sum == 5)
+    // pagerank ranks all 5 vertices; vertex 3 (degree 3) outranks
+    // vertex 0 (degree 1)
+    val pr = pass.pagerank.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr.size == 5)
+    assert(pr(3L) > pr(0L))
+    // 2-core peeling: round 1 keeps exactly the triangle (vertices
+    // 1,2,3 have degree >= 2 only after 0,4's removal settles)
+    val kc = pass.kcore.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kc.last == (3L, 3L, 3L), s"expected the triangle as the 2-core, got ${kc.toSeq}")
+  }
+
   test("the pass materializes the edge table eagerly, exactly once") {
     // construction must leave checkpointed blocks behind (the eager
     // Checkpoint), and running two analyses must not grow the EDGE

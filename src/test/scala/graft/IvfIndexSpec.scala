@@ -133,6 +133,21 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a.map(_._2).zip(seed).exists { case (c, s) => c != s })
   }
 
+  test("a dim mismatch fails fast instead of silently assigning nothing") {
+    // round-16 ADVICE closure: with dim larger than the true embedding
+    // length, every group mean used to null out and the assignment
+    // returned ZERO rows silently; groupMeansArr now asserts the
+    // centroid embedding length in-plan
+    val ex = intercept[Exception] {
+      functions.IvfIndex.assignIndexed(corpus, cents32,
+        groupSize = 8, nprobe = 2, dim = 128, kHint = 32).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("centroid embedding length")),
+      s"expected the dim fail-fast, got: ${messages(ex)}")
+  }
+
   test("forced stage-2 delegation: shuffle-join regime is engaged and result-identical") {
     // the round-16 size gate (VERDICT r15 #1): past BroadcastMaxCids the
     // stage-2 centroid join must run as a cell-keyed shuffle-hash join
