@@ -174,6 +174,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(viaShuffle.count() == corpus.count())
   }
 
+  test("empty-cell carryover and dead-centroid drop agree across both fit regimes") {
+    // a zero-norm vector among the k smallest ids becomes a DEAD seed:
+    // it is excluded from every per-iteration centroid table (cnrm > 0),
+    // so its cell never receives members — the carryover branch keeps
+    // its (zero) coordinates through every iteration and the final
+    // table drops it. Both the driver-collect and distributed paths
+    // must walk that branch identically. The corpus is synthetic so the
+    // dead cell is GUARANTEED (the real-corpus tests can't promise an
+    // empty cell: every live seed captures at least itself).
+    import spark.implicits._
+    val rows = (0 until 12).map { i =>
+      val v = if (i == 1) Seq.fill(64)(0f)
+        else (0 until 64).map(d => ((i * 37 + d * 11) % 23 - 11) / 7.0f)
+      (i.toLong, v)
+    }
+    val in = rows.toDF("vec_id", "embedding")
+    val (td, objD) = functions.IvfIndex.fit(in, "vec_id", "embedding",
+      k = 4, iters = 2, groupSize = 2, nprobe = 1)
+    val (tx, objX) = functions.IvfIndex.fit(in, "vec_id", "embedding",
+      k = 4, iters = 2, groupSize = 2, nprobe = 1, collectMaxK = 0)
+    val rd = td.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val rx = tx.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    assert(rd.length == 3, s"dead seed must drop: ${rd.map(_._1).toSeq}")
+    assert(!rd.map(_._1).contains(1L), "cid 1 (the zero seed) must not survive")
+    assert(rd.toSeq == rx.toSeq, "carryover/drop must be bit-identical across regimes")
+    assert(objD.toSeq == objX.toSeq)
+  }
+
   test("forced distributed fit: no driver collect of the centroid matrix, bit-identical") {
     // collectMaxK = 0 forces the distributed update at k=16 — the
     // regime k ∝ n reaches at 100 TB (k ~ 10⁵–10⁶, where per-iteration
