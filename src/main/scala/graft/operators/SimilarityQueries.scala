@@ -475,11 +475,15 @@ object SimilarityQueries {
     // equi-join at 0.45 as q_dedup_semantic. Determinism: the fit's
     // member means are order-independent decimal sums converted once
     // to double and quantized to float32 once at the end; the oracle
-    // mirrors the fold as an ordered double sum — the two agree after
-    // the float32 quantization (a disagreement needs the double mean
-    // to sit within ~1e-16 relative of a float rounding boundary),
-    // and the gated output is the integer pair list, insulated from
-    // last-ulp representation by assignment margins. Group means fold
+    // mirrors the fold as an ordered double sum. The two folds are NOT
+    // bit-identical — member means sit near zero, so the ~1e-13
+    // absolute fold discrepancy lands ~1% of coordinates on the
+    // ADJACENT float (IvfIndexSpec measured 22/2048 and pins the bound
+    // at ONE ulp) — but the gated output is the integer pair list:
+    // a one-ulp centroid coordinate moves cosines by ~1e-10, versus
+    // ~1e-2 assignment margins and the 0.45 threshold, so the pair
+    // set is engine-stable by margin, verified by hash-match at both
+    // gated scales. Group means fold
     // members cid-ascending and dims ascending then quantize to
     // float32 once (IEEE round-to-nearest both engines); cosines are
     // the codegen ascending folds; ties break low-gid / low-cid.
@@ -1119,8 +1123,11 @@ object SimilarityQueries {
       // round-to-nearest both engines); stage-1 routing = score DESC,
       // gid ASC rank ≤ nprobe; stage-2 argmax = score DESC, cid ASC
       // rank 1. The fit's member means fold in vec_id order as doubles
-      // where the engine sums decimals — identical after the one
-      // float32 quantization (see the query doc). Empty cells carry
+      // where the engine sums decimals — within ONE float ulp after
+      // the quantization (not bit-identical; ~1% of coordinates round
+      // to the adjacent float — see the query doc and IvfIndexSpec's
+      // ulp-bound test for why the integer pair output is insulated
+      // by assignment margins). Empty cells carry
       // the seed centroid (COALESCE), dead centroids drop (cnrm > 0),
       // pair search identical to q_dedup_semantic on the fitted cells.
       "q_dedup_semantic_indexed" -> {

@@ -174,6 +174,53 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(viaShuffle.count() == corpus.count())
   }
 
+  test("decimal vs ordered-double member means: within ONE float ulp, margins dominate") {
+    // the q_dedup_semantic_indexed oracle mirrors fit's member means as
+    // vec_id-ordered DOUBLE folds where the engine sums DECIMALs.
+    // MEASURED equivalence (this test originally asserted bit-equality
+    // and FAILED — an honest find): embedding member means sit near
+    // zero, so the ~1e-13 absolute discrepancy between the two folds
+    // (per-term 1e-15 decimal rounding vs double accumulation error)
+    // is only ~100–1000× below the float32 grid spacing at those
+    // magnitudes, and ~1% of (cell, dim) coordinates round to ADJACENT
+    // floats (22/2048 on this corpus). The gate is still sound because
+    // the discrepancy is bounded at ONE float ulp — a ≤6e-8-relative
+    // perturbation of one coordinate of a 64-dim centroid moves
+    // cosines by ~1e-10, versus ~1e-2 assignment margins and a 0.45
+    // threshold — which is what this test pins: every coordinate
+    // within one ulp, so the integer pair output cannot flip unless a
+    // margin collapses ~8 orders of magnitude.
+    val assigned = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val dec = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg((org.apache.spark.sql.functions.sum(col("x").cast("decimal(28,15)"))
+        / count(lit(1))).cast("double").cast("float").as("dm"))
+    val ord = assigned.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("membs"))
+      .select(col("cell"), posexplode(expr(
+        """transform(sequence(0, 63), d ->
+          |  cast(aggregate(membs, 0D, (a, m) -> a + cast(m.embedding[d] as double))
+          |    / cast(size(membs) as double) as float))""".stripMargin)).as(Seq("d", "om")))
+    val joined = dec.join(ord, Seq("cell", "d"))
+    val rows = joined.collect()
+    assert(rows.length == 32 * 64)
+    // sign-magnitude rank so adjacency works across the zero boundary
+    // (+ε and -ε are 2 ranks apart, not 2³¹)
+    def rank(f: Float): Long = {
+      val b = java.lang.Float.floatToIntBits(f)
+      if (b < 0) Int.MinValue.toLong - b.toLong else b.toLong
+    }
+    val ulpsApart = rows.map(r => math.abs(rank(r.getFloat(2)) - rank(r.getFloat(3))))
+    val overOneUlp = ulpsApart.count(_ > 1)
+    assert(overOneUlp == 0,
+      s"$overOneUlp (cell, dim) means differ by >1 float ulp — margins no longer dominate")
+    val adjacent = ulpsApart.count(_ == 1)
+    assert(adjacent < rows.length / 20,
+      s"$adjacent/${rows.length} adjacent-float means — more than the ~1% cancellation regime")
+  }
+
   test("empty-cell carryover and dead-centroid drop agree across both fit regimes") {
     // a zero-norm vector among the k smallest ids becomes a DEAD seed:
     // it is excluded from every per-iteration centroid table (cnrm > 0),
