@@ -27,9 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-derivation); each body keeps its own documented shuffle shape
   * (pagerank one vertex-keyed shuffle per iteration over checkpointed
   * degree/adjacency, triangles the degree-oriented O(E^1.5) closure,
-  * kcore checkpointed peeling rounds). Release the blocks by letting
-  * the pass go out of scope (GC-driven cleanup) or via
-  * `spark.sparkContext.getPersistentRDDs` in long sessions.
+  * kcore checkpointed peeling rounds). When the pass is done, call
+  * [[GraphPass.release]] to drop the materialized blocks immediately —
+  * GC-driven cleanup (letting the pass go out of scope) also works but
+  * is unbounded-latency in long sessions.
   */
 final class GraphPass private (val edges: DataFrame) {
   import graft.operators.RelationalQueries
@@ -60,6 +61,21 @@ final class GraphPass private (val edges: DataFrame) {
     "q_graph_jaccard" -> jaccard,
     "q_graph_degdist" -> degdist,
     "q_graph_kcore" -> kcore)
+
+  /** Drop the pass's materialized edge blocks. This ENDS the pass:
+    * under the local-checkpoint regime the blocks are the only copy of
+    * the (lineage-truncated) edge table, so any analysis started after
+    * release fails — release only once every consumer has run. Under a
+    * reliable checkpoint dir the unpersist is a no-op and the on-disk
+    * files follow the graft.Checkpoint hygiene rule
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`).
+    */
+  def release(blocking: Boolean = false): Unit =
+    edges.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }
 
 object GraphPass {

@@ -169,6 +169,91 @@ object IvfIndex {
         (-col("best").getField("ncid")).as("cell"))
   }
 
+  /** IVF top-k SEARCH — the retrieval half of the module (round 16;
+    * assignIndexed is the dedup/assignment half, and `q_sim_ivf`'s docs
+    * already point large-k deployments here). Takes a PREBUILT inverted
+    * file — the (vec_id, embedding, nrm, cell) output of
+    * [[assignIndexed]] — so the index is built once and amortized
+    * across query batches; at 100 TB the deployment form is the
+    * assigned corpus written `partitionBy("cell")` to parquet, where
+    * the probe equi-join becomes partition pruning and each query
+    * batch reads ONLY its probed cells' files.
+    *
+    * Query routing is the same two-level pass as assignment, kept
+    * top-`probeCells` CELLS per query instead of argmax: stage 1 scores
+    * the broadcast g-struct routing array row-locally (top-nprobe
+    * groups via array_sort+slice — no shuffle, no window), stage 2
+    * ranks the probed groups' centroids with a map-side-combined
+    * collect_list bounded at nprobe·groupSize rows per query (sorted +
+    * sliced in place — window-free, order-independent by array_sort).
+    * Candidates = probed cells' members, ranked by exact cosine through
+    * the [[graft.plans.TopKPerGroup]] bounded-heap operator (k-row heap
+    * per query per partition, shuffle carries ≤ topK·queries·partitions
+    * pre-filtered rows — never a full sort, never a whole-partition
+    * window). Queries are broadcast into the candidate join by default
+    * (`broadcastQueries` — a query batch is small next to the corpus);
+    * flip it off for offline mega-batches and the join exchanges on
+    * cell instead.
+    *
+    * Determinism: cosines are the codegen ascending folds; stage-1
+    * ties break low-gid, cell ranking low-cid, candidate ranking
+    * (cos DESC, cand_id ASC) — a total order, so results are
+    * bit-stable across partition layouts (pinned by IvfIndexSpec).
+    * With nprobe = g and probeCells = k the search is EXACT brute-force
+    * top-k over the corpus (also pinned). Self-matches are NOT
+    * excluded: a query id present in the corpus ranks itself at
+    * cos = 1; filter `q_id =!= cand_id` downstream if unwanted.
+    */
+  def searchTopK(queries: DataFrame, inverted: DataFrame, cents: DataFrame,
+                 topK: Int, groupSize: Int = 8, nprobe: Int = 2,
+                 probeCells: Int = 2, dim: Int = 64, kHint: Long = -1L,
+                 broadcastMaxCids: Long = BroadcastMaxCids,
+                 broadcastQueries: Boolean = true): DataFrame = {
+    require(topK > 0 && nprobe > 0 && probeCells > 0,
+      s"need topK/nprobe/probeCells > 0, got $topK/$nprobe/$probeCells")
+    val k = if (kHint >= 0L) kHint else cents.count()
+    require(k / groupSize.max(1) <= BroadcastMaxCids,
+      s"stage-1 routing array would hold ${k / groupSize.max(1)} group means " +
+        s"(> $BroadcastMaxCids): raise groupSize (≈ √k keeps both levels bounded)")
+    val gma = groupMeansArr(cents, groupSize, dim)
+    // stage 1: row-local top-nprobe groups per query (assignIndexed's)
+    val probed = queries.crossJoin(gma)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(slice(array_sort(transform(col("gma"), g => struct(
+          (-(dotD(col("embedding"), g.getField("gemb"))
+            / (col("nrm") * g.getField("gnrm")))).as("nscore"),
+          g.getField("gid").as("gid")))), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qe"), col("qn"), col("p").getField("gid").as("gid"))
+    // stage 2: top-probeCells CELLS per query over the probed groups'
+    // centroids — bounded collect_list (≤ nprobe·groupSize rows/query),
+    // array_sort makes the fold order-independent; same size gate as
+    // assignment for the centroid side
+    val centsByGid = cents.withColumn("gid", expr(s"cid div $groupSize"))
+    val cjoined =
+      if (k <= broadcastMaxCids) probed.join(broadcast(centsByGid), Seq("gid"))
+      else probed.join(centsByGid.hint("shuffle_hash"), Seq("gid"))
+    val probedCells = cjoined
+      .select(col("q_id"), col("qe"), col("qn"), struct(
+        (-(dotD(col("qe"), col("cemb")) / (col("qn") * col("cnrm")))).as("nscore"),
+        col("cid").as("cid")).as("cand"))
+      .groupBy("q_id")
+      .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
+        slice(array_sort(collect_list(col("cand"))), 1, probeCells).as("cells"))
+      .select(col("q_id"), col("qe"), col("qn"),
+        explode(col("cells")).as("pc"))
+      .select(col("q_id"), col("qe"), col("qn"), col("pc").getField("cid").as("cell"))
+    // candidate join + exact-cosine rank through the bounded-heap top-k
+    // (strategy registration is idempotent — the TextQueries idiom)
+    graft.plans.TopKPerGroupStrategy.register(queries.sparkSession)
+    val qside = if (broadcastQueries) broadcast(probedCells) else probedCells
+    val scored = qside.join(inverted, Seq("cell"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    graft.plans.TopKPerGroup(scored, Seq("q_id"),
+      Seq(("cos", false), ("cand_id", true)), topK, rnName = "rnk")
+      .select(col("q_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
+
   /** Spherical k-means fit for LARGE k — the centroid trainer whose
     * per-iteration assignment is the two-level pass above, so k is never
     * a k-wide literal expression tree (graft.functions.KMeans's

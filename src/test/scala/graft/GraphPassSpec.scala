@@ -78,4 +78,20 @@ class GraphPassSpec extends AnyFunSuite {
     assert(afterBuild.subsetOf(afterRuns),
       "analyses must reuse the pass's materialized edge table, not rebuild it")
   }
+
+  test("release drops exactly the pass's edge blocks") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val pass = functions.GraphPass.coPurchase(spark, sf)
+    val built = spark.sparkContext.getPersistentRDDs.keys.toSet
+    assert(built.nonEmpty)
+    // an unrelated persisted table must survive the pass's release
+    val bystander = spark.read.parquet(s"$sf/region.parquet").cache()
+    bystander.count()
+    pass.release(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keys.toSet
+    assert(built.intersect(after).isEmpty,
+      s"release must unpersist the pass's edge blocks, still present: ${built.intersect(after)}")
+    assert(after.nonEmpty, "release must not touch unrelated persisted data")
+    bystander.unpersist(blocking = true)
+  }
 }

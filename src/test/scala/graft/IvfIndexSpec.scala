@@ -251,6 +251,107 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(objD.toSeq == objX.toSeq)
   }
 
+  test("searchTopK at full probe is EXACT brute-force top-k, through the heap operator") {
+    // nprobe = g and probeCells = k make every corpus member a
+    // candidate for every query, so the search must reproduce exact
+    // brute-force cosine top-k bit for bit (same codegen folds, same
+    // (cos DESC, cand_id ASC) total order) — the searchTopK analogue of
+    // assignIndexed's nprobe=g exactness pin. The ranking must run
+    // through the bounded-heap TopKPerGroup operator, not a window sort.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = functions.IvfIndex.searchTopK(queries, inverted, cents32,
+      topK = 5, groupSize = 8, nprobe = 4, probeCells = 32, kHint = 32)
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "search ranking must engage the bounded-heap operator")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val exact = broadcast(q).crossJoin(corpus)
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    val gotRows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    val exactRows = exact.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._4))
+    assert(gotRows.length == 50)
+    assert(gotRows.toSeq == exactRows.toSeq,
+      "full-probe search must equal exact brute-force top-k")
+    // self-match contract: each query ranks itself first at cos = 1
+    assert(gotRows.filter(t => t._4 == 1).forall(t => t._1 == t._2))
+  }
+
+  test("searchTopK candidates come only from the query's probed cells") {
+    // probe-constraint honesty for the search path: recompute each
+    // query's top-probeCells cells INDEPENDENTLY (window ranks instead
+    // of the module's collect_list fold) and check every returned
+    // candidate's inverted-file cell is among them.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = functions.IvfIndex.searchTopK(queries, inverted, cents32,
+      topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+    val gma = functions.IvfIndex.groupMeansArr(cents32, 8)
+    val topGroups = queries.crossJoin(gma)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(slice(array_sort(transform(col("gma"), g => struct(
+          (-(dotD(col("embedding"), g.getField("gemb")) / (col("nrm") * g.getField("gnrm")))).as("ns"),
+          g.getField("gid").as("gid")))), 1, 2)).as("p"))
+      .select(col("q_id"), col("qe"), col("qn"), col("p").getField("gid").as("gid"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cs").desc, col("cid"))
+    val probedCells = topGroups
+      .join(cents32.withColumn("gid", expr("cid div 8")), Seq("gid"))
+      .select(col("q_id"), col("cid"),
+        (dotD(col("qe"), col("cemb")) / (col("qn") * col("cnrm"))).as("cs"))
+      .withColumn("cr", row_number().over(wc)).filter(col("cr") <= 2)
+      .groupBy("q_id").agg(collect_set(col("cid")).as("okCells"))
+    val offside = got
+      .join(inverted.select(col("vec_id").as("cand_id"), col("cell")), Seq("cand_id"))
+      .join(probedCells, Seq("q_id"))
+      .filter(!array_contains(col("okCells"), col("cell"))).count()
+    assert(offside == 0, s"$offside candidates came from unprobed cells")
+    // rank contract: per query, ranks are dense from 1 and cosines
+    // non-increasing in rank
+    val byQ = got.collect().map(r =>
+      (r.getLong(0), r.getInt(3), r.getDouble(2))).groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      sorted.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+  }
+
+  test("searchTopK is identical across join regimes and partition layouts") {
+    // the size gate and the broadcastQueries knob move exchange
+    // strategies, never rows; and the heap merge is deterministic under
+    // the (cos DESC, cand_id ASC) total order, so re-layout of the
+    // inverted file cannot move results either.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    def run(inv: DataFrame, bMax: Long, bq: Boolean) =
+      functions.IvfIndex.searchTopK(queries, inv, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32,
+        broadcastMaxCids = bMax, broadcastQueries = bq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val base = run(inverted, functions.IvfIndex.BroadcastMaxCids, bq = true)
+    assert(base == run(inverted, 1L, bq = true),
+      "forced centroid shuffle-join regime moved search results")
+    assert(base == run(inverted, functions.IvfIndex.BroadcastMaxCids, bq = false),
+      "non-broadcast query join moved search results")
+    assert(base == run(inverted.repartition(13, col("vec_id")),
+      functions.IvfIndex.BroadcastMaxCids, bq = true),
+      "inverted-file re-layout moved search results")
+  }
+
   test("forced distributed fit: no driver collect of the centroid matrix, bit-identical") {
     // collectMaxK = 0 forces the distributed update at k=16 — the
     // regime k ∝ n reaches at 100 TB (k ~ 10⁵–10⁶, where per-iteration
