@@ -326,17 +326,23 @@ object SemKBench {
     }
 
     // Round-16 search mode: the RETRIEVAL half of IvfIndex at the same
-    // 100×/k=800 point the assignment legs run. 100 query vectors
-    // against the 200k-vector inverted file (built once — the
-    // deployment amortization the API shape encodes), topK=10 at the
-    // default nprobe=2/probeCells=2 probes vs EXACT brute-force top-10
+    // 100×/k=800 point the assignment legs run. Query batches against
+    // the 200k-vector inverted file (built once — the deployment
+    // amortization the API shape encodes), topK=10 at the default
+    // nprobe=2/probeCells=2 probes vs EXACT brute-force top-10
     // (broadcast queries × one corpus scan through the same
-    // TopKPerGroup heaps — the q_sim_topk shape). Reported: index
-    // build wall, ANN search wall, exact wall, and recall@10 (mean
-    // |ANN ∩ exact|/10 over the queries). The orthogonal replica is
-    // the WORST case for mean-routing recall (near-orthogonal vectors
-    // route weakly — the same caveat as the assignment legs); pass
-    // `cluster` for the corpus with real neighbor structure.
+    // TopKPerGroup heaps — the q_sim_topk shape). TWO batch sizes
+    // because the cost structures differ: exact cosine work is |Q|·n
+    // while ANN work is |Q|·(g + nprobe·groupSize + candidates) plus
+    // one inverted-file scan — at |Q|=100 BOTH sides are corpus-scan-
+    // bound (the first measurement read ann ≈ exact; that is the
+    // honest reading), and the cosine advantage only materializes once
+    // |Q| makes the exact fan-out dominate the scan (|Q|=10k: 2G vs
+    // ~6M candidate cosines). Reported per batch: ANN wall, exact
+    // wall, recall@10 (mean |ANN ∩ exact|/10). The orthogonal replica
+    // is the WORST case for mean-routing recall (near-orthogonal
+    // vectors route weakly — the same caveat as the assignment legs);
+    // pass `cluster` for the corpus with real neighbor structure.
     if (args.contains("search")) {
       val d100 = if (clustered) clusterReplica(100) else simReplica(100)
       val e = corpus(spark, d100)
@@ -346,41 +352,45 @@ object SemKBench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
       val cents = centroidRowsChecked(e, d100, 100, clustered)
-      val queries = e.filter(col("vec_id") < 100)
       val TopN = 10
       // index build (assignment pass), materialized once via Checkpoint
       val tB0 = System.nanoTime()
       val inverted = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
         e, cents, groupSize = 8, nprobe = 2, kHint = 800L))
       val buildWall = (System.nanoTime() - tB0) / 1e9
-      def annDf = graft.functions.IvfIndex.searchTopK(queries, inverted, cents,
-        topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L)
-      def exactDf = {
-        val q = queries.select(col("vec_id").as("q_id"),
-          col("embedding").as("qe"), col("nrm").as("qn"))
-        graft.plans.TopKPerGroup(
-          broadcast(q).crossJoin(e)
-            .select(col("q_id"), col("vec_id").as("cand_id"),
-              (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos")),
-          Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
-          .select(col("q_id"), col("cand_id"), col("cos"), col("rnk"))
+      def runBatch(nq: Int): String = {
+        val queries = e.filter(col("vec_id") < nq)
+        def annDf = graft.functions.IvfIndex.searchTopK(queries, inverted, cents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L)
+        def exactDf = {
+          val q = queries.select(col("vec_id").as("q_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+          graft.plans.TopKPerGroup(
+            broadcast(q).crossJoin(e)
+              .select(col("q_id"), col("vec_id").as("cand_id"),
+                (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos")),
+            Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
+            .select(col("q_id"), col("cand_id"), col("cos"), col("rnk"))
+        }
+        annDf.count(); exactDf.count() // warm both plan families
+        def wall(mk: => DataFrame): Double = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
+        }.min
+        val annWall = wall(annDf)
+        val exactWall = wall(exactDf)
+        val hits = annDf.select(col("q_id"), col("cand_id"))
+          .join(exactDf.select(col("q_id"), col("cand_id")), Seq("q_id", "cand_id"))
+          .count()
+        val recall = hits.toDouble / (queries.count() * TopN)
+        System.err.println(f"[semk-search] n=$n k=800 topk=$TopN nq=$nq " +
+          f"build=$buildWall%.2f ann=$annWall%.2f exact=$exactWall%.2f " +
+          f"recall=$recall%.3f clustered=$clustered")
+        f""""q$nq":{"ann_wall":$annWall%.2f,"exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f}"""
       }
-      annDf.count(); exactDf.count() // warm both plan families
-      def wall(mk: => DataFrame): Double = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
-      }.min
-      val annWall = wall(annDf)
-      val exactWall = wall(exactDf)
-      val hits = annDf.select(col("q_id"), col("cand_id"))
-        .join(exactDf.select(col("q_id"), col("cand_id")), Seq("q_id", "cand_id"))
-        .count()
-      val recall = hits.toDouble / (queries.count() * TopN)
+      val batches = Seq(100, 10000).map(runBatch)
       release()
-      System.err.println(f"[semk-search] n=$n k=800 topk=$TopN build=$buildWall%.2f " +
-        f"ann=$annWall%.2f exact=$exactWall%.2f recall=$recall%.3f clustered=$clustered")
       println(f"""{"metric":"semk_search","n":$n,"k":800,"topk":$TopN,""" +
-        f""""build_wall":$buildWall%.2f,"ann_wall":$annWall%.2f,""" +
-        f""""exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f,""" +
+        f""""build_wall":$buildWall%.2f,${batches.mkString(",")},""" +
         f""""clustered":$clustered}""")
       spark.stop()
       return
