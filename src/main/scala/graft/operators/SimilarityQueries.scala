@@ -244,7 +244,11 @@ object SimilarityQueries {
     // probe) is identical and that's what this query pins down. Past
     // k ≈ 32 the assignment itself goes through IvfIndex.assignIndexed
     // (gated by q_dedup_semantic_indexed; measured sub-linear at
-    // 100×/k=800 in SCALE.md §"Semantic dedup" round-15 subsection).
+    // 100×/k=800 in SCALE.md §"Semantic dedup" round-15 subsection),
+    // and the query side goes through IvfIndex.searchTopK — the same
+    // probe geometry as this query over a prebuilt inverted file, with
+    // the ranking in TopKPerGroup bounded heaps instead of a window
+    // (round 16; 9–10× over exact at 10⁴ queries, SCALE.md §(e)).
     "q_sim_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
