@@ -360,8 +360,10 @@ object SemKBench {
       val buildWall = (System.nanoTime() - tB0) / 1e9
       def runBatch(nq: Int): String = {
         val queries = e.filter(col("vec_id") < nq)
-        def annDf = graft.functions.IvfIndex.searchTopK(queries, inverted, cents,
-          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L)
+        def annAt(np: Int, pc: Int) = graft.functions.IvfIndex.searchTopK(
+          queries, inverted, cents,
+          topK = TopN, groupSize = 8, nprobe = np, probeCells = pc, kHint = 800L)
+        def annDf = annAt(2, 2)
         def exactDf = {
           val q = queries.select(col("vec_id").as("q_id"),
             col("embedding").as("qe"), col("nrm").as("qn"))
@@ -378,14 +380,30 @@ object SemKBench {
         }.min
         val annWall = wall(annDf)
         val exactWall = wall(exactDf)
-        val hits = annDf.select(col("q_id"), col("cand_id"))
-          .join(exactDf.select(col("q_id"), col("cand_id")), Seq("q_id", "cand_id"))
-          .count()
-        val recall = hits.toDouble / (queries.count() * TopN)
+        def recallOf(df: DataFrame): Double = {
+          val hits = df.select(col("q_id"), col("cand_id"))
+            .join(exactDf.select(col("q_id"), col("cand_id")), Seq("q_id", "cand_id"))
+            .count()
+          hits.toDouble / (queries.count() * TopN)
+        }
+        val recall = recallOf(annDf)
         System.err.println(f"[semk-search] n=$n k=800 topk=$TopN nq=$nq " +
           f"build=$buildWall%.2f ann=$annWall%.2f exact=$exactWall%.2f " +
           f"recall=$recall%.3f clustered=$clustered")
-        f""""q$nq":{"ann_wall":$annWall%.2f,"exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f}"""
+        // probe ladder at the big batch only: the recall/wall trade the
+        // two probe knobs buy, against the SAME exact truth (the
+        // retrieval analogue of the assignment side's nprobe ladder)
+        val ladder = if (nq < 10000) "" else {
+          val rungs = Seq((2, 1), (4, 4), (8, 8)).map { case (np, pc) =>
+            val wallR = wall(annAt(np, pc))
+            val recR = recallOf(annAt(np, pc))
+            System.err.println(f"[semk-search]   ladder np=$np pc=$pc " +
+              f"wall=$wallR%.2f recall=$recR%.3f")
+            f""""np${np}pc$pc":{"ann_wall":$wallR%.2f,"recall_at_10":$recR%.3f}"""
+          }
+          s""","ladder":{${rungs.mkString(",")}}"""
+        }
+        f""""q$nq":{"ann_wall":$annWall%.2f,"exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f$ladder}"""
       }
       val batches = Seq(100, 10000).map(runBatch)
       release()
