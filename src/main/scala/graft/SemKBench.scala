@@ -359,7 +359,18 @@ object SemKBench {
         e, cents, groupSize = 8, nprobe = 2, kHint = 800L))
       val buildWall = (System.nanoTime() - tB0) / 1e9
       def runBatch(nq: Int): String = {
-        val queries = e.filter(col("vec_id") < nq)
+        // the replica's vec_ids are copy-shifted by Stride, so a plain
+        // `vec_id < nq` saturates at the 2,000 copy-0 ids — the first
+        // measurement's "q10000" actually ran |Q|=2,000 (its recall
+        // denominator used the real count, but the label lied). Select
+        // per-copy instead (nq/100 base ids × 100 copies) and ASSERT
+        // the batch size so the label can never drift from the data.
+        val stride = ScaleBench.Stride
+        val queries =
+          if (nq <= 2000) e.filter(col("vec_id") < nq)
+          else e.filter(col("vec_id") % stride < nq / 100)
+        val gotQ = queries.count()
+        require(gotQ == nq, s"query batch labeled $nq actually holds $gotQ")
         def annAt(np: Int, pc: Int) = graft.functions.IvfIndex.searchTopK(
           queries, inverted, cents,
           topK = TopN, groupSize = 8, nprobe = np, probeCells = pc, kHint = 800L)

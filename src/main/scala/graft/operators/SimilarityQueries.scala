@@ -248,7 +248,7 @@ object SimilarityQueries {
     // and the query side goes through IvfIndex.searchTopK — the same
     // probe geometry as this query over a prebuilt inverted file, with
     // the ranking in TopKPerGroup bounded heaps instead of a window
-    // (round 16; 9–10× over exact at 10⁴ queries, SCALE.md §(e)).
+    // (round 16; ~38× over exact at 10⁴ queries, SCALE.md §(e)).
     "q_sim_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
