@@ -342,7 +342,11 @@ object SemKBench {
     // wall, recall@10 (mean |ANN ∩ exact|/10). The orthogonal replica
     // is the WORST case for mean-routing recall (near-orthogonal
     // vectors route weakly — the same caveat as the assignment legs);
-    // pass `cluster` for the corpus with real neighbor structure.
+    // pass `cluster` for the corpus with real neighbor structure, or
+    // `fit` to replace the pooled centroids with an `IvfIndex.fit`
+    // spherical-Lloyd run (k=800, 2 iterations — the deployment
+    // recipe: sample-fit → build → search; the assignment legs showed
+    // fit centroids are what fix weak pooled routing, 0.625 → 0.924).
     if (args.contains("search")) {
       val d100 = if (clustered) clusterReplica(100) else simReplica(100)
       val e = corpus(spark, d100)
@@ -351,7 +355,14 @@ object SemKBench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      val cents = centroidRowsChecked(e, d100, 100, clustered)
+      val useFit = args.contains("fit")
+      val tF0 = System.nanoTime()
+      val cents =
+        if (useFit) graft.Checkpoint(graft.functions.IvfIndex.fit(
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          k = 800, iters = 2)._1)
+        else centroidRowsChecked(e, d100, 100, clustered)
+      val fitWall = if (useFit) (System.nanoTime() - tF0) / 1e9 else 0.0
       val TopN = 10
       // index build (assignment pass), materialized once via Checkpoint
       val tB0 = System.nanoTime()
@@ -419,6 +430,7 @@ object SemKBench {
       val batches = Seq(100, 10000).map(runBatch)
       release()
       println(f"""{"metric":"semk_search","n":$n,"k":800,"topk":$TopN,""" +
+        f""""fit":$useFit,"fit_wall":$fitWall%.2f,""" +
         f""""build_wall":$buildWall%.2f,${batches.mkString(",")},""" +
         f""""clustered":$clustered}""")
       spark.stop()
