@@ -328,6 +328,44 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchTopK full-probe exactness holds on odd shapes: dim=5, ragged groups, topK > corpus") {
+    // the real-corpus exactness test runs the friendly geometry
+    // (dim=64, k divisible by groupSize, topK small); this one pins the
+    // edges — an odd dim threaded through every stage, a ragged last
+    // group (k=7, groupSize=3 ⇒ groups of 3+3+1), probeCells = k,
+    // topK > corpus (heaps must emit ALL candidates, ranks dense to n),
+    // verified against a pure-Scala brute force using the same
+    // ascending double folds as VecMath (bit-equality expected).
+    import spark.implicits._
+    val dim = 5
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 13 + d * 7) % 19 - 9) / 4.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val e = df.select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val cents = e.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val inverted = functions.IvfIndex.assignIndexed(e, cents,
+      groupSize = 3, nprobe = 3, dim = dim, kHint = 7)
+    val queries = e.filter(col("vec_id") % 9 === 0) // 0, 9, 18, 27, 36
+    val got = functions.IvfIndex.searchTopK(queries, inverted, cents,
+      topK = 50, groupSize = 3, nprobe = 3, probeCells = 7, dim = dim, kHint = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def nrm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+    val expected = rows.filter(_._1 % 9 == 0).flatMap { case (qid, qv) =>
+      rows.map { case (cid, cv) => (qid, cid, dot(qv, cv) / (nrm(qv) * nrm(cv))) }
+        .sortBy { case (_, cid, cos) => (-cos, cid) }
+        .zipWithIndex.map { case ((q, c, cos), i) => (q, c, cos, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.length == 5 * 40, s"expected every candidate ranked, got ${got.length}")
+    assert(got.toSeq == expected.toSeq,
+      "full-probe search on the odd-shape corpus must equal the Scala brute force bit for bit")
+  }
+
   test("searchTopK is identical across join regimes and partition layouts") {
     // the size gate and the broadcastQueries knob move exchange
     // strategies, never rows; and the heap merge is deterministic under
