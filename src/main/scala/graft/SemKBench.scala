@@ -412,6 +412,16 @@ object SemKBench {
         System.err.println(f"[semk-search] n=$n k=800 topk=$TopN nq=$nq " +
           f"build=$buildWall%.2f ann=$annWall%.2f exact=$exactWall%.2f " +
           f"recall=$recall%.3f clustered=$clustered")
+        // the non-broadcast candidate join (offline mega-batch posture:
+        // probed queries exchange on cell instead of shipping to every
+        // task) — identity is spec-pinned; this prices the wall
+        val shuffleQ = if (nq < 10000) "" else {
+          val w = wall(graft.functions.IvfIndex.searchTopK(queries, inverted, cents,
+            topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L,
+            broadcastQueries = false))
+          System.err.println(f"[semk-search]   shuffle-queries wall=$w%.2f")
+          f""","ann_wall_shuffleq":$w%.2f"""
+        }
         // probe ladder at the big batch only: the recall/wall trade the
         // two probe knobs buy, against the SAME exact truth (the
         // retrieval analogue of the assignment side's nprobe ladder)
@@ -425,7 +435,7 @@ object SemKBench {
           }
           s""","ladder":{${rungs.mkString(",")}}"""
         }
-        f""""q$nq":{"ann_wall":$annWall%.2f,"exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f$ladder}"""
+        f""""q$nq":{"ann_wall":$annWall%.2f,"exact_wall":$exactWall%.2f,"recall_at_10":$recall%.3f$shuffleQ$ladder}"""
       }
       val batches = Seq(100, 10000).map(runBatch)
       release()
