@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession (getOrCreate) and several of them
+// (GraphPassSpec, benches' release helpers) blanket-unpersist persistent
+// RDDs — under parallel suite execution that could destroy another
+// suite's local-checkpointed (lineage-truncated, unrecoverable) blocks
+// mid-test. Forked tests already run suites sequentially in one JVM by
+// default (testForkedParallel = false), but pin BOTH knobs explicitly so
+// a build-setting change can never silently re-enable the race.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 // The driver parses graft.Bench's one-line JSON out of sbt's combined
 // output. r03 came back parsed=null even though the line was present and
 // valid — sbt's "[info] " logger prefix and "[success] Total time" epilogue

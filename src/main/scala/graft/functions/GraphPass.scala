@@ -66,14 +66,26 @@ final class GraphPass private (val edges: DataFrame) {
     * under the local-checkpoint regime the blocks are the only copy of
     * the (lineage-truncated) edge table, so any analysis started after
     * release fails — release only once every consumer has run. Under a
-    * reliable checkpoint dir the unpersist is a no-op and the on-disk
-    * files follow the graft.Checkpoint hygiene rule
-    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`).
+    * reliable checkpoint dir the unpersist alone would be a no-op (the
+    * data lives in checkpoint FILES, which Spark never deletes unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and that
+    * cleanup is GC-driven — unbounded latency in a long session), so
+    * release also deletes the pass's own checkpoint files directly
+    * (round-16 VERDICT #6): the pass knows its RDDs, each reliable
+    * checkpoint has its own `rdd-<id>` directory, and nothing else can
+    * reference it once the pass is over. GraphPassSpec pins both
+    * regimes (blocks gone; files gone).
     */
   def release(blocking: Boolean = false): Unit =
     edges.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            edges.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
       case _ => ()
     }
 }

@@ -131,9 +131,12 @@ object IvfIndex {
     val k = if (kHint >= 0L) kHint else cents.count()
     // stage 1 ALWAYS broadcasts its g-struct routing array, so g is
     // bounded by the absolute ceiling (not the overridable stage-2
-    // bound, which tests shrink to force the shuffle regime)
-    require(k / groupSize.max(1) <= BroadcastMaxCids,
-      s"stage-1 routing array would hold ${k / groupSize.max(1)} group means " +
+    // bound, which tests shrink to force the shuffle regime). Ceil
+    // division: groupMeansArr emits ⌈k/groupSize⌉ groups when k is not
+    // divisible (round-16 ADVICE — floor was permissive at the boundary).
+    val g = (k + groupSize.max(1) - 1) / groupSize.max(1)
+    require(g <= BroadcastMaxCids,
+      s"stage-1 routing array would hold $g group means " +
         s"(> $BroadcastMaxCids): raise groupSize (≈ √k keeps both levels bounded)")
     val gma = groupMeansArr(cents, groupSize, dim)
     // stage 1: row-local top-nprobe groups — ascending sort on
@@ -200,23 +203,111 @@ object IvfIndex {
     * (cos DESC, cand_id ASC) — a total order, so results are
     * bit-stable across partition layouts (pinned by IvfIndexSpec).
     * With nprobe = g and probeCells = k the search is EXACT brute-force
-    * top-k over the corpus (also pinned). Self-matches are NOT
-    * excluded: a query id present in the corpus ranks itself at
-    * cos = 1; filter `q_id =!= cand_id` downstream if unwanted.
+    * top-k over the corpus (also pinned). Self-matches: by default a
+    * query id present in the corpus ranks itself at cos = 1;
+    * `excludeSelf = true` drops `q_id = cand_id` candidates BEFORE the
+    * heap, so every returned rank is a real neighbor (the form recall
+    * measurement needs — corpus-drawn queries would otherwise carry a
+    * guaranteed rank-1 self-hit that floors recall@k at 1/k; round-16
+    * ADVICE) and the form the gated q_sim_ivf query uses.
     */
   def searchTopK(queries: DataFrame, inverted: DataFrame, cents: DataFrame,
                  topK: Int, groupSize: Int = 8, nprobe: Int = 2,
                  probeCells: Int = 2, dim: Int = 64, kHint: Long = -1L,
                  broadcastMaxCids: Long = BroadcastMaxCids,
-                 broadcastQueries: Boolean = true): DataFrame = {
+                 broadcastQueries: Boolean = true,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val k = searchGate(topK, nprobe, probeCells, groupSize, kHint, cents)
+    val pc = probedCellsOf(queries, cents, groupSize, nprobe, probeCells,
+      dim, k, broadcastMaxCids)
+    rankCandidates(pc, inverted, topK, broadcastQueries, excludeSelf)
+  }
+
+  /** Probed-cell cap for [[searchTopKAt]]'s static partition prune: the
+    * distinct probed cells collect to the driver to become the pruning
+    * IN-filter, so the list must stay literal-sized. Past it the batch
+    * is touching most of the index anyway — the full-scan
+    * [[searchTopK]] over the same files is the right plan there.
+    */
+  val PruneMaxCells: Int = 10000
+
+  /** [[searchTopK]] over an inverted file STORED as a cell-partitioned
+    * parquet directory (the [[writeInverted]] layout) — the 100 TB
+    * deployment form: the query batch's probed cells become a static
+    * partition filter, so the candidate read LISTS AND SCANS ONLY the
+    * probed cells' files instead of the whole index (file pruning at
+    * the source, measured in SCALE.md §"IVF retrieval" round-17
+    * subsection — files_read/files_total and the wall delta vs the
+    * full scan at 100×; IvfIndexSpec pins result identity with the
+    * in-memory searchTopK and that the scan's partition filter
+    * engages). The probe pass materializes once (graft.Checkpoint) —
+    * it is |Q|-sized and is consumed twice (the cell collect and the
+    * candidate join).
+    *
+    * The distinct-cell collect is BOUNDED by construction:
+    * ≤ min(|Q|·probeCells, k) values, required ≤ [[PruneMaxCells]].
+    */
+  def searchTopKAt(queries: DataFrame, invertedPath: String, cents: DataFrame,
+                   topK: Int, groupSize: Int = 8, nprobe: Int = 2,
+                   probeCells: Int = 2, dim: Int = 64, kHint: Long = -1L,
+                   broadcastMaxCids: Long = BroadcastMaxCids,
+                   broadcastQueries: Boolean = true,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val k = searchGate(topK, nprobe, probeCells, groupSize, kHint, cents)
+    val pc = graft.Checkpoint(probedCellsOf(queries, cents, groupSize, nprobe,
+      probeCells, dim, k, broadcastMaxCids))
+    // bounded collect (see scaladoc): ≤ min(|Q|·probeCells, k) longs
+    val cells = pc.select(col("cell")).distinct()
+      .limit(PruneMaxCells + 1).collect().map(_.getLong(0))
+    require(cells.length <= PruneMaxCells,
+      s"batch probes > $PruneMaxCells distinct cells — not selective enough " +
+        "for a static partition prune; use searchTopK over a full read instead")
+    // partition-column inference may narrow cell to int — cast back so
+    // the probe equi-join key types match the in-memory form exactly
+    val inverted = spark.read.parquet(invertedPath)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    rankCandidates(pc, inverted, topK, broadcastQueries, excludeSelf)
+  }
+
+  /** Write an inverted file ([[assignIndexed]] output) cell-partitioned
+    * for [[searchTopKAt]]. The repartition on cell keeps the file count
+    * at ~one per cell — without it EVERY write task opens a file in
+    * every cell directory it sees rows for (tasks × cells files, which
+    * at k=800/32 tasks is 25k tiny files and at deployment k is a
+    * namenode incident).
+    */
+  def writeInverted(inverted: DataFrame, path: String): Unit =
+    inverted.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Shared argument gate for the search entry points; returns k. */
+  private def searchGate(topK: Int, nprobe: Int, probeCells: Int,
+                         groupSize: Int, kHint: Long, cents: DataFrame): Long = {
     require(topK > 0 && nprobe > 0 && probeCells > 0,
       s"need topK/nprobe/probeCells > 0, got $topK/$nprobe/$probeCells")
     val k = if (kHint >= 0L) kHint else cents.count()
-    require(k / groupSize.max(1) <= BroadcastMaxCids,
-      s"stage-1 routing array would hold ${k / groupSize.max(1)} group means " +
+    // ceil division, as in assignIndexed (round-16 ADVICE)
+    val g = (k + groupSize.max(1) - 1) / groupSize.max(1)
+    require(g <= BroadcastMaxCids,
+      s"stage-1 routing array would hold $g group means " +
         s"(> $BroadcastMaxCids): raise groupSize (≈ √k keeps both levels bounded)")
+    k
+  }
+
+  /** Stages 1+2 of the retrieval probe — per query its top-`probeCells`
+    * cells, as (q_id, qe, qn, cell). Stage 1 is the row-local broadcast
+    * group-means routing; stage 2 ranks the probed groups' centroids
+    * with a map-side-combined collect_list bounded at nprobe·groupSize
+    * rows per query (sorted + sliced in place — window-free,
+    * order-independent by array_sort), under the same centroid-side
+    * size gate as assignment.
+    */
+  private def probedCellsOf(queries: DataFrame, cents: DataFrame,
+                            groupSize: Int, nprobe: Int, probeCells: Int,
+                            dim: Int, k: Long, broadcastMaxCids: Long): DataFrame = {
     val gma = groupMeansArr(cents, groupSize, dim)
-    // stage 1: row-local top-nprobe groups per query (assignIndexed's)
     val probed = queries.crossJoin(gma)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(slice(array_sort(transform(col("gma"), g => struct(
@@ -224,15 +315,11 @@ object IvfIndex {
             / (col("nrm") * g.getField("gnrm")))).as("nscore"),
           g.getField("gid").as("gid")))), 1, nprobe)).as("p"))
       .select(col("q_id"), col("qe"), col("qn"), col("p").getField("gid").as("gid"))
-    // stage 2: top-probeCells CELLS per query over the probed groups'
-    // centroids — bounded collect_list (≤ nprobe·groupSize rows/query),
-    // array_sort makes the fold order-independent; same size gate as
-    // assignment for the centroid side
     val centsByGid = cents.withColumn("gid", expr(s"cid div $groupSize"))
     val cjoined =
       if (k <= broadcastMaxCids) probed.join(broadcast(centsByGid), Seq("gid"))
       else probed.join(centsByGid.hint("shuffle_hash"), Seq("gid"))
-    val probedCells = cjoined
+    cjoined
       .select(col("q_id"), col("qe"), col("qn"), struct(
         (-(dotD(col("qe"), col("cemb")) / (col("qn") * col("cnrm")))).as("nscore"),
         col("cid").as("cid")).as("cand"))
@@ -242,13 +329,22 @@ object IvfIndex {
       .select(col("q_id"), col("qe"), col("qn"),
         explode(col("cells")).as("pc"))
       .select(col("q_id"), col("qe"), col("qn"), col("pc").getField("cid").as("cell"))
-    // candidate join + exact-cosine rank through the bounded-heap top-k
-    // (strategy registration is idempotent — the TextQueries idiom)
-    graft.plans.TopKPerGroupStrategy.register(queries.sparkSession)
+  }
+
+  /** Candidate join + exact-cosine rank through the bounded-heap top-k
+    * (strategy registration is idempotent — the TextQueries idiom).
+    */
+  private def rankCandidates(probedCells: DataFrame, inverted: DataFrame,
+                             topK: Int, broadcastQueries: Boolean,
+                             excludeSelf: Boolean): DataFrame = {
+    graft.plans.TopKPerGroupStrategy.register(probedCells.sparkSession)
     val qside = if (broadcastQueries) broadcast(probedCells) else probedCells
-    val scored = qside.join(inverted, Seq("cell"))
+    val scoredAll = qside.join(inverted, Seq("cell"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+    val scored =
+      if (excludeSelf) scoredAll.filter(col("q_id") =!= col("cand_id"))
+      else scoredAll
     graft.plans.TopKPerGroup(scored, Seq("q_id"),
       Seq(("cos", false), ("cand_id", true)), topK, rnName = "rnk")
       .select(col("q_id"), col("cand_id"), col("cos"), col("rnk"))

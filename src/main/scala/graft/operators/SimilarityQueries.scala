@@ -234,44 +234,37 @@ object SimilarityQueries {
     // cid, matching the oracle's ORDER BY cscore DESC, cid). No corpus
     // row expansion, no shuffle, no window: assignment cost is O(n·k)
     // inside the scan stage, which is the shape that survives 100 TB.
-    // The NProbe ranking runs the same way (sorted slice of the struct
-    // array) over just the NumQueries query rows. Centroids are 8
-    // fixed corpus vectors (vec_id 10..17); at 100 TB they'd come from
-    // an offline k-means fit (graft.functions.KMeans for small k;
-    // graft.functions.IvfIndex.fit for large k — its per-iteration
-    // assignment is the two-level indexed pass, so k never becomes a
-    // k-wide expression tree) — the pipeline shape (assign → invert →
-    // probe) is identical and that's what this query pins down. Past
-    // k ≈ 32 the assignment itself goes through IvfIndex.assignIndexed
-    // (gated by q_dedup_semantic_indexed; measured sub-linear at
-    // 100×/k=800 in SCALE.md §"Semantic dedup" round-15 subsection),
-    // and the query side goes through IvfIndex.searchTopK — the same
-    // probe geometry as this query over a prebuilt inverted file, with
-    // the ranking in TopKPerGroup bounded heaps instead of a window
-    // (round 16; ~38× over exact at 10⁴ queries, SCALE.md §(e)).
+    // Centroids are 8 fixed corpus vectors (vec_id 10..17); at 100 TB
+    // they'd come from an offline k-means fit (graft.functions.KMeans
+    // for small k; graft.functions.IvfIndex.fit for large k — its
+    // per-iteration assignment is the two-level indexed pass, so k
+    // never becomes a k-wide expression tree). The QUERY side routes
+    // through the shipped retrieval half, IvfIndex.searchTopK
+    // (round 17; VERDICT r16 #1 — this gate is its DuckDB oracle):
+    // two-level probe routing (groupSize = 4 ⇒ g = 2 groups, and
+    // nprobe = g makes stage 1 exhaustive, so the top-NProbe probed
+    // cells are EXACTLY the flat ranking the oracle's `cr <= NProbe`
+    // window computes) and candidate ranking through the
+    // graft.plans.TopKPerGroup bounded heaps — never a per-query
+    // row_number window over the candidate join (PlanAuditSpec pins
+    // heap + zero windows). excludeSelf mirrors the oracle's
+    // `q_id <> cand_id`. Past k ≈ 32 the BUILD side goes through
+    // IvfIndex.assignIndexed too (gated by q_dedup_semantic_indexed;
+    // measured sub-linear at 100×/k=800, and searchTopK at ~38× over
+    // exact at |Q|=10⁴ — SCALE.md §"Semantic dedup").
     "q_sim_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
         .filter(col("nrm") > 0) // see q_sim_topk
-      val centArr = centArrOf(e)
-      val cands = assignCells(e, centArr)
-        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-          col("nrm").as("cn"), col("cell"))
-      // NProbe nearest cells per query vector: ascending sort on
-      // struct(-cscore, -ncid) == (cscore DESC, cid ASC), slice NProbe.
-      val probes = e.filter(col("vec_id") < NumQueries).crossJoin(centArr)
-        .withColumn("probe", explode(slice(array_sort(
-          transform(col("cents"), c => struct(
-            (-(dotD(col("embedding"), c.getField("cemb")) / (col("nrm") * c.getField("cnrm")))).as("nscore"),
-            c.getField("cid").as("cid")))), 1, NProbe)))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("probe").getField("cid").as("pcell"))
-      val byScore = Window.partitionBy("q_id")
-        .orderBy(col("cos").desc, col("cand_id"))
-      broadcast(probes).join(cands, col("pcell") === col("cell") && col("q_id") =!= col("cand_id"))
-        .withColumn("cos", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rnk", row_number().over(byScore))
-        .filter(col("rnk") <= TopK)
+      val inverted = assignCells(e, centArrOf(e))
+      val cents = e
+        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+        .select((col("vec_id") - NumQueries).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      graft.functions.IvfIndex.searchTopK(
+        e.filter(col("vec_id") < NumQueries), inverted, cents,
+        topK = TopK, groupSize = NCentroids / 2, nprobe = 2, probeCells = NProbe,
+        kHint = NCentroids, excludeSelf = true)
         .select(col("q_id"), col("cand_id"), col("rnk"))
         .orderBy("q_id", "rnk")
     }),

