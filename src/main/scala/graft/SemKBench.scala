@@ -44,7 +44,7 @@ import org.apache.spark.sql.graft.ColumnBridge
   * leg" reads the round-14 results).
   *
   * Usage: runMain graft.SemKBench [sfDir] [cluster] [skipTruth]
-  * [bigk|fitdist|search]
+  * [bigk|fitdist [bigk]|search|pruned]
   * — `cluster` switches to the CLUSTERED replica (real near-dup
   * clusters via ramped hash-noise; see buildClusterReplica), the
   * corpus that makes tight-threshold recall measurable; default is
@@ -277,7 +277,7 @@ object SemKBench {
     // forces the size gate that k ≥ 10⁵ takes automatically) and pins
     // that the delegated plan engages (ShuffledHashJoin present) and
     // assigns identically.
-    if (args.contains("bigk")) {
+    if (args.contains("bigk") && !args.contains("fitdist")) {
       val d100 = simReplica(100)
       val e = corpus(spark, d100)
       val n = e.count()
@@ -382,9 +382,17 @@ object SemKBench {
           else e.filter(col("vec_id") % stride < nq / 100)
         val gotQ = queries.count()
         require(gotQ == nq, s"query batch labeled $nq actually holds $gotQ")
+        // excludeSelf on BOTH sides (round-17, closing a round-16 ADVICE
+        // item): queries are drawn from the corpus, so without it every
+        // query's rank-1 is its own guaranteed self-hit and recall@10
+        // carries a ~0.1 floor — the pre-r17 numbers in SCALE.md carry
+        // that floor (ortho 0.169–0.175 was mostly self-hits); numbers
+        // from this harness are now floor-free and comparable only to
+        // other floor-free rows.
         def annAt(np: Int, pc: Int) = graft.functions.IvfIndex.searchTopK(
           queries, inverted, cents,
-          topK = TopN, groupSize = 8, nprobe = np, probeCells = pc, kHint = 800L)
+          topK = TopN, groupSize = 8, nprobe = np, probeCells = pc, kHint = 800L,
+          excludeSelf = true)
         def annDf = annAt(2, 2)
         def exactDf = {
           val q = queries.select(col("vec_id").as("q_id"),
@@ -392,7 +400,8 @@ object SemKBench {
           graft.plans.TopKPerGroup(
             broadcast(q).crossJoin(e)
               .select(col("q_id"), col("vec_id").as("cand_id"),
-                (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos")),
+                (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+              .filter(col("q_id") =!= col("cand_id")),
             Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
             .select(col("q_id"), col("cand_id"), col("cos"), col("rnk"))
         }
@@ -402,11 +411,17 @@ object SemKBench {
         }.min
         val annWall = wall(annDf)
         val exactWall = wall(exactDf)
+        // materialize the exact truth ONCE per batch (round-17, closing
+        // a round-16 ADVICE item: exactDf was a def, so every recallOf
+        // re-ran the |Q|×n brute-force cross-join — ~60 s per ladder
+        // rung at |Q|=10⁴ for no measurement benefit). The checkpointed
+        // table is |Q|·TopN rows; every recall join against it is free.
+        val exactRes = Checkpoint(exactDf.select(col("q_id"), col("cand_id")))
         def recallOf(df: DataFrame): Double = {
           val hits = df.select(col("q_id"), col("cand_id"))
-            .join(exactDf.select(col("q_id"), col("cand_id")), Seq("q_id", "cand_id"))
+            .join(exactRes, Seq("q_id", "cand_id"))
             .count()
-          hits.toDouble / (queries.count() * TopN)
+          hits.toDouble / (gotQ * TopN)
         }
         val recall = recallOf(annDf)
         System.err.println(f"[semk-search] n=$n k=800 topk=$TopN nq=$nq " +
@@ -424,11 +439,15 @@ object SemKBench {
         }
         // probe ladder at the big batch only: the recall/wall trade the
         // two probe knobs buy, against the SAME exact truth (the
-        // retrieval analogue of the assignment side's nprobe ladder)
+        // retrieval analogue of the assignment side's nprobe ladder).
+        // Each rung's ANN plan is built once and reused for wall and
+        // recall (round-17 ADVICE closure — the recall pass re-executes
+        // the rung once more, but never the exact truth).
         val ladder = if (nq < 10000) "" else {
           val rungs = Seq((2, 1), (4, 4), (8, 8)).map { case (np, pc) =>
-            val wallR = wall(annAt(np, pc))
-            val recR = recallOf(annAt(np, pc))
+            val annR = annAt(np, pc)
+            val wallR = wall(annR)
+            val recR = recallOf(annR)
             System.err.println(f"[semk-search]   ladder np=$np pc=$pc " +
               f"wall=$wallR%.2f recall=$recR%.3f")
             f""""np${np}pc$pc":{"ann_wall":$wallR%.2f,"recall_at_10":$recR%.3f}"""
@@ -440,9 +459,108 @@ object SemKBench {
       val batches = Seq(100, 10000).map(runBatch)
       release()
       println(f"""{"metric":"semk_search","n":$n,"k":800,"topk":$TopN,""" +
-        f""""fit":$useFit,"fit_wall":$fitWall%.2f,""" +
+        f""""fit":$useFit,"fit_wall":$fitWall%.2f,"self_excluded":true,""" +
         f""""build_wall":$buildWall%.2f,${batches.mkString(",")},""" +
         f""""clustered":$clustered}""")
+      spark.stop()
+      return
+    }
+
+    // Round-17 pruned mode (VERDICT r16 #2): the PARTITION-PRUNED
+    // deployment form of the retrieval half, measured. The inverted
+    // file is written cell-partitioned (IvfIndex.writeInverted — the
+    // layout the searchTopK scaladoc promises turns the probe join
+    // into file pruning at 100 TB) and each query batch runs twice
+    // over the SAME stored files: searchTopKAt (probed cells → static
+    // partition filter → the scan lists/reads only those cells' files)
+    // vs searchTopK over the full unpruned read. Reports files
+    // read/total (from the executed scan's own numFiles metric), walls
+    // (min-of-2), probed-cell counts, and a result-identity count —
+    // the claim is IO selectivity, so the rows must not move.
+    if (args.contains("pruned")) {
+      val d100 = if (clustered) clusterReplica(100) else simReplica(100)
+      val e = corpus(spark, d100)
+      val n = e.count()
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      val cents = centroidRowsChecked(e, d100, 100, clustered)
+      val TopN = 10
+      val inverted = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+        e, cents, groupSize = 8, nprobe = 2, kHint = 800L))
+      val path = new java.io.File(tmp, "graft_semk_inverted").getAbsolutePath
+      val tW0 = System.nanoTime()
+      graft.functions.IvfIndex.writeInverted(inverted, path)
+      val writeWall = (System.nanoTime() - tW0) / 1e9
+      val filesTotal = spark.read.parquet(path).inputFiles.length
+      // full-scan control over the SAME stored layout (cast mirrors
+      // searchTopKAt's partition-column type fixup)
+      def fullRead = spark.read.parquet(path)
+        .withColumn("cell", col("cell").cast("long"))
+      def scanFiles(df: DataFrame): Long = {
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+          val here = p match {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(f.metrics("numFiles").value)
+            case _ => Nil
+          }
+          val inner = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scansOf(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scansOf(q.plan)
+            case _ => Nil
+          }
+          here ++ inner ++ (p.children ++ p.subqueries).flatMap(scansOf)
+        }
+        scansOf(df.queryExecution.executedPlan).max
+      }
+      val stride = ScaleBench.Stride
+      def batch(nq: Int): String = {
+        val queries =
+          if (nq <= 2000) e.filter(col("vec_id") < nq)
+          else e.filter(col("vec_id") % stride < nq / 100)
+        val gotQ = queries.count()
+        require(gotQ == nq, s"query batch labeled $nq actually holds $gotQ")
+        def prunedDf = graft.functions.IvfIndex.searchTopKAt(queries, path, cents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L,
+          excludeSelf = true)
+        def fullDf = graft.functions.IvfIndex.searchTopK(queries, fullRead, cents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 800L,
+          excludeSelf = true)
+        prunedDf.count(); fullDf.count() // warm both plan families
+        def wall(mk: => DataFrame): Double = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
+        }.min
+        val wallPruned = wall(prunedDf)
+        val wallFull = wall(fullDf)
+        // one more execution to read the scan metric off the exact plan
+        // that ran (files_read ≈ probed cells: writeInverted lays out
+        // ~one file per cell). collect(), NOT count(): count() executes
+        // a DERIVED aggregate plan, leaving this DataFrame's own
+        // executedPlan unexecuted and its numFiles metric at 0. The
+        // collect is bounded at |Q|·topK rows.
+        val executed = prunedDf
+        val prunedRows = executed.collect().length
+        val filesRead = scanFiles(executed)
+        // result identity: every (q_id, cand_id, rnk) row must match
+        val fullRes = fullDf.select(col("q_id"), col("cand_id"), col("rnk"))
+        val matched = executed.select(col("q_id"), col("cand_id"), col("rnk"))
+          .join(fullRes, Seq("q_id", "cand_id", "rnk")).count()
+        val fullRows = fullRes.count()
+        val identical = matched == prunedRows && matched == fullRows
+        System.err.println(f"[semk-pruned] nq=$nq pruned=$wallPruned%.2f " +
+          f"full=$wallFull%.2f files=$filesRead/$filesTotal rows=$prunedRows " +
+          f"identical=$identical")
+        f""""q$nq":{"pruned_wall":$wallPruned%.2f,"full_wall":$wallFull%.2f,""" +
+          f""""files_read":$filesRead,"rows":$prunedRows,"identical":$identical}"""
+      }
+      val batches = Seq(100, 10000).map(batch)
+      release()
+      println(f"""{"metric":"semk_pruned","n":$n,"k":800,"topk":$TopN,""" +
+        f""""write_wall":$writeWall%.2f,"files_total":$filesTotal,""" +
+        f"""${batches.mkString(",")},"clustered":$clustered}""")
       spark.stop()
       return
     }
@@ -461,6 +579,15 @@ object SemKBench {
       val e = corpus(spark, d100)
       val in = e.select(col("vec_id"), col("embedding"))
       val n = in.count()
+      // round-17 (VERDICT r16 #4): `fitdist bigk` runs the same
+      // comparison a decade up — k=8000, one decade below the
+      // collectMaxK=10⁴ gate, where the driver alternative's collect is
+      // ~4 MB×iters and the distributed update's per-iteration
+      // Checkpoint + carryover join carries 512k (cell, dim) stat rows.
+      // groupSize follows the √k rule (80 ⇒ g=100 routing structs) so
+      // the ASSIGNMENT cost stays the bigk-mode shape and the delta
+      // prices the UPDATE path, which is the thing the gate switches.
+      val (fitK, fitGs) = if (args.contains("bigk")) (8000, 80) else (800, 8)
       def release(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -473,7 +600,7 @@ object SemKBench {
       def fitWall(collectMax: Int): (Double, DataFrame, Array[Double]) = {
         val t0 = System.nanoTime()
         val (t, obj) = graft.functions.IvfIndex.fit(in, "vec_id", "embedding",
-          k = 800, iters = 2, collectMaxK = collectMax)
+          k = fitK, iters = 2, groupSize = fitGs, collectMaxK = collectMax)
         t.count()
         ((System.nanoTime() - t0) / 1e9, t, obj)
       }
@@ -484,9 +611,9 @@ object SemKBench {
         .filter(col("cemb") =!= col("xe") || col("cnrm") =!= col("xn")).count()
       val objEq = oDrv.toSeq == oDist.toSeq
       release()
-      System.err.println(f"[semk-fitdist] n=$n k=800 iters=2 driver=$wDrv%.1f " +
+      System.err.println(f"[semk-fitdist] n=$n k=$fitK iters=2 driver=$wDrv%.1f " +
         f"distributed=$wDist%.1f centroid_diff=$diff obj_equal=$objEq")
-      println(f"""{"metric":"semk_fitdist","n":$n,"k":800,"iters":2,""" +
+      println(f"""{"metric":"semk_fitdist","n":$n,"k":$fitK,"iters":2,""" +
         f""""driver_wall":$wDrv%.1f,"distributed_wall":$wDist%.1f,""" +
         f""""centroid_diff":$diff,"objective_equal":$objEq}""")
       spark.stop()

@@ -51,8 +51,8 @@ object StateStoreBench {
     // fail loudly on a typo'd mode (round-16 ADVICE): the round-15 mode
     // gating made an unrecognized mode run only the warm-up and exit
     // with no output, which reads as a silent empty run
-    require(Set("store", "throughput", "all", "batchsize", "keydepth").contains(mode),
-      s"unknown mode '$mode' (expected store|throughput|all|batchsize|keydepth)")
+    require(Set("store", "throughput", "all", "batchsize", "keydepth", "restore").contains(mode),
+      s"unknown mode '$mode' (expected store|throughput|all|batchsize|keydepth|restore)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -135,7 +135,8 @@ object StateStoreBench {
         f"rocksdb=${rSec}%.2fs (${rBytes / 1e6}%.1f MB)  ratio=${rSec / hSec}%.2f")
     }
 
-    if (mode == "throughput" || mode == "all" || mode == "batchsize" || mode == "keydepth")
+    if (mode == "throughput" || mode == "all" || mode == "batchsize" ||
+        mode == "keydepth" || mode == "restore")
       throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"),
         hotOnly = args.contains("hotonly"))
     spark.stop()
@@ -276,6 +277,86 @@ object StateStoreBench {
     def mkSess(d: String, mft: Int): DataFrame =
       streaming.Sessionize.sessionsOfStream(
         thrStream(d, mft).selectExpr("user_id", "ts", "value"))
+
+    // mode `restore` (round 17; VERDICT r16 #3): RESTART RECOVERY cost
+    // under the shipped changelog default, priced. Changelog
+    // checkpointing trades the per-commit snapshot upload for
+    // replay-on-restore: recovery loads the latest snapshot and replays
+    // every changelog file committed since it. Background maintenance is
+    // parked at 1h so the changelog depth is EXACTLY the batch count —
+    // the axis under measurement; the controls at each depth are RocksDB
+    // snapshot-per-commit (restore = one snapshot load, zero replay —
+    // same state, same restart batch) and the HDFS-backed provider
+    // (delta replay is its native restore shape). Protocol per
+    // (posture, depth): stream the first `depth` files to completion,
+    // stop, unload every loaded state-store provider (StateStore.stop()
+    // — a same-JVM restart would otherwise restore from the provider
+    // cache and hide the recovery cost entirely), add ONE more file,
+    // restart on the same checkpoint, and time the restarted query to
+    // completion. The added file is the same row volume at every depth,
+    // so the restart-wall spread across depths IS the replay cost. The
+    // sink is a parquet file sink (the memory sink refuses to recover
+    // from an existing checkpoint in append mode).
+    if (mode == "restore") {
+      val dirAll = corpora.find(_._1 == "10x").get._2
+      val files = new java.io.File(dirAll).listFiles()
+        .filter(_.getName.matches("ev_\\d+\\.parquet")).sortBy(_.getName)
+      require(files.length == Batches, s"expected $Batches files, found ${files.length}")
+      def withConfs[A](confs: Map[String, String])(body: => A): A = {
+        val prevs = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally prevs.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+      val maint = Map("spark.sql.streaming.stateStore.maintenanceInterval" -> "3600s")
+      val rp = "spark.sql.streaming.stateStore.rocksdb."
+      val postures: Seq[(String, Option[String], Map[String, String])] = Seq(
+        ("rocks_changelog", Some(Rocks),
+          maint + (rp + "changelogCheckpointing.enabled" -> "true")),
+        ("rocks_snapshot", Some(Rocks),
+          maint + (rp + "changelogCheckpointing.enabled" -> "false")),
+        ("hdfs", None, maint))
+      val depths = Seq(4, 8, 15)
+      def runTo(runDir: java.io.File, ckpt: java.io.File, out: java.io.File): Double = {
+        val t0 = System.nanoTime()
+        val q = mkSess(runDir.getAbsolutePath, 1).writeStream.outputMode("append")
+          .format("parquet").option("path", out.getAbsolutePath)
+          .option("checkpointLocation", ckpt.getAbsolutePath).start()
+        try q.processAllAvailable() finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rows = for ((pname, prov, confs) <- postures; depth <- depths) yield {
+        val runDir = new java.io.File(tmp, "graft_ssb_restore")
+        rm(runDir); runDir.mkdirs()
+        files.take(depth).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, new java.io.File(runDir, f.getName).toPath)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory(s"ssbres_${pname}_$depth").toFile
+        val out = java.nio.file.Files.createTempDirectory(s"ssbreso_${pname}_$depth").toFile
+        val (phase1Wall, stateBytes) = withProvider(spark, prov) { withConfs(confs) {
+          val w = runTo(runDir, ckpt, out)
+          (w, du(new java.io.File(ckpt, "state")))
+        }}
+        // force cold recovery: drop every loaded provider instance
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        val next = files(depth)
+        java.nio.file.Files.copy(next.toPath, new java.io.File(runDir, next.getName).toPath)
+        val restartWall = withProvider(spark, prov) { withConfs(confs) {
+          runTo(runDir, ckpt, out)
+        }}
+        rm(ckpt); rm(out); rm(runDir)
+        System.err.println(f"[restore] $pname depth=$depth phase1=$phase1Wall%.1f " +
+          f"state_mb=${stateBytes / 1e6}%.1f restart_wall=$restartWall%.2f")
+        f""""${pname}_d$depth":{"phase1_wall":$phase1Wall%.1f,""" +
+          f""""state_mb":${stateBytes / 1e6}%.1f,"restart_wall":$restartWall%.2f}"""
+      }
+      println(s"""{"metric":"streaming_restore","batch_rows":62500,""" +
+        s""""runs":${rows.mkString("{", ",", "}")}}""")
+      return
+    }
 
     // mode `keydepth` (round 16; VERDICT r15 #5): the ACTIVE-KEYS axis,
     // isolated. The r15 per-row points confounded rows with keys (1M

@@ -178,9 +178,11 @@ object IvfIndex {
     * file — the (vec_id, embedding, nrm, cell) output of
     * [[assignIndexed]] — so the index is built once and amortized
     * across query batches; at 100 TB the deployment form is the
-    * assigned corpus written `partitionBy("cell")` to parquet, where
-    * the probe equi-join becomes partition pruning and each query
-    * batch reads ONLY its probed cells' files.
+    * assigned corpus written `partitionBy("cell")` to parquet
+    * ([[writeInverted]]), where [[searchTopKAt]] turns the probe into
+    * a static partition filter and each query batch reads ONLY its
+    * probed cells' files (measured: 174/800 files at |Q|=100,
+    * result-identical — SCALE.md §"Semantic dedup" round-17 (c)).
     *
     * Query routing is the same two-level pass as assignment, kept
     * top-`probeCells` CELLS per query instead of argmax: stage 1 scores
@@ -236,11 +238,12 @@ object IvfIndex {
     * deployment form: the query batch's probed cells become a static
     * partition filter, so the candidate read LISTS AND SCANS ONLY the
     * probed cells' files instead of the whole index (file pruning at
-    * the source, measured in SCALE.md §"IVF retrieval" round-17
-    * subsection — files_read/files_total and the wall delta vs the
-    * full scan at 100×; IvfIndexSpec pins result identity with the
-    * in-memory searchTopK and that the scan's partition filter
-    * engages). The probe pass materializes once (graft.Checkpoint) —
+    * the source, measured in SCALE.md §"Semantic dedup" round-17 (c):
+    * 174/800 files at |Q|=100, result-identical — the IO-volume win
+    * that pays when |Q|·probeCells ≪ k with GB-scale cells, the
+    * small-batch/large-k serving shape; IvfIndexSpec pins result
+    * identity with the in-memory searchTopK and that the scan's
+    * partition filter engages). The probe pass materializes once (graft.Checkpoint) —
     * it is |Q|-sized and is consumed twice (the cell collect and the
     * candidate join).
     *
