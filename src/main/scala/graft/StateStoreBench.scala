@@ -138,7 +138,7 @@ object StateStoreBench {
     if (mode == "throughput" || mode == "all" || mode == "batchsize" ||
         mode == "keydepth" || mode == "restore")
       throughput(spark, sfDir, du, rm, mode, big = args.contains("100x"),
-        hotOnly = args.contains("hotonly"))
+        hotOnly = args.contains("hotonly"), deep = args.contains("deep"))
     spark.stop()
   }
 
@@ -159,7 +159,8 @@ object StateStoreBench {
                          rm: java.io.File => Unit,
                          mode: String = "throughput",
                          big: Boolean = false,
-                         hotOnly: Boolean = false): Unit = {
+                         hotOnly: Boolean = false,
+                         deep: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     val tmp = System.getProperty("java.io.tmpdir")
     val Batches = 16
@@ -298,7 +299,20 @@ object StateStoreBench {
     // sink is a parquet file sink (the memory sink refuses to recover
     // from an existing checkpoint in append mode).
     if (mode == "restore") {
-      val dirAll = corpora.find(_._1 == "10x").get._2
+      // `restore deep` re-runs the grid on the keydepth mode's 1.5M-key
+      // corpus (100× events, user_id×10 + event-salt, 625k rows/file) —
+      // ~10× the per-commit changelog volume and ~10× the keys of the
+      // default 10× grid, probing where replay depth starts to cost.
+      val dirAll =
+        if (!deep) corpora.find(_._1 == "10x").get._2
+        else {
+          val rep100 = new java.io.File(tmp, "graft_ssb_ev100").getAbsolutePath
+          ScaleBench.buildTables(spark, sfDir, rep100, 100, Set("events"))
+          prepCorpus(Tables.events(spark, rep100)
+              .withColumn("user_id", expr("user_id * 10 + pmod(event_id, 10)")),
+            "graft_ssb_kd_k1500k",
+            s"ssbkd=v1 sf=$sfDir src=$rep100 keys=x10salt batches=$Batches")
+        }
       val files = new java.io.File(dirAll).listFiles()
         .filter(_.getName.matches("ev_\\d+\\.parquet")).sortBy(_.getName)
       require(files.length == Batches, s"expected $Batches files, found ${files.length}")
@@ -353,8 +367,8 @@ object StateStoreBench {
         f""""${pname}_d$depth":{"phase1_wall":$phase1Wall%.1f,""" +
           f""""state_mb":${stateBytes / 1e6}%.1f,"restart_wall":$restartWall%.2f}"""
       }
-      println(s"""{"metric":"streaming_restore","batch_rows":62500,""" +
-        s""""runs":${rows.mkString("{", ",", "}")}}""")
+      println(s"""{"metric":"streaming_restore","batch_rows":${if (deep) 625000 else 62500},""" +
+        s""""deep":$deep,"runs":${rows.mkString("{", ",", "}")}}""")
       return
     }
 

@@ -285,6 +285,33 @@ object IvfIndex {
     inverted.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incrementally add new vectors to an existing cell-partitioned
+    * inverted file — the continuous-ingest half of the index lifecycle
+    * (a training-data corpus grows daily; rebuilding a 100 TB index
+    * per batch is not a plan). The batch is assigned against the SAME
+    * frozen centroid table the index was built with and appended
+    * partition-wise: new files land ONLY in the touched cells'
+    * directories, existing files are never rewritten, and readers see
+    * the append atomically per file. Because cell membership is a pure
+    * function of (vector, centroids), a search over base+appended is
+    * IDENTICAL to a search over a full rebuild of the union
+    * (IvfIndexSpec pins it) — the classic IVF add posture. Centroid
+    * drift is the caller's trade, exactly as in production IVF: appends
+    * against stale centroids degrade routing recall, never correctness
+    * of the probed-cell search itself; refit + [[writeInverted]] when
+    * the drift measurement (SemKBench's recall harness) says so.
+    *
+    * `e`: (vec_id, embedding, nrm > 0) — the [[assignIndexed]] input
+    * shape. Same size gates as assignment apply.
+    */
+  def appendInverted(e: DataFrame, cents: DataFrame, path: String,
+                     groupSize: Int = 8, nprobe: Int = 2,
+                     dim: Int = 64, kHint: Long = -1L,
+                     broadcastMaxCids: Long = BroadcastMaxCids): Unit =
+    assignIndexed(e, cents, groupSize, nprobe, dim, kHint, broadcastMaxCids)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Shared argument gate for the search entry points; returns k. */
   private def searchGate(topK: Int, nprobe: Int, probeCells: Int,
                          groupSize: Int, kHint: Long, cents: DataFrame): Long = {

@@ -484,6 +484,52 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendInverted: incremental adds are search-identical to a full rebuild") {
+    // the continuous-ingest contract: write the index from the first
+    // half of the corpus, append the second half in TWO batches against
+    // the same frozen centroids, and searchTopKAt over the grown index
+    // must equal searchTopK over a single-shot assignment of the whole
+    // corpus — bit for bit, because cell membership is a pure function
+    // of (vector, centroids) and the heap order is total. Also pins the
+    // append layout: existing base files are never rewritten.
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2a = corpus.filter(col("vec_id") % 4 === 1)
+    val half2b = corpus.filter(col("vec_id") % 4 === 3)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(
+        functions.IvfIndex.assignIndexed(half1, cents32,
+          groupSize = 8, nprobe = 2, kHint = 32), path)
+      val baseFiles = spark.read.parquet(path).inputFiles.toSet
+      functions.IvfIndex.appendInverted(half2a, cents32, path, kHint = 32)
+      functions.IvfIndex.appendInverted(half2b, cents32, path, kHint = 32)
+      val grownFiles = spark.read.parquet(path).inputFiles.toSet
+      assert(baseFiles.subsetOf(grownFiles),
+        "append must never rewrite or drop the base files")
+      assert(grownFiles.size > baseFiles.size, "append must add files")
+      val got = functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val rebuilt = functions.IvfIndex.searchTopK(queries,
+        functions.IvfIndex.assignIndexed(corpus, cents32,
+          groupSize = 8, nprobe = 2, kHint = 32),
+        cents32, topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(got.length == rebuilt.length && got.toSeq == rebuilt.toSeq,
+        "search over the incrementally-grown index must equal the full rebuild")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("forced distributed fit: no driver collect of the centroid matrix, bit-identical") {
     // collectMaxK = 0 forces the distributed update at k=16 — the
     // regime k ∝ n reaches at 100 TB (k ~ 10⁵–10⁶, where per-iteration

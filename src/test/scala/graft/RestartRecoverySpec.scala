@@ -242,6 +242,76 @@ class RestartRecoverySpec extends AnyFunSuite {
       streaming.LocfStream.fillsOf)
   }
 
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
+  test("deep changelog replay: 7 commits with maintenance parked restore bit-identically") {
+    // The round-17 restore bench (StateStoreBench `restore`) prices
+    // depth-15 replay WALLS; this pins the CORRECTNESS half the bench
+    // does not check. With background maintenance parked (no snapshot
+    // ever uploads under changelog checkpointing), the restarted
+    // query's ONLY path back to its state is replaying the full 7-deep
+    // changelog — asserted below by counting changelog files in the
+    // checkpoint before the restart. u41 carries ONE session whose
+    // state grew in EVERY pre-restart batch (its events are ≤7 min
+    // apart across batch boundaries, under the 10-min gap), so a
+    // dropped, truncated, or out-of-order changelog replay cannot
+    // reproduce the uninterrupted output.
+    streaming.StatePosture.withRocksDb(spark) {
+      withConf("spark.sql.streaming.stateStore.maintenanceInterval", "3600s") {
+        import spark.implicits._
+        def df(rows: Seq[(Long, Long, Double)]): DataFrame =
+          rows.toDF("user_id", "us", "value")
+            .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+        // batch i: one isolated u40 session (20-min cadence > gap) that
+        // closes two batches later, plus three u41 events that keep its
+        // single session open across every boundary
+        val batches = (0 until 7).map { i =>
+          df(Seq(
+            (40L, m(i * 20 + 1), i + 1.0),
+            (41L, m(i * 20), i + 0.25), (41L, m(i * 20 + 7), 0.5),
+            (41L, m(i * 20 + 14), 0.125)))
+        } :+ df(Seq((-1L, m(2000), 0.0))) // sentinel flushes everything
+        val t0 = System.currentTimeMillis() - 120000
+
+        val srcA = tmpDir("deep_srcA"); val ckA = tmpDir("deep_ckA")
+        val outA = tmpDir("deep_outA")
+        batches.init.zipWithIndex.foreach { case (b, i) =>
+          writeReplayFile(srcA, b, f"b$i%02d", t0 + i * 10000) }
+        runPart(sessionDDL, srcA, ckA, outA, streaming.Sessionize.sessionsOfStream)
+        val partial = spark.read.parquet(outA.getAbsolutePath).count()
+        val changelogs = stateFiles(ckA).count(_.contains("changelog"))
+        assert(changelogs >= 7,
+          s"expected a >=7-deep changelog lineage to replay, found $changelogs")
+        writeReplayFile(srcA, batches.last, "b07", t0 + 80000)
+        runPart(sessionDDL, srcA, ckA, outA, streaming.Sessionize.sessionsOfStream)
+
+        val srcB = tmpDir("deep_srcB"); val ckB = tmpDir("deep_ckB")
+        val outB = tmpDir("deep_outB")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          writeReplayFile(srcB, b, f"b$i%02d", t0 + i * 10000) }
+        runPart(sessionDDL, srcB, ckB, outB, streaming.Sessionize.sessionsOfStream)
+
+        val a = spark.read.parquet(outA.getAbsolutePath)
+        val b = spark.read.parquet(outB.getAbsolutePath)
+        assert(b.count() > 0, "uninterrupted run produced no rows")
+        assert(partial > 0 && partial < b.count(),
+          s"restart boundary not mid-output: $partial of ${b.count()} rows pre-restart")
+        assert(a.count() == b.count(),
+          s"restarted ${a.count()} rows vs uninterrupted ${b.count()}")
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          "deep-replay restart output differs from the uninterrupted run")
+      }
+    }
+  }
+
   // ---- built-in windowed aggregate (Spark-managed state) ----
   // Hour-0 closes inside part 1 (b2's m95 row pushes the watermark to
   // m65); hour-1's state is created in part 1 (m70, m95) and EXTENDED
