@@ -557,10 +557,34 @@ object SemKBench {
           f""""files_read":$filesRead,"rows":$prunedRows,"identical":$identical}"""
       }
       val batches = Seq(100, 10000).map(batch)
+      // append-vs-rebuild (round 17 — appendInverted as a measured
+      // claim, not an API promise): a 1% ingest batch (2k base vectors
+      // re-id'd into an unused id space) appended against the frozen
+      // centroids, vs a full assign+write rebuild of the union. The
+      // append touches only its batch's probed cells' directories;
+      // IvfIndexSpec pins that search over the grown index equals the
+      // rebuilt one.
+      val batchVecs = e.filter(col("vec_id") < 2000)
+        .withColumn("vec_id", col("vec_id") + lit(200L * stride))
+      val tA0 = System.nanoTime()
+      graft.functions.IvfIndex.appendInverted(batchVecs, cents, path, kHint = 800L)
+      val appendWall = (System.nanoTime() - tA0) / 1e9
+      val grownRows = spark.read.parquet(path).count()
+      require(grownRows == n + 2000, s"append must add exactly the batch: $grownRows")
+      val tR0 = System.nanoTime()
+      graft.functions.IvfIndex.writeInverted(
+        graft.functions.IvfIndex.assignIndexed(e.unionAll(batchVecs), cents,
+          groupSize = 8, nprobe = 2, kHint = 800L),
+        new java.io.File(tmp, "graft_semk_inverted_rebuild").getAbsolutePath)
+      val rebuildWall = (System.nanoTime() - tR0) / 1e9
+      System.err.println(f"[semk-pruned] append_1pct=$appendWall%.2f " +
+        f"rebuild=$rebuildWall%.2f grown_rows=$grownRows")
       release()
       println(f"""{"metric":"semk_pruned","n":$n,"k":800,"topk":$TopN,""" +
         f""""write_wall":$writeWall%.2f,"files_total":$filesTotal,""" +
-        f"""${batches.mkString(",")},"clustered":$clustered}""")
+        f"""${batches.mkString(",")},""" +
+        f""""append_wall":$appendWall%.2f,"rebuild_wall":$rebuildWall%.2f,""" +
+        f""""clustered":$clustered}""")
       spark.stop()
       return
     }

@@ -301,6 +301,17 @@ object IvfIndex {
     * of the probed-cell search itself; refit + [[writeInverted]] when
     * the drift measurement (SemKBench's recall harness) says so.
     *
+    * SIZE YOUR BATCHES: hive-style partitioning writes ≥ one file per
+    * TOUCHED cell per append, regardless of rows — a small scattered
+    * batch is the worst case (measured: a 2k-row batch over 800 cells
+    * appended 710 ~3-row files and cost 9.95 s vs 4.76 s for a full
+    * 202k-row rebuild — SCALE.md §"Semantic dedup" round-17 (c)).
+    * Accumulate micro-batches upstream until rows ≳ touched-cells ×
+    * target-rows-per-file before appending, and compact (periodic
+    * [[writeInverted]] — the q_sink_compaction posture) when append
+    * generations pile up; the append wins exactly when the alternative
+    * is re-assigning and rewriting an index that dwarfs the batch.
+    *
     * `e`: (vec_id, embedding, nrm > 0) — the [[assignIndexed]] input
     * shape. Same size gates as assignment apply.
     */
