@@ -579,11 +579,31 @@ object SemKBench {
       val rebuildWall = (System.nanoTime() - tR0) / 1e9
       System.err.println(f"[semk-pruned] append_1pct=$appendWall%.2f " +
         f"rebuild=$rebuildWall%.2f grown_rows=$grownRows")
+      // the win case of the same curve: a 50% batch (100k rows — well
+      // past the touched-cells × rows-per-file bar) appended vs the
+      // union rebuild it replaces (300k assign + write)
+      val bigBatch = e.filter(col("vec_id") % stride < 1000)
+        .withColumn("vec_id", col("vec_id") + lit(300L * stride))
+      val tB0 = System.nanoTime()
+      graft.functions.IvfIndex.appendInverted(bigBatch, cents, path, kHint = 800L)
+      val appendBigWall = (System.nanoTime() - tB0) / 1e9
+      val grown2 = spark.read.parquet(path).count()
+      require(grown2 == n + 2000 + 100000, s"big append row count off: $grown2")
+      val tR2 = System.nanoTime()
+      graft.functions.IvfIndex.writeInverted(
+        graft.functions.IvfIndex.assignIndexed(
+          e.unionAll(batchVecs).unionAll(bigBatch), cents,
+          groupSize = 8, nprobe = 2, kHint = 800L),
+        new java.io.File(tmp, "graft_semk_inverted_rebuild").getAbsolutePath)
+      val rebuildBigWall = (System.nanoTime() - tR2) / 1e9
+      System.err.println(f"[semk-pruned] append_50pct=$appendBigWall%.2f " +
+        f"rebuild_union=$rebuildBigWall%.2f grown_rows=$grown2")
       release()
       println(f"""{"metric":"semk_pruned","n":$n,"k":800,"topk":$TopN,""" +
         f""""write_wall":$writeWall%.2f,"files_total":$filesTotal,""" +
         f"""${batches.mkString(",")},""" +
         f""""append_wall":$appendWall%.2f,"rebuild_wall":$rebuildWall%.2f,""" +
+        f""""append_big_wall":$appendBigWall%.2f,"rebuild_big_wall":$rebuildBigWall%.2f,""" +
         f""""clustered":$clustered}""")
       spark.stop()
       return

@@ -304,8 +304,10 @@ object IvfIndex {
     * SIZE YOUR BATCHES: hive-style partitioning writes ≥ one file per
     * TOUCHED cell per append, regardless of rows — a small scattered
     * batch is the worst case (measured: a 2k-row batch over 800 cells
-    * appended 710 ~3-row files and cost 9.95 s vs 4.76 s for a full
-    * 202k-row rebuild — SCALE.md §"Semantic dedup" round-17 (c)).
+    * appended 710 ~3-row files and cost 9.9 s vs 4.6 s for a full
+    * 202k-row rebuild, while a 100k-row batch appended in 3.6 s vs
+    * 5.6 s for its union rebuild — both ends of the curve in
+    * SCALE.md §"Semantic dedup" round-17 (c)).
     * Accumulate micro-batches upstream until rows ≳ touched-cells ×
     * target-rows-per-file before appending, and compact (periodic
     * [[writeInverted]] — the q_sink_compaction posture) when append
