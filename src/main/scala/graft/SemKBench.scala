@@ -505,16 +505,33 @@ object SemKBench {
               Seq(f.metrics("numFiles").value)
             case _ => Nil
           }
+          // AQE hides the tree behind AdaptiveSparkPlanExec/QueryStageExec
+          // and a reused scan behind ReusedExchangeExec (a LEAF whose
+          // `child` is the shared exchange — children-traversal alone
+          // misses it; round-17 ADVICE), so walk through all three
           val inner = p match {
             case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
               scansOf(a.executedPlan)
             case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
               scansOf(q.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              scansOf(r.child)
             case _ => Nil
           }
           here ++ inner ++ (p.children ++ p.subqueries).flatMap(scansOf)
         }
-        scansOf(df.queryExecution.executedPlan).max
+        // empty-safe (round-17 ADVICE): a plan with no reachable file
+        // scan reports -1 instead of crashing the bench post-work
+        scansOf(df.queryExecution.executedPlan).reduceOption(_ max _).getOrElse(-1L)
+      }
+      def withConf[A](key: String, v: String)(body: => A): A = {
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, v)
+        try body
+        finally prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None    => spark.conf.unset(key)
+        }
       }
       val stride = ScaleBench.Stride
       def batch(nq: Int): String = {
@@ -534,7 +551,20 @@ object SemKBench {
           val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
         }.min
         val wallPruned = wall(prunedDf)
-        val wallFull = wall(fullDf)
+        // the "full unpruned read" control runs with runtime DPP OFF and
+        // PROVES it scanned everything via its own numFiles metric
+        // (round-17 ADVICE: the probe join keys on a cast of the
+        // partition column, so dynamic partition pruning could silently
+        // prune the control and confound the pruned-vs-full comparison)
+        val (wallFull, filesReadFull) =
+          withConf("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false") {
+            val w = wall(fullDf)
+            val executedFull = fullDf
+            executedFull.collect() // bounded: |Q|·topK rows
+            (w, scanFiles(executedFull))
+          }
+        require(filesReadFull == filesTotal.toLong,
+          s"full-scan control read $filesReadFull of $filesTotal files — not a full scan")
         // one more execution to read the scan metric off the exact plan
         // that ran (files_read ≈ probed cells: writeInverted lays out
         // ~one file per cell). collect(), NOT count(): count() executes
@@ -605,6 +635,131 @@ object SemKBench {
         f""""append_wall":$appendWall%.2f,"rebuild_wall":$rebuildWall%.2f,""" +
         f""""append_big_wall":$appendBigWall%.2f,"rebuild_big_wall":$rebuildBigWall%.2f,""" +
         f""""clustered":$clustered}""")
+      spark.stop()
+      return
+    }
+
+    // Round-18 drift mode (VERDICT r17 #1): the append-drift recall
+    // curve — appendInverted's scaladoc defers "when to refit" to "the
+    // drift measurement", and this leg IS that measurement. Corpus
+    // model: the 100× clustered replica (2000 real near-dup clusters)
+    // is the BASE a k=800 IvfIndex.fit trained on; the ingest stream
+    // then appends DISTRIBUTION-SHIFTED batches — whole base clusters
+    // under an orthogonal transform the fit never saw (coordinate
+    // shift 7 + alternating block sign-flip: new topics in new
+    // locations, within-batch cluster structure preserved exactly) —
+    // at 10% / 25% / 50% of the base corpus. At each point two indexes
+    // over the SAME grown corpus are searched floor-free (topK=10,
+    // nprobe=2, probeCells=2, excludeSelf) against brute-force truth:
+    //   stale  — the appendInverted posture: frozen base centroids
+    //            route both assignment and queries (assignIndexed over
+    //            the union ≡ base index + appends, pinned by
+    //            IvfIndexSpec's rebuild-identity test);
+    //   fresh  — the refit control: IvfIndex.fit re-run on the grown
+    //            corpus (same k/iters), index rebuilt.
+    // Recall is reported per QUERY POPULATION (base-drawn vs
+    // drift-drawn, 1000 each, batch sizes asserted — the replica
+    // vec_id stride trap) because the degradation concentrates in the
+    // drifted population: stale centroids have no cells where the new
+    // clusters live, so shifted vectors crowd into far cells and their
+    // neighbors scatter. The curve turns the scaladoc's "refit when
+    // drift says so" into a measured refit-cadence rule (SCALE.md
+    // §"Semantic dedup" round-18).
+    if (args.contains("drift")) {
+      require(clustered,
+        "drift mode measures the clustered replica (usage: SemKBench <sfDir> cluster drift)")
+      val dBase = clusterReplica(100)
+      val base = corpus(spark, dBase)
+      val nBase = base.count()
+      val stride = ScaleBench.Stride
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      val K = 800; val Iters = 2; val TopN = 10
+      val tS0 = System.nanoTime()
+      val staleCents = graft.Checkpoint(graft.functions.IvfIndex.fit(
+        base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = K, iters = Iters)._1)
+      val staleFitWall = (System.nanoTime() - tS0) / 1e9
+      release()
+      // the unseen orthogonal transform: shift 7 composed with negating
+      // blocks {1,3,5,7} — the replica copies only ever used flip
+      // patterns 0 and 1, so (7, 0xAA) is a genuinely new direction set
+      val negBlocks = Seq(1, 3, 5, 7)
+      def shiftedBatch(nBaseIds: Int, idOffset: Long): DataFrame = {
+        val picked = spark.read.parquet(s"$dBase/embeddings.parquet")
+          .filter(col("vec_id") % stride < nBaseIds)
+        val shifted = concat(slice(col("embedding"), 8, 57),
+          slice(col("embedding"), 1, 7))
+        val flipped = transform(shifted, (x, j) =>
+          when((j / 8).cast("int").isin(negBlocks: _*), -x).otherwise(x))
+        picked
+          .withColumn("vec_id", col("vec_id") + lit(idOffset))
+          .withColumn("embedding", flipped)
+          .select(col("vec_id"), col("embedding"),
+            normD(col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0)
+      }
+      def exactTopK(queries: DataFrame, corpusAll: DataFrame): DataFrame = {
+        val q = queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+        graft.plans.TopKPerGroup(
+          broadcast(q).crossJoin(corpusAll)
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+            .filter(col("q_id") =!= col("cand_id")),
+          Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
+          .select(col("q_id"), col("cand_id"))
+      }
+      val points = Seq(0.10, 0.25, 0.50).zipWithIndex.map { case (f, pi) =>
+        val nBaseIds = (2000 * f).toInt
+        val batch = shiftedBatch(nBaseIds, (1000L + pi) * stride)
+        val nBatch = batch.count()
+        require(nBatch == nBaseIds.toLong * 100,
+          s"drift batch labeled ${nBaseIds * 100} actually holds $nBatch")
+        val grown = base.unionAll(batch)
+        val staleIdx = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+          grown, staleCents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+        val tF0 = System.nanoTime()
+        val freshCents = graft.Checkpoint(graft.functions.IvfIndex.fit(
+          grown.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          k = K, iters = Iters)._1)
+        val freshFitWall = (System.nanoTime() - tF0) / 1e9
+        val freshIdx = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+          grown, freshCents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+        val qBase = base.filter(col("vec_id") % stride < 10)
+        val qDrift = batch.filter(col("vec_id") % stride < 10)
+        require(qBase.count() == 1000 && qDrift.count() == 1000,
+          "query populations must hold exactly 1000 each")
+        def recallOn(idx: DataFrame, cents: DataFrame, queries: DataFrame,
+                     truth: DataFrame, nq: Long): Double = {
+          val ann = graft.functions.IvfIndex.searchTopK(queries, idx, cents,
+            topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2,
+            kHint = K.toLong, excludeSelf = true)
+          val hits = ann.select(col("q_id"), col("cand_id"))
+            .join(truth, Seq("q_id", "cand_id")).count()
+          hits.toDouble / (nq * TopN)
+        }
+        val truthBase = graft.Checkpoint(exactTopK(qBase, grown))
+        val truthDrift = graft.Checkpoint(exactTopK(qDrift, grown))
+        val rStaleBase = recallOn(staleIdx, staleCents, qBase, truthBase, 1000)
+        val rStaleDrift = recallOn(staleIdx, staleCents, qDrift, truthDrift, 1000)
+        val rFreshBase = recallOn(freshIdx, freshCents, qBase, truthBase, 1000)
+        val rFreshDrift = recallOn(freshIdx, freshCents, qDrift, truthDrift, 1000)
+        release()
+        System.err.println(f"[semk-drift] f=$f%.2f n_grown=${nBase + nBatch} " +
+          f"stale base/drift=$rStaleBase%.3f/$rStaleDrift%.3f " +
+          f"fresh base/drift=$rFreshBase%.3f/$rFreshDrift%.3f " +
+          f"fresh_fit_wall=$freshFitWall%.1f")
+        f""""f${(f * 100).toInt}":{"n_grown":${nBase + nBatch},""" +
+          f""""recall_stale_base":$rStaleBase%.3f,"recall_stale_drift":$rStaleDrift%.3f,""" +
+          f""""recall_fresh_base":$rFreshBase%.3f,"recall_fresh_drift":$rFreshDrift%.3f,""" +
+          f""""fresh_fit_wall":$freshFitWall%.1f}"""
+      }
+      println(f"""{"metric":"semk_drift","n_base":$nBase,"k":$K,"iters":$Iters,""" +
+        f""""topk":$TopN,"self_excluded":true,"stale_fit_wall":$staleFitWall%.1f,""" +
+        f"""${points.mkString(",")}}""")
       spark.stop()
       return
     }

@@ -243,9 +243,19 @@ object IvfIndex {
     * that pays when |Q|·probeCells ≪ k with GB-scale cells, the
     * small-batch/large-k serving shape; IvfIndexSpec pins result
     * identity with the in-memory searchTopK and that the scan's
-    * partition filter engages). The probe pass materializes once (graft.Checkpoint) —
-    * it is |Q|-sized and is consumed twice (the cell collect and the
-    * candidate join).
+    * partition filter engages). The probe pass runs TWICE — eagerly for
+    * the cell collect here and again inside the lazy result's candidate
+    * join. It is deliberately NOT checkpointed: a serving session calls
+    * this per batch, and a per-call eager checkpoint leaves residue the
+    * caller cannot release (local blocks pinned until driver GC, or
+    * `rdd-<id>` dirs under a reliable checkpoint dir — the exact
+    * unbounded-latency cleanup [[graft.functions.GraphPass.release]]
+    * exists to avoid; round-17 ADVICE). The double execution is sound
+    * because the probe is bit-deterministic (ascending folds, total tie
+    * orders — the object-doc contract), and |Q|-sized work is the cheap
+    * end of the plan; it does require `queries` itself to be
+    * deterministic (every in-repo caller is a parquet read + filter —
+    * don't pass a `sample()` without a seed).
     *
     * The distinct-cell collect is BOUNDED by construction:
     * ≤ min(|Q|·probeCells, k) values, required ≤ [[PruneMaxCells]].
@@ -258,8 +268,8 @@ object IvfIndex {
                    excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val k = searchGate(topK, nprobe, probeCells, groupSize, kHint, cents)
-    val pc = graft.Checkpoint(probedCellsOf(queries, cents, groupSize, nprobe,
-      probeCells, dim, k, broadcastMaxCids))
+    val pc = probedCellsOf(queries, cents, groupSize, nprobe,
+      probeCells, dim, k, broadcastMaxCids)
     // bounded collect (see scaladoc): ≤ min(|Q|·probeCells, k) longs
     val cells = pc.select(col("cell")).distinct()
       .limit(PruneMaxCells + 1).collect().map(_.getLong(0))

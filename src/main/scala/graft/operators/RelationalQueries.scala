@@ -351,10 +351,18 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy("c_custkey")),
 
-    // Left-anti: NOT EXISTS.
+    // Left-anti: NOT EXISTS. The right side is sliced to high-value
+    // orders so the result is NON-EMPTY (round-18 de-vacuation: every
+    // testdata customer has orders, so the unfiltered form returned 0
+    // rows at every scale and its hash gate checked only emptiness —
+    // a wrong-answer regression was invisible; with the slice, 3/30/308
+    // childless customers at sf0.001/0.01/0.1 make the gate
+    // discriminating). The filter pushes to the orders scan, so the
+    // anti join still builds on the reduced side — same scale posture.
     "q_join_anti" -> ((s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("c_custkey")),
 
@@ -678,9 +686,13 @@ object RelationalQueries {
         .intersect(orders(s, d).select(col("o_custkey").as("k")))
         .orderBy("k")),
 
+    // EXCEPT's right side takes the same high-value slice as
+    // q_join_anti (round-18 de-vacuation — see that entry): the
+    // unfiltered form was vacuously empty at every scale.
     "q_except" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("k"))
-        .except(orders(s, d).select(col("o_custkey").as("k")))
+        .except(orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))
         .orderBy("k")),
 
     // Null-safe equality join (<=>): null keys MATCH each other instead
@@ -1892,7 +1904,8 @@ object RelationalQueries {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_theta" ->
@@ -2052,7 +2065,7 @@ object RelationalQueries {
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
         |ORDER BY k""".stripMargin,
 
     "q_join_cross" ->

@@ -20,6 +20,25 @@ import org.apache.spark.sql.SparkSession
   *     window. Commits upload the per-batch delta; snapshots amortize in
   *     the background maintenance task.
   *
+  * THE ONE COST OF THE CHANGELOG DEFAULT, AND HOW TO SIZE FOR IT
+  * (round 17, `StateStoreBench restore [deep]` — SCALE.md §"restart
+  * recovery under the changelog default"): restore-from-checkpoint must
+  * REPLAY every changelog since the last background snapshot. At
+  * 62.5k rows/commit replay is free — restart wall flat 2.0–2.2 s from
+  * depth 4 to 15, at or below the snapshot-per-commit control — but at
+  * 625k rows/commit it grows ~0.43 s per replayed commit (~0.7 µs per
+  * replayed row; the snapshot control stays flat at ~3.1 s), putting
+  * the changelog-vs-snapshot restore crossover at depth ≈ 2–3 at that
+  * volume. The sizing rule: set
+  * `spark.sql.streaming.stateStore.maintenanceInterval` so the expected
+  * replay depth (≈ interval / batch cadence) × per-commit state rows
+  * stays ≲ 10⁶ per store set. The 60 s default with ~1 s batches
+  * (depth ≲ 60) is fine at the 62.5k-row shape and ~10× too lax at the
+  * 625k shape if recovery SLOs are tight. Correctness of deep replay is
+  * pinned independently (RestartRecoverySpec's 7-commit
+  * parked-maintenance restart-parity test); the rule sizes only the
+  * recovery WALL, never the answer.
+  *
   * The rule that is deliberately NOT a conf here: size
   * `spark.sql.shuffle.partitions` TO THE STATE, do not inflate it —
   * round 15 measured partition inflation (32 → 128) 3× WORSE at this

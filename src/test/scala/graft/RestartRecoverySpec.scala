@@ -129,6 +129,23 @@ class RestartRecoverySpec extends AnyFunSuite {
     walk(new java.io.File(ckDir, "state"))
   }
 
+  /** Deepest per-store changelog lineage: changelog files grouped by
+    * their store directory, max count. A flat count over ALL stores
+    * (the pre-round-18 form) is satisfied by depth ⌈N/P⌉ once P
+    * shuffle-partition stores each contribute — it never guaranteed any
+    * single store actually had an N-deep lineage to replay (round-17
+    * ADVICE).
+    */
+  private def changelogDepthPerStore(ckDir: java.io.File): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val logs = walk(new java.io.File(ckDir, "state"))
+      .filter(_.getName.contains("changelog"))
+    if (logs.isEmpty) 0
+    else logs.groupBy(_.getParentFile.getAbsolutePath).values.map(_.size).max
+  }
+
   /** The restart-parity driver: batches 1-2 → stop → NEW query from the
     * same checkpoint → batch 3, vs an uninterrupted 3-batch run.
     */
@@ -287,9 +304,13 @@ class RestartRecoverySpec extends AnyFunSuite {
           writeReplayFile(srcA, b, f"b$i%02d", t0 + i * 10000) }
         runPart(sessionDDL, srcA, ckA, outA, streaming.Sessionize.sessionsOfStream)
         val partial = spark.read.parquet(outA.getAbsolutePath).count()
-        val changelogs = stateFiles(ckA).count(_.contains("changelog"))
-        assert(changelogs >= 7,
-          s"expected a >=7-deep changelog lineage to replay, found $changelogs")
+        // PER-STORE depth (round-17 ADVICE): the flat all-stores count
+        // was satisfied by ⌈7/P⌉-deep lineages once every shuffle
+        // partition's store contributed files — this asserts a single
+        // store really carries the 7-deep lineage the replay must walk
+        val depth = changelogDepthPerStore(ckA)
+        assert(depth >= 7,
+          s"expected a >=7-deep per-store changelog lineage to replay, found $depth")
         writeReplayFile(srcA, batches.last, "b07", t0 + 80000)
         runPart(sessionDDL, srcA, ckA, outA, streaming.Sessionize.sessionsOfStream)
 
