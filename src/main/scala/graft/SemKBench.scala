@@ -672,9 +672,17 @@ object SemKBench {
       val base = corpus(spark, dBase)
       val nBase = base.count()
       val stride = ScaleBench.Stride
-      def release(): Unit = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // targeted release: the blanket unpersist-everything helper the
+      // older modes use would drop staleCents' checkpoint blocks too
+      // (localCheckpoint truncates lineage, so a dropped block is
+      // unrecoverable — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and
+      // staleCents must survive all three fraction points
+      def drop(dfs: DataFrame*): Unit = dfs.foreach { df =>
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
       }
       val K = 800; val Iters = 2; val TopN = 10
       val tS0 = System.nanoTime()
@@ -682,7 +690,6 @@ object SemKBench {
         base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
         k = K, iters = Iters)._1)
       val staleFitWall = (System.nanoTime() - tS0) / 1e9
-      release()
       // the unseen orthogonal transform: shift 7 composed with negating
       // blocks {1,3,5,7} — the replica copies only ever used flip
       // patterns 0 and 1, so (7, 0xAA) is a genuinely new direction set
@@ -747,7 +754,7 @@ object SemKBench {
         val rStaleDrift = recallOn(staleIdx, staleCents, qDrift, truthDrift, 1000)
         val rFreshBase = recallOn(freshIdx, freshCents, qBase, truthBase, 1000)
         val rFreshDrift = recallOn(freshIdx, freshCents, qDrift, truthDrift, 1000)
-        release()
+        drop(staleIdx, freshCents, freshIdx, truthBase, truthDrift)
         System.err.println(f"[semk-drift] f=$f%.2f n_grown=${nBase + nBatch} " +
           f"stale base/drift=$rStaleBase%.3f/$rStaleDrift%.3f " +
           f"fresh base/drift=$rFreshBase%.3f/$rFreshDrift%.3f " +
@@ -759,6 +766,295 @@ object SemKBench {
       }
       println(f"""{"metric":"semk_drift","n_base":$nBase,"k":$K,"iters":$Iters,""" +
         f""""topk":$TopN,"self_excluded":true,"stale_fit_wall":$staleFitWall%.1f,""" +
+        f"""${points.mkString(",")}}""")
+      spark.stop()
+      return
+    }
+
+    // Round-18 sil mode (VERDICT r17 #2): link the silhouette gate to
+    // recall. q_sim_silhouette ships the cluster-quality score and
+    // round 17 proved the stakes (clustered 0.892 vs ortho 0.075
+    // recall@10) but nothing mapped a silhouette BAND to an expected
+    // recall BAND — a user reading the gate's output couldn't act on
+    // it. This leg computes, for four (corpus, centroids) combos
+    // spanning the geometry range — clustered replica × {fit, pooled}
+    // and orthogonal replica × {fit, pooled} — the corpus-mean
+    // silhouette s = (b−a)/b (a/b = cosine distance to best/second
+    // centroid — exactly the q_sim_silhouette formula over the same
+    // k=800 centroid sets the recall harness searches) next to
+    // floor-free recall@10 at |Q|=1000 against brute-force truth. The
+    // resulting table IS the calibration: silhouette below the ortho
+    // band ⇒ IVF routing cannot work on this geometry, use the flat
+    // scan (searchTopK scaladoc cites the numbers).
+    if (args.contains("sil")) {
+      val stride = ScaleBench.Stride
+      // targeted release (see drift mode): truth and the fit centroids
+      // are localCheckpoint-backed and must survive both centroid
+      // combos of a corpus — a blanket unpersist-everything would drop
+      // their only blocks mid-use
+      def drop(dfs: DataFrame*): Unit = dfs.foreach { df =>
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      }
+      val K = 800; val TopN = 10
+      def silhouetteOf(e: DataFrame, cents: DataFrame): (Double, Double) = {
+        val ca = broadcast(cents.agg(array_sort(collect_list(
+          struct(col("cid"), col("cemb"), col("cnrm")))).as("ca")))
+        val scored = e.crossJoin(ca)
+          .select(slice(array_sort(transform(col("ca"), c => struct(
+            (-(dotD(col("embedding"), c.getField("cemb"))
+              / (col("nrm") * c.getField("cnrm")))).as("nscore"),
+            c.getField("cid").as("cid")))), 1, 2).as("top2"))
+          .select((lit(1.0) + element_at(col("top2"), 1).getField("nscore")).as("a"),
+            (lit(1.0) + element_at(col("top2"), 2).getField("nscore")).as("b"))
+          .select(when(col("b") > 0, (col("b") - col("a")) / col("b"))
+            .otherwise(lit(0.0)).as("s"))
+        val r = scored.agg(avg(col("s")).as("mean_sil"),
+          (sum(when(col("s") < 0.1, 1.0).otherwise(0.0)) / count(lit(1))).as("bfrac"))
+          .head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      def exactTopK(queries: DataFrame, corpusAll: DataFrame): DataFrame = {
+        val q = queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe"), col("qn"))
+        graft.plans.TopKPerGroup(
+          broadcast(q).crossJoin(corpusAll)
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+            .filter(col("q_id") =!= col("cand_id")),
+          Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
+          .select(col("q_id"), col("cand_id"))
+      }
+      val combos = Seq(("cluster", clusterReplica(100), true),
+        ("ortho", simReplica(100), false))
+      val rows = combos.flatMap { case (cname, d, isClustered) =>
+        val e = corpus(spark, d)
+        val queries = e.filter(col("vec_id") % stride < 10)
+          .withColumn("qn", col("nrm"))
+        require(queries.count() == 1000, "query population must hold exactly 1000")
+        val truth = graft.Checkpoint(exactTopK(queries, e))
+        val pooled = centroidRowsChecked(e, d, 100, isClustered)
+        val fitC = graft.Checkpoint(graft.functions.IvfIndex.fit(
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          k = K, iters = 2)._1)
+        val kFit = fitC.count()
+        val out = Seq(("pooled", pooled, K.toLong), ("fit", fitC, kFit)).map {
+          case (how, cents, kh) =>
+            val (sil, bfrac) = silhouetteOf(e, cents)
+            val idx = graft.functions.IvfIndex.assignIndexed(
+              e, cents, groupSize = 8, nprobe = 2, kHint = kh)
+            val ann = graft.functions.IvfIndex.searchTopK(queries, idx, cents,
+              topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2,
+              kHint = kh, excludeSelf = true)
+            val hits = ann.select(col("q_id"), col("cand_id"))
+              .join(truth, Seq("q_id", "cand_id")).count()
+            val recall = hits.toDouble / (1000 * TopN)
+            System.err.println(f"[semk-sil] corpus=$cname cents=$how k=$kh " +
+              f"mean_sil=$sil%.4f boundary_frac=$bfrac%.3f recall=$recall%.3f")
+            f""""${cname}_$how":{"k":$kh,"mean_sil":$sil%.4f,""" +
+              f""""boundary_frac":$bfrac%.3f,"recall_at_10":$recall%.3f}"""
+        }
+        drop(truth, fitC)
+        out
+      }
+      println(s"""{"metric":"semk_sil","topk":$TopN,"self_excluded":true,""" +
+        s"""${rows.mkString(",")}}""")
+      spark.stop()
+      return
+    }
+
+    // Round-18 compact mode (VERDICT r17 #4): price append-generation
+    // compaction. appendInverted's scaladoc prescribes "compact with
+    // periodic writeInverted when generations pile up" — this measures
+    // the degradation curve that rule needs: 8 successive 25k-row
+    // appends (each scattered across the full cell range — the shape
+    // that adds ~1 file per touched cell per generation), after each
+    // one the file count and the |Q|=100 searchTopKAt read wall
+    // (min-of-2), then ONE writeInverted compaction (the
+    // q_sink_compaction posture: full rewrite to ~1 file/cell) and the
+    // post-compaction wall over the identical data. The curve turns
+    // "compact when generations pile up" into "compact every ~N
+    // appends at batch size B" with N, B, and the payoff measured.
+    if (args.contains("compact")) {
+      val d100 = simReplica(100)
+      val e = corpus(spark, d100)
+      val n = e.count()
+      val stride = ScaleBench.Stride
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      val K = 800; val TopN = 10
+      val cents = centroidRowsChecked(e, d100, 100, clustered = false)
+      val inverted = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+        e, cents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete()
+      }
+      val pathF = new java.io.File(tmp, "graft_semk_compactidx")
+      rmrf(pathF)
+      val path = pathF.getAbsolutePath
+      graft.functions.IvfIndex.writeInverted(inverted, path)
+      val queries = e.filter(col("vec_id") < 100)
+      require(queries.count() == 100, "query batch must hold exactly 100")
+      def filesNow(p: String): Int = spark.read.parquet(p).inputFiles.length
+      def searchWall(p: String): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.functions.IvfIndex.searchTopKAt(queries, p, cents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2,
+          kHint = K.toLong, excludeSelf = true).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      // warm the plan family once so generation 0 isn't the cold rep
+      searchWall(path)
+      val f0 = filesNow(path); val w0 = searchWall(path)
+      System.err.println(f"[semk-compact] gen=0 files=$f0 wall=$w0%.2f")
+      val gens = (1 to 8).map { g =>
+        // 25k rows per generation: 250 consecutive base ids × 100
+        // copies (per-copy selection — the stride trap), re-id'd into
+        // an unused id space per generation
+        val lo = (g - 1) * 250; val hi = g * 250
+        val batch = e.filter(col("vec_id") % stride >= lo &&
+            col("vec_id") % stride < hi)
+          .withColumn("vec_id", col("vec_id") + lit((2000L + g) * stride))
+        val got = batch.count()
+        require(got == 25000, s"generation $g labeled 25000 actually holds $got")
+        val tA = System.nanoTime()
+        graft.functions.IvfIndex.appendInverted(batch, cents, path, kHint = K.toLong)
+        val appendWall = (System.nanoTime() - tA) / 1e9
+        val fg = filesNow(path); val wg = searchWall(path)
+        release()
+        System.err.println(f"[semk-compact] gen=$g files=$fg wall=$wg%.2f " +
+          f"append=$appendWall%.2f")
+        f""""gen$g":{"files":$fg,"search_wall":$wg%.2f,"append_wall":$appendWall%.2f}"""
+      }
+      // the compaction itself: one full rewrite of the grown index to
+      // ~1 file/cell (fresh target dir — an in-place overwrite would
+      // read and clobber the same files)
+      val compactF = new java.io.File(tmp, "graft_semk_compacted")
+      rmrf(compactF)
+      val tC = System.nanoTime()
+      graft.functions.IvfIndex.writeInverted(
+        spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
+        compactF.getAbsolutePath)
+      val compactWall = (System.nanoTime() - tC) / 1e9
+      val fc = filesNow(compactF.getAbsolutePath)
+      val wc = searchWall(compactF.getAbsolutePath)
+      val rowsBefore = spark.read.parquet(path).count()
+      val rowsAfter = spark.read.parquet(compactF.getAbsolutePath).count()
+      require(rowsBefore == rowsAfter && rowsAfter == n + 8L * 25000,
+        s"compaction must preserve every row: $rowsBefore -> $rowsAfter")
+      System.err.println(f"[semk-compact] compacted files=$fc wall=$wc%.2f " +
+        f"compact_wall=$compactWall%.2f rows=$rowsAfter")
+      println(f"""{"metric":"semk_compact","n":$n,"k":$K,"batch_rows":25000,""" +
+        f""""files_gen0":$f0,"wall_gen0":$w0%.2f,${gens.mkString(",")},""" +
+        f""""compact_wall":$compactWall%.2f,"files_compacted":$fc,""" +
+        f""""wall_compacted":$wc%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // Round-18 boundary mode (VERDICT r17 #3): price the pruned path
+    // AT and PAST PruneMaxCells. searchTopKAt turns probed cells into
+    // a driver-collected static IN-filter, refusing batches that probe
+    // > 10⁴ cells; the decision this leg informs: is the 10⁴-literal
+    // IN-list plan actually fine at the boundary, and does the
+    // join-pruned (q_join_dpp) shape — runtime dynamic partition
+    // pruning from a broadcast cell list, NO driver collect — prune
+    // file IO at ANY cardinality, making it the right fallback past
+    // the gate? Layout: a synthetic 12,500-cell inverted file (100
+    // rows/cell — the partition GEOMETRY is what's priced, so payload
+    // rows are synthetic and embeddings are absent). For N probed
+    // cells in {100, 1000, 10000}: the static isin scan's wall + files
+    // read, the broadcast-join scan's wall + files read (DPP on), and
+    // the full-scan control. Each rep rebuilds the DataFrame, so the
+    // wall includes ANALYSIS/PLANNING of the N-literal filter — the
+    // component the PruneMaxCells gate worries about.
+    if (args.contains("boundary")) {
+      val kCells = 12500
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete()
+      }
+      val layoutF = new java.io.File(tmp, "graft_semk_boundary")
+      val marker = new java.io.File(layoutF, "_built")
+      val sig = s"boundary=v1 cells=$kCells rows=${kCells * 100}"
+      if (!(marker.exists() && new String(java.nio.file.Files.readAllBytes(
+          marker.toPath), "UTF-8").trim == sig)) {
+        rmrf(layoutF)
+        spark.range(kCells.toLong * 100)
+          .select(col("id").as("vec_id"), (col("id") % kCells).as("cell"),
+            (col("id") * 31 % 997).as("payload"))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(layoutF.getAbsolutePath + "/data")
+        java.nio.file.Files.write(marker.toPath,
+          sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val dataPath = layoutF.getAbsolutePath + "/data"
+      val filesTotal = spark.read.parquet(dataPath).inputFiles.length
+      def scanFiles(df: DataFrame): Long = {
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+          val here = p match {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(f.metrics("numFiles").value)
+            case _ => Nil
+          }
+          val inner = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scansOf(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scansOf(q.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              scansOf(r.child)
+            case _ => Nil
+          }
+          here ++ inner ++ (p.children ++ p.subqueries).flatMap(scansOf)
+        }
+        scansOf(df.queryExecution.executedPlan).reduceOption(_ max _).getOrElse(-1L)
+      }
+      // one aggregate execution whose OWN plan carries the scan, so the
+      // numFiles metric is readable (count() runs a derived plan)
+      def runAgg(df: DataFrame): (Double, Long) = {
+        val a = df.agg(sum(col("payload")).as("s"))
+        val t0 = System.nanoTime(); a.collect()
+        ((System.nanoTime() - t0) / 1e9, scanFiles(a))
+      }
+      def measure(nCells: Int): String = {
+        // uniformly-spaced probed cells so pruning can't ride on
+        // directory-order locality
+        val step = kCells / nCells
+        val cellVals = (0 until nCells).map(i => (i * step).toLong)
+        def isinDf = spark.read.parquet(dataPath)
+          .filter(col("cell").isin(cellVals: _*))
+        def joinDf = {
+          val cl = spark.range(nCells.toLong)
+            .select((col("id") * step).as("cell"))
+          spark.read.parquet(dataPath).join(broadcast(cl), Seq("cell"))
+        }
+        val (wIsin, fIsin) = Seq(runAgg(isinDf), runAgg(isinDf)).minBy(_._1)
+        val (wJoin, fJoin) = Seq(runAgg(joinDf), runAgg(joinDf)).minBy(_._1)
+        release()
+        System.err.println(f"[semk-boundary] n_cells=$nCells " +
+          f"isin=$wIsin%.2f ($fIsin/$filesTotal files) " +
+          f"join_dpp=$wJoin%.2f ($fJoin/$filesTotal files)")
+        f""""n$nCells":{"isin_wall":$wIsin%.2f,"isin_files":$fIsin,""" +
+          f""""join_wall":$wJoin%.2f,"join_files":$fJoin}"""
+      }
+      // warm the read path once (footer/listing caches)
+      runAgg(spark.read.parquet(dataPath))
+      val (wFull, fFull) = runAgg(spark.read.parquet(dataPath))
+      val points = Seq(100, 1000, 10000).map(measure)
+      System.err.println(f"[semk-boundary] full=$wFull%.2f ($fFull files)")
+      println(f"""{"metric":"semk_boundary","cells":$kCells,""" +
+        f""""files_total":$filesTotal,"full_wall":$wFull%.2f,""" +
         f"""${points.mkString(",")}}""")
       spark.stop()
       return

@@ -200,6 +200,19 @@ object IvfIndex {
     * flip it off for offline mega-batches and the join exchanges on
     * cell instead.
     *
+    * WHEN TO TRUST THIS INDEX AT ALL — the silhouette gate, calibrated
+    * (round 18; SCALE.md §"Semantic dedup" round-18 (b)): IVF routing
+    * assumes clusterable geometry, and the shipped cluster-quality
+    * score (`q_sim_silhouette`'s mean s = (b−a)/b over the same
+    * centroids) now maps to a recall band. Measured at k=800,
+    * floor-free recall@10, |Q|=1000: mean_sil 0.51 → recall 0.96,
+    * 0.40 → 0.80, ≤ 0.06 → ≤ 0.09. Rule: silhouette ≲ 0.1 ⇒ the
+    * geometry is unclusterable at this k — use the flat exact scan
+    * (q_sim_topk's shape, or nprobe = g here) instead of probing;
+    * ~0.4 is serviceable and refitting centroids (IvfIndex.fit vs
+    * pooled seeds) buys BOTH silhouette (0.40 → 0.51) and recall
+    * (0.80 → 0.96) on the same corpus.
+    *
     * Determinism: cosines are the codegen ascending folds; stage-1
     * ties break low-gid, cell ranking low-cid, candidate ranking
     * (cos DESC, cand_id ASC) — a total order, so results are
@@ -230,6 +243,25 @@ object IvfIndex {
     * IN-filter, so the list must stay literal-sized. Past it the batch
     * is touching most of the index anyway — the full-scan
     * [[searchTopK]] over the same files is the right plan there.
+    *
+    * THE BOUNDARY IS MEASURED, NOT A CLIFF (round 18, `SemKBench
+    * boundary` on a 12,500-cell layout — SCALE.md §"Semantic dedup"
+    * round-18): the IN-list plan's wall tracks the files actually read
+    * essentially proportionally all the way to 10⁴ literals (0.20 s at
+    * 100 cells, 0.55 s at 10³, 3.56 s at 10⁴, vs 4.56 s full scan) —
+    * analysis/planning of a 10⁴-literal isin adds nothing visible, and
+    * the collect itself is 10⁴ longs ≈ 80 KB. So the default exists to
+    * bound DRIVER list size, and a deployment with more cells can raise
+    * it via the `pruneMaxCells` parameter with measured headroom. The
+    * tempting driver-collect-free alternative — the q_join_dpp dynamic-
+    * pruning shape, joining the scan to the broadcast probe list — was
+    * measured NOT to prune on this layout (12,500/12,500 files read at
+    * every batch size): Spark's DPP inserts the runtime partition
+    * filter only when the build side carries a selective FILTER
+    * predicate it can see, and a derived probe-cell list presents
+    * none. The static IN-list is the right design; past the cap the
+    * honest fallback remains [[searchTopK]] over a full read, which at
+    * ≥ 80% probed cells costs within ~25% of the pruned plan anyway.
     */
   val PruneMaxCells: Int = 10000
 
@@ -265,17 +297,20 @@ object IvfIndex {
                    probeCells: Int = 2, dim: Int = 64, kHint: Long = -1L,
                    broadcastMaxCids: Long = BroadcastMaxCids,
                    broadcastQueries: Boolean = true,
-                   excludeSelf: Boolean = false): DataFrame = {
+                   excludeSelf: Boolean = false,
+                   pruneMaxCells: Int = PruneMaxCells): DataFrame = {
     val spark = queries.sparkSession
     val k = searchGate(topK, nprobe, probeCells, groupSize, kHint, cents)
     val pc = probedCellsOf(queries, cents, groupSize, nprobe,
       probeCells, dim, k, broadcastMaxCids)
     // bounded collect (see scaladoc): ≤ min(|Q|·probeCells, k) longs
     val cells = pc.select(col("cell")).distinct()
-      .limit(PruneMaxCells + 1).collect().map(_.getLong(0))
-    require(cells.length <= PruneMaxCells,
-      s"batch probes > $PruneMaxCells distinct cells — not selective enough " +
-        "for a static partition prune; use searchTopK over a full read instead")
+      .limit(pruneMaxCells + 1).collect().map(_.getLong(0))
+    require(cells.length <= pruneMaxCells,
+      s"batch probes > $pruneMaxCells distinct cells — not selective enough " +
+        "for a static partition prune; use searchTopK over a full read instead " +
+        "(or raise pruneMaxCells — the IN-list plan is measured proportional " +
+        "through 10^4 literals, see PruneMaxCells)")
     // partition-column inference may narrow cell to int — cast back so
     // the probe equi-join key types match the in-memory form exactly
     val inverted = spark.read.parquet(invertedPath)
@@ -308,8 +343,27 @@ object IvfIndex {
     * (IvfIndexSpec pins it) — the classic IVF add posture. Centroid
     * drift is the caller's trade, exactly as in production IVF: appends
     * against stale centroids degrade routing recall, never correctness
-    * of the probed-cell search itself; refit + [[writeInverted]] when
-    * the drift measurement (SemKBench's recall harness) says so.
+    * of the probed-cell search itself.
+    *
+    * THE DRIFT COST IS MEASURED (round 18, `SemKBench cluster drift` —
+    * SCALE.md §"Semantic dedup" round-18 (a)): appending
+    * distribution-SHIFTED batches (new clusters in new locations) at
+    * 10/25/50% of the corpus against frozen k=800 centroids, floor-free
+    * recall@10 for drifted-population queries reads a FLAT **0.786 at
+    * every fraction** vs 0.947–0.990 after a refit (base-population
+    * queries hold 0.962 untouched throughout). The loss is
+    * per-POPULATION, not cumulative — a shifted cluster lands whole in
+    * one far stale cell, so each drifted query pays a fixed ~0.18
+    * routing penalty however much shifted data has accumulated. The
+    * refit-cadence rule that follows: corpus recall ≈
+    * (1−f)·0.96 + f·0.79 where f is the out-of-distribution share of
+    * the query mix, so refit when f exceeds your recall budget — e.g.
+    * keep recall ≥ 0.95 ⇒ refit by f ≈ 6%; a 0.90 SLO tolerates
+    * f ≈ 35%. In-distribution appends (the common ingest) cost nothing
+    * and never force a refit on their own. One honest refit caveat,
+    * measured at f = 50%: the fresh fit reallocates centroids toward
+    * the now-large new region (drift 0.990, base 0.926) — refitting
+    * trades a little base recall for the new population's.
     *
     * SIZE YOUR BATCHES: hive-style partitioning writes ≥ one file per
     * TOUCHED cell per append, regardless of rows — a small scattered

@@ -778,6 +778,12 @@ object SimilarityQueries {
     // of a centroid direction) scores 0 without dividing. Scale: one
     // corpus scan × broadcast k centroids (row-local sort of a
     // k-array), ONE cell-keyed map-side-combined shuffle of k rows.
+    // The gate is CALIBRATED (round 18, SemKBench sil — SCALE.md
+    // §"Semantic dedup" round-18 (b)): corpus-mean silhouette maps to
+    // floor-free IVF recall@10 at k=800 as 0.51 → 0.96, 0.40 → 0.80,
+    // ≤ 0.06 → ≤ 0.09 — a mean below ~0.1 says route to the flat
+    // exact scan, not an IVF probe, and a boundary_frac near 1 says
+    // the same thing per-cell.
     "q_sim_silhouette" -> ((s, d) => {
       val e = embeddings(s, d)
         .withColumn("nrm", normD(col("embedding")))

@@ -484,6 +484,43 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("searchTopKAt's pruneMaxCells gate refuses unselective batches and can be raised") {
+    // the boundary is a parameter (round 18 — the measured IN-list
+    // boundary, see PruneMaxCells scaladoc): forced tiny it must refuse
+    // with the documented fallback guidance; raised back above the
+    // batch's probed-cell count the same call must return the identical
+    // result — the gate only guards the driver collect, never the plan
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(inverted, path)
+      def at(bound: Int) = functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32,
+        pruneMaxCells = bound)
+      val ex = intercept[IllegalArgumentException] { at(1).collect() }
+      assert(ex.getMessage.contains("searchTopK over a full read"),
+        s"refusal must name the fallback: ${ex.getMessage}")
+      val defaulted = functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val raised = at(32).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(raised.toSeq == defaulted.toSeq,
+        "a raised bound must not change the result")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("appendInverted: incremental adds are search-identical to a full rebuild") {
     // the continuous-ingest contract: write the index from the first
     // half of the corpus, append the second half in TWO batches against
