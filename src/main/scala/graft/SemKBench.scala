@@ -764,9 +764,63 @@ object SemKBench {
           f""""recall_fresh_base":$rFreshBase%.3f,"recall_fresh_drift":$rFreshDrift%.3f,""" +
           f""""fresh_fit_wall":$freshFitWall%.1f}"""
       }
+      // IN-DISTRIBUTION control: the appendInverted scaladoc claims
+      // in-distribution appends never force a refit on their own —
+      // measure it rather than infer it. 50k new cluster MEMBERS (25
+      // fresh noisy copies of the 2000 base vectors — the
+      // buildClusterReplica noise recipe at ε=0.30, copy-salts the
+      // replica never used), appended against the same stale
+      // centroids; recall measured for the APPENDED population itself.
+      val inBatch = {
+        val b0 = spark.read.parquet(s"$dBase/embeddings.parquet")
+          .filter(col("vec_id") < 2000)
+        (0 until 25).map { c =>
+          b0.withColumn("vec_id", col("vec_id") + lit((3000L + c) * stride))
+            .withColumn("scl",
+              ColumnBridge.column(graft.gen.VecNormExpr(
+                ColumnBridge.expression(col("embedding")))) * 0.30 / 8.0)
+            .withColumn("embedding",
+              expr(s"""transform(embedding, (x, j) ->
+                      |  cast(x + scl * (pmod(xxhash64(vec_id, ${7700 + c}, j), 2001) - 1000) / 1000.0
+                      |    as float))""".stripMargin))
+            .drop("scl")
+        }.reduce(_ unionAll _)
+          .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0)
+      }
+      val nIn = inBatch.count()
+      require(nIn == 50000, s"in-distribution batch labeled 50000 actually holds $nIn")
+      val grownIn = base.unionAll(inBatch)
+      val staleIdxIn = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+        grownIn, staleCents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+      val tFI = System.nanoTime()
+      val freshCentsIn = graft.Checkpoint(graft.functions.IvfIndex.fit(
+        grownIn.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = K, iters = Iters)._1)
+      val freshFitWallIn = (System.nanoTime() - tFI) / 1e9
+      val freshIdxIn = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+        grownIn, freshCentsIn, groupSize = 8, nprobe = 2, kHint = K.toLong))
+      val qIn = inBatch.filter(col("vec_id") % stride < 10)
+      val nqIn = qIn.count()
+      require(nqIn == 250, s"in-dist query population holds $nqIn, expected 250")
+      val truthIn = graft.Checkpoint(exactTopK(qIn, grownIn))
+      def recallIn(idx: DataFrame, cents: DataFrame): Double = {
+        val ann = graft.functions.IvfIndex.searchTopK(qIn, idx, cents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2,
+          kHint = K.toLong, excludeSelf = true)
+        ann.select(col("q_id"), col("cand_id"))
+          .join(truthIn, Seq("q_id", "cand_id")).count().toDouble / (nqIn * TopN)
+      }
+      val rInStale = recallIn(staleIdxIn, staleCents)
+      val rInFresh = recallIn(freshIdxIn, freshCentsIn)
+      drop(staleIdxIn, freshCentsIn, freshIdxIn, truthIn)
+      System.err.println(f"[semk-drift] indist f=0.25 stale=$rInStale%.3f " +
+        f"fresh=$rInFresh%.3f fresh_fit_wall=$freshFitWallIn%.1f")
       println(f"""{"metric":"semk_drift","n_base":$nBase,"k":$K,"iters":$Iters,""" +
         f""""topk":$TopN,"self_excluded":true,"stale_fit_wall":$staleFitWall%.1f,""" +
-        f"""${points.mkString(",")}}""")
+        f"""${points.mkString(",")},""" +
+        f""""indist25":{"recall_stale":$rInStale%.3f,"recall_fresh":$rInFresh%.3f,""" +
+        f""""fresh_fit_wall":$freshFitWallIn%.1f}}""")
       spark.stop()
       return
     }

@@ -359,8 +359,10 @@ object IvfIndex {
     * (1−f)·0.96 + f·0.79 where f is the out-of-distribution share of
     * the query mix, so refit when f exceeds your recall budget — e.g.
     * keep recall ≥ 0.95 ⇒ refit by f ≈ 6%; a 0.90 SLO tolerates
-    * f ≈ 35%. In-distribution appends (the common ingest) cost nothing
-    * and never force a refit on their own. One honest refit caveat,
+    * f ≈ 35%. In-distribution appends (the common ingest) are MEASURED
+    * free, not assumed: a 25% batch of new members of existing
+    * clusters reads 0.965 recall under the stale centroids vs 0.960
+    * after a refit — no drift, no refit needed. One honest refit caveat,
     * measured at f = 50%: the fresh fit reallocates centroids toward
     * the now-large new region (drift 0.990, base 0.926) — refitting
     * trades a little base recall for the new population's.
