@@ -719,7 +719,7 @@ object SemKBench {
           Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
           .select(col("q_id"), col("cand_id"))
       }
-      val points = Seq(0.10, 0.25, 0.50).zipWithIndex.map { case (f, pi) =>
+      var points: Seq[String] = Seq(0.10, 0.25, 0.50).zipWithIndex.map { case (f, pi) =>
         val nBaseIds = (2000 * f).toInt
         val batch = shiftedBatch(nBaseIds, (1000L + pi) * stride)
         val nBatch = batch.count()
@@ -764,6 +764,42 @@ object SemKBench {
           f""""recall_fresh_base":$rFreshBase%.3f,"recall_fresh_drift":$rFreshDrift%.3f,""" +
           f""""fresh_fit_wall":$freshFitWall%.1f}"""
       }
+      // PROBE-LADDER mitigation: the drifted penalty is pure stage-1
+      // routing loss (the shifted cluster is INTACT in one stale cell —
+      // only the probe misses it), so a wider probe budget should buy
+      // recall back WITHOUT a refit — a serving-time knob vs an offline
+      // refit job. Measured at f=25% on the stale index: recall and
+      // search wall (min-of-2) at (nprobe, probeCells) = (2,2) → (4,4)
+      // → (8,8) for the drifted population.
+      locally {
+        val batch = shiftedBatch(500, 1000L * stride + stride) // f=0.25, fresh ids
+        require(batch.count() == 50000, "ladder batch must hold 50000")
+        val grown = base.unionAll(batch)
+        val staleIdx = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+          grown, staleCents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+        val qDrift = batch.filter(col("vec_id") % stride < 10)
+        require(qDrift.count() == 1000, "ladder queries must hold 1000")
+        val truth = graft.Checkpoint(exactTopK(qDrift, grown))
+        val rungs = Seq((2, 2), (4, 4), (8, 8)).map { case (np, pc) =>
+          def ann = graft.functions.IvfIndex.searchTopK(qDrift, staleIdx, staleCents,
+            topK = TopN, groupSize = 8, nprobe = np, probeCells = pc,
+            kHint = K.toLong, excludeSelf = true)
+          ann.count() // warm the plan family
+          val wall = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); ann.count(); (System.nanoTime() - t0) / 1e9
+          }.min
+          val hits = ann.select(col("q_id"), col("cand_id"))
+            .join(truth, Seq("q_id", "cand_id")).count()
+          val recall = hits.toDouble / (1000 * TopN)
+          System.err.println(f"[semk-drift] ladder np=$np pc=$pc " +
+            f"recall_stale_drift=$recall%.3f wall=$wall%.2f")
+          f""""np${np}pc$pc":{"recall":$recall%.3f,"wall":$wall%.2f}"""
+        }
+        drop(staleIdx, truth)
+        System.err.println(s"[semk-drift] ladder done")
+        points = points :+ s""""ladder_f25_stale":{${rungs.mkString(",")}}"""
+      }
+
       // IN-DISTRIBUTION control: the appendInverted scaladoc claims
       // in-distribution appends never force a refit on their own —
       // measure it rather than infer it. 50k new cluster MEMBERS (25

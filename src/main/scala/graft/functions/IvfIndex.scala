@@ -362,7 +362,13 @@ object IvfIndex {
     * f ≈ 35%. In-distribution appends (the common ingest) are MEASURED
     * free, not assumed: a 25% batch of new members of existing
     * clusters reads 0.965 recall under the stale centroids vs 0.960
-    * after a refit — no drift, no refit needed. One honest refit caveat,
+    * after a refit — no drift, no refit needed. And because the
+    * penalty is pure routing loss, the CHEAP mitigation is a wider
+    * probe budget at serving time: on the stale index the drifted
+    * population recovers 0.786 → 0.912 → 0.961 at (nprobe, probeCells)
+    * (4,4) / (8,8) — matching the refit's 0.947 at ~1.4× search wall
+    * and zero rebuild. Widen probes first; refit when the probe
+    * premium stops being acceptable. One honest refit caveat,
     * measured at f = 50%: the fresh fit reallocates centroids toward
     * the now-large new region (drift 0.990, base 0.926) — refitting
     * trades a little base recall for the new population's.
