@@ -889,7 +889,11 @@ object SemKBench {
           case _ => ()
         }
       }
-      val K = 800; val TopN = 10
+      // `k80` re-runs the calibration at k=80 (fit-only — the pooled
+      // convention is defined at 8·copies=800) to check the band
+      // mapping is a property of the GEOMETRY, not of one k
+      val K = if (args.contains("k80")) 80 else 800
+      val TopN = 10
       def silhouetteOf(e: DataFrame, cents: DataFrame): (Double, Double) = {
         val ca = broadcast(cents.agg(array_sort(collect_list(
           struct(col("cid"), col("cemb"), col("cnrm")))).as("ca")))
@@ -926,12 +930,16 @@ object SemKBench {
           .withColumn("qn", col("nrm"))
         require(queries.count() == 1000, "query population must hold exactly 1000")
         val truth = graft.Checkpoint(exactTopK(queries, e))
-        val pooled = centroidRowsChecked(e, d, 100, isClustered)
         val fitC = graft.Checkpoint(graft.functions.IvfIndex.fit(
           e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
           k = K, iters = 2)._1)
         val kFit = fitC.count()
-        val out = Seq(("pooled", pooled, K.toLong), ("fit", fitC, kFit)).map {
+        val combosHere =
+          if (K == 800)
+            Seq(("pooled", centroidRowsChecked(e, d, 100, isClustered), K.toLong),
+              ("fit", fitC, kFit))
+          else Seq((s"fit$K", fitC, kFit))
+        val out = combosHere.map {
           case (how, cents, kh) =>
             val (sil, bfrac) = silhouetteOf(e, cents)
             val idx = graft.functions.IvfIndex.assignIndexed(

@@ -211,7 +211,11 @@ object IvfIndex {
     * (q_sim_topk's shape, or nprobe = g here) instead of probing;
     * ~0.4 is serviceable and refitting centroids (IvfIndex.fit vs
     * pooled seeds) buys BOTH silhouette (0.40 → 0.51) and recall
-    * (0.80 → 0.96) on the same corpus.
+    * (0.80 → 0.96) on the same corpus. The exact band VALUES are
+    * k-specific (a k=80 re-check read sil 0.145 with recall 1.000 on
+    * the clustered corpus — coarse cells trade silhouette for recall)
+    * but the ≲ 0.1 cutoff held at both k: read the gate at the k you
+    * will serve with.
     *
     * Determinism: cosines are the codegen ascending folds; stage-1
     * ties break low-gid, cell ranking low-cid, candidate ranking
