@@ -50,4 +50,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sustained stretches (the r9 "regressions" on unchanged plans —
   // SCALE.md §bench-noise). 512 MB keeps the full inventory compiled.
   "-XX:ReservedCodeCacheSize=512m",
+  // r18 saw ONE transient forked-JVM exit-56 crash after a fully green
+  // suite run (native teardown, unreproduced across three clean runs);
+  // if it ever recurs, capture the JVM error file instead of shrugging
+  "-XX:ErrorFile=/tmp/graft_hs_err_pid%p.log",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

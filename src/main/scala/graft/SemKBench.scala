@@ -44,7 +44,8 @@ import org.apache.spark.sql.graft.ColumnBridge
   * leg" reads the round-14 results).
   *
   * Usage: runMain graft.SemKBench [sfDir] [cluster] [skipTruth]
-  * [bigk|fitdist [bigk]|search|pruned]
+  * [bigk|fitdist [bigk]|search [fit]|pruned|drift|monitor|sil [k=<k>]|
+  * boundary|compact]
   * — `cluster` switches to the CLUSTERED replica (real near-dup
   * clusters via ramped hash-noise; see buildClusterReplica), the
   * corpus that makes tight-threshold recall measurable; default is
@@ -154,6 +155,61 @@ object SemKBench {
     e.filter(col("vec_id") % stride >= 10 && col("vec_id") % stride < (10 + per))
       .select((expr(s"vec_id div $stride") * per + (col("vec_id") % stride - 10)).as("cid"),
         col("embedding").as("cemb"), col("nrm").as("cnrm"))
+  }
+
+  /** The drift legs' OOD recipe (hoisted object-level in round 19 so the
+    * monitor leg scores the SAME shifted-cluster population the round-18
+    * drift ladder priced): whole base clusters under an orthogonal
+    * transform the fit never saw — coordinate shift 7 composed with
+    * negating blocks {1,3,5,7} (the replica copies only ever used flip
+    * patterns 0 and 1, so (7, 0xAA) is a genuinely new direction set).
+    * New topics in new locations, within-batch cluster structure
+    * preserved exactly.
+    */
+  private def shiftedBatchFrom(spark: SparkSession, dBase: String,
+                               nBaseIds: Int, idOffset: Long): DataFrame = {
+    val stride = ScaleBench.Stride
+    val negBlocks = Seq(1, 3, 5, 7)
+    val picked = spark.read.parquet(s"$dBase/embeddings.parquet")
+      .filter(col("vec_id") % stride < nBaseIds)
+    val shifted = concat(slice(col("embedding"), 8, 57),
+      slice(col("embedding"), 1, 7))
+    val flipped = transform(shifted, (x, j) =>
+      when((j / 8).cast("int").isin(negBlocks: _*), -x).otherwise(x))
+    picked
+      .withColumn("vec_id", col("vec_id") + lit(idOffset))
+      .withColumn("embedding", flipped)
+      .select(col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+  }
+
+  /** Fresh IN-distribution vectors — new noisy members of EXISTING
+    * clusters (the buildClusterReplica noise recipe at ε=0.30 with
+    * copy-salts the replica never used): the benign-ingest population
+    * the drift mode's control appends and the monitor leg's control
+    * queries with. One DataFrame of `copies.size`·2000 vectors at ids
+    * (copyIdBase + c)·stride + baseId.
+    */
+  private def inDistVectors(spark: SparkSession, dBase: String,
+                            copies: Range, copyIdBase: Long,
+                            saltBase: Int): DataFrame = {
+    val stride = ScaleBench.Stride
+    val b0 = spark.read.parquet(s"$dBase/embeddings.parquet")
+      .filter(col("vec_id") < 2000)
+    copies.map { c =>
+      b0.withColumn("vec_id", col("vec_id") + lit((copyIdBase + c) * stride))
+        .withColumn("scl",
+          ColumnBridge.column(graft.gen.VecNormExpr(
+            ColumnBridge.expression(col("embedding")))) * 0.30 / 8.0)
+        .withColumn("embedding",
+          expr(s"""transform(embedding, (x, j) ->
+                  |  cast(x + scl * (pmod(xxhash64(vec_id, ${saltBase + c}, j), 2001) - 1000) / 1000.0
+                  |    as float))""".stripMargin))
+        .drop("scl")
+    }.reduce(_ unionAll _)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
   }
 
   /** Exact (flat) assignment: n×k broadcast fan-out, codegen cosine,
@@ -563,6 +619,12 @@ object SemKBench {
             executedFull.collect() // bounded: |Q|·topK rows
             (w, scanFiles(executedFull))
           }
+        // a -1 sentinel means the walker found NO file scan at all (a
+        // metrics-shape regression) — name that explicitly instead of
+        // reporting a confusing "-1 of N files" (round-18 ADVICE)
+        require(filesReadFull >= 0,
+          "full-scan control: no FileSourceScanExec reachable in the executed plan — " +
+            "the metrics walker no longer sees the scan; cannot verify the control")
         require(filesReadFull == filesTotal.toLong,
           s"full-scan control read $filesReadFull of $filesTotal files — not a full scan")
         // one more execution to read the scan metric off the exact plan
@@ -574,6 +636,9 @@ object SemKBench {
         val executed = prunedDf
         val prunedRows = executed.collect().length
         val filesRead = scanFiles(executed)
+        require(filesRead >= 0,
+          "pruned leg: no FileSourceScanExec reachable in the executed plan — " +
+            "files_read (the mode's headline claim) is unmeasurable")
         // result identity: every (q_id, cand_id, rnk) row must match
         val fullRes = fullDf.select(col("q_id"), col("cand_id"), col("rnk"))
         val matched = executed.select(col("q_id"), col("cand_id"), col("rnk"))
@@ -690,24 +755,10 @@ object SemKBench {
         base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
         k = K, iters = Iters)._1)
       val staleFitWall = (System.nanoTime() - tS0) / 1e9
-      // the unseen orthogonal transform: shift 7 composed with negating
-      // blocks {1,3,5,7} — the replica copies only ever used flip
-      // patterns 0 and 1, so (7, 0xAA) is a genuinely new direction set
-      val negBlocks = Seq(1, 3, 5, 7)
-      def shiftedBatch(nBaseIds: Int, idOffset: Long): DataFrame = {
-        val picked = spark.read.parquet(s"$dBase/embeddings.parquet")
-          .filter(col("vec_id") % stride < nBaseIds)
-        val shifted = concat(slice(col("embedding"), 8, 57),
-          slice(col("embedding"), 1, 7))
-        val flipped = transform(shifted, (x, j) =>
-          when((j / 8).cast("int").isin(negBlocks: _*), -x).otherwise(x))
-        picked
-          .withColumn("vec_id", col("vec_id") + lit(idOffset))
-          .withColumn("embedding", flipped)
-          .select(col("vec_id"), col("embedding"),
-            normD(col("embedding")).as("nrm"))
-          .filter(col("nrm") > 0)
-      }
+      // the unseen orthogonal transform lives in shiftedBatchFrom
+      // (hoisted round 19 — the monitor leg scores the same population)
+      def shiftedBatch(nBaseIds: Int, idOffset: Long): DataFrame =
+        shiftedBatchFrom(spark, dBase, nBaseIds, idOffset)
       def exactTopK(queries: DataFrame, corpusAll: DataFrame): DataFrame = {
         val q = queries.select(col("vec_id").as("q_id"),
           col("embedding").as("qe"), col("nrm").as("qn"))
@@ -772,7 +823,11 @@ object SemKBench {
       // search wall (min-of-2) at (nprobe, probeCells) = (2,2) → (4,4)
       // → (8,8) for the drifted population.
       locally {
-        val batch = shiftedBatch(500, 1000L * stride + stride) // f=0.25, fresh ids
+        // f=0.25-sized batch in a genuinely UNUSED id space (round-18
+        // ADVICE: 1001·stride was exactly the main loop's f=0.25 offset
+        // — harmless only because corpora are per-point; 1003 collides
+        // with nothing, and the monitor leg uses 1005)
+        val batch = shiftedBatch(500, 1003L * stride)
         require(batch.count() == 50000, "ladder batch must hold 50000")
         val grown = base.unionAll(batch)
         val staleIdx = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
@@ -807,23 +862,8 @@ object SemKBench {
       // buildClusterReplica noise recipe at ε=0.30, copy-salts the
       // replica never used), appended against the same stale
       // centroids; recall measured for the APPENDED population itself.
-      val inBatch = {
-        val b0 = spark.read.parquet(s"$dBase/embeddings.parquet")
-          .filter(col("vec_id") < 2000)
-        (0 until 25).map { c =>
-          b0.withColumn("vec_id", col("vec_id") + lit((3000L + c) * stride))
-            .withColumn("scl",
-              ColumnBridge.column(graft.gen.VecNormExpr(
-                ColumnBridge.expression(col("embedding")))) * 0.30 / 8.0)
-            .withColumn("embedding",
-              expr(s"""transform(embedding, (x, j) ->
-                      |  cast(x + scl * (pmod(xxhash64(vec_id, ${7700 + c}, j), 2001) - 1000) / 1000.0
-                      |    as float))""".stripMargin))
-            .drop("scl")
-        }.reduce(_ unionAll _)
-          .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
-          .filter(col("nrm") > 0)
-      }
+      val inBatch = inDistVectors(spark, dBase, 0 until 25,
+        copyIdBase = 3000L, saltBase = 7700)
       val nIn = inBatch.count()
       require(nIn == 50000, s"in-distribution batch labeled 50000 actually holds $nIn")
       val grownIn = base.unionAll(inBatch)
@@ -861,6 +901,138 @@ object SemKBench {
       return
     }
 
+    // Round-19 monitor mode (VERDICT r18 #1): make "on detected drift"
+    // COMPUTABLE. The round-18 drift ladder priced every remedy (widen
+    // probes 0.786→0.961 at ~1.4× wall; refit 0.947–0.990) and gave the
+    // refit rule recall ≈ (1−f)·0.96 + f·0.79 — but f, the OOD share of
+    // the query mix, was unobservable. IvfIndex.driftStats now scores a
+    // query batch's stage-1 routing (best-probe cosine — the exact
+    // signal the drift ladder proved collapses for OOD queries) against
+    // a floor calibrated at fit time (routeFloor: the calibQ-quantile of
+    // a held-out base sample's scores); this leg proves the statistic
+    // SEPARATES the mixes: 2000-query batches at f = 0/10/25/50% OOD
+    // (the same frozen-fit centroids and shifted-cluster population the
+    // drift leg built) must show below_frac / est_f rising monotonically
+    // with f — and the in-distribution control (25% of the mix is NEW
+    // members of EXISTING clusters) must stay quiet, or the detector
+    // would page on every benign ingest. Each mix also reports its
+    // MEASURED recall on the stale index against brute-force truth, so
+    // the table reads statistic → est_f → recall in one row, and the
+    // monitor's own wall (it touches only the query batch and the
+    // broadcast routing array — never the corpus).
+    if (args.contains("monitor")) {
+      require(clustered,
+        "monitor mode measures the clustered replica (usage: SemKBench <sfDir> cluster monitor)")
+      val dBase = clusterReplica(100)
+      val base = corpus(spark, dBase)
+      val nBase = base.count()
+      val stride = ScaleBench.Stride
+      val K = 800; val Iters = 2; val TopN = 10; val CalibQ = 0.10
+      val tS0 = System.nanoTime()
+      val staleCents = graft.Checkpoint(graft.functions.IvfIndex.fit(
+        base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = K, iters = Iters)._1)
+      val fitWall = (System.nanoTime() - tS0) / 1e9
+      // floor calibration on a HELD-OUT base sample: base ids 20..39
+      // (2000 vectors), disjoint from every query mix below — the floor
+      // must not be read off the queries it will judge
+      val calibSample = base.filter(col("vec_id") % stride >= 20 &&
+        col("vec_id") % stride < 40)
+      require(calibSample.count() == 2000, "calibration sample must hold 2000")
+      val floor = graft.functions.IvfIndex.routeFloor(calibSample, staleCents,
+        calibQ = CalibQ, kHint = K.toLong)
+      System.err.println(f"[semk-monitor] k=$K calib_q=$CalibQ floor=$floor%.4f " +
+        f"fit_wall=$fitWall%.1f")
+      // the OOD pool: the drift recipe at the f=25% batch size (50k
+      // vectors, fresh id space); the grown corpus carries it so each
+      // mix's recall is measured against real truth, not extrapolated
+      val batch = shiftedBatchFrom(spark, dBase, 500, 1005L * stride)
+      val nBatch = batch.count()
+      require(nBatch == 50000, s"OOD batch labeled 50000 actually holds $nBatch")
+      val grown = base.unionAll(batch)
+      val staleIdx = graft.Checkpoint(graft.functions.IvfIndex.assignIndexed(
+        grown, staleCents, groupSize = 8, nprobe = 2, kHint = K.toLong))
+      val basePool = base.filter(col("vec_id") % stride < 20)   // 2000 queries
+      val driftPool = batch.filter(col("vec_id") % stride < 10) // 1000 queries
+      require(basePool.count() == 2000 && driftPool.count() == 1000,
+        "query pools must hold exactly 2000 base / 1000 drift")
+      def exactTopK(queries: DataFrame, corpusAll: DataFrame): DataFrame = {
+        val q = queries.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+        graft.plans.TopKPerGroup(
+          broadcast(q).crossJoin(corpusAll)
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              (dotD(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+            .filter(col("q_id") =!= col("cand_id")),
+          Seq("q_id"), Seq(("cos", false), ("cand_id", true)), TopN, rnName = "rnk")
+          .select(col("q_id"), col("cand_id"))
+      }
+      // truth + per-query hit rows computed ONCE per pool: searchTopK is
+      // per-query independent (q_id-local routing, q_id-keyed heap), so
+      // a mix's recall is exactly the sum of its members' hits — no need
+      // to re-search every mix
+      def hitRows(pool: DataFrame, truth: DataFrame): DataFrame =
+        graft.functions.IvfIndex.searchTopK(pool, staleIdx, staleCents,
+          topK = TopN, groupSize = 8, nprobe = 2, probeCells = 2,
+          kHint = K.toLong, excludeSelf = true)
+          .select(col("q_id"), col("cand_id"))
+          .join(truth, Seq("q_id", "cand_id"))
+      val hitsBase = graft.Checkpoint(
+        hitRows(basePool, graft.Checkpoint(exactTopK(basePool, grown))))
+      val hitsDrift = graft.Checkpoint(
+        hitRows(driftPool, graft.Checkpoint(exactTopK(driftPool, grown))))
+      def statsJson(mixQ: DataFrame, label: String,
+                    recallJson: String): String = {
+        def statsDf = graft.functions.IvfIndex.driftStats(mixQ, staleCents,
+          floor, calibQ = CalibQ, kHint = K.toLong)
+        statsDf.head() // warm the plan family
+        val t0 = System.nanoTime()
+        val r = statsDf.head() // 1-row collect: the monitor's own output
+        val wall = (System.nanoTime() - t0) / 1e9
+        val below = r.getAs[Double]("below_frac")
+        val estF = r.getAs[Double]("est_f")
+        val meanS = r.getAs[Double]("mean_score")
+        val p10 = r.getAs[Double]("p10_score")
+        val p50 = r.getAs[Double]("p50_score")
+        System.err.println(f"[semk-monitor] $label below_frac=$below%.3f " +
+          f"est_f=$estF%.3f mean=$meanS%.3f p10=$p10%.3f p50=$p50%.3f " +
+          f"wall=$wall%.2f$recallJson")
+        f""""$label":{"below_frac":$below%.3f,"est_f":$estF%.3f,""" +
+          f""""mean_score":$meanS%.3f,"p10_score":$p10%.3f,"p50_score":$p50%.3f,""" +
+          f""""monitor_wall":$wall%.2f$recallJson}"""
+      }
+      val points = Seq(0.0, 0.10, 0.25, 0.50).map { f =>
+        val nd = (2000 * f).toInt
+        val nb = 2000 - nd
+        val mixQ = basePool.filter(col("vec_id") % stride < nb / 100)
+          .unionAll(driftPool.filter(col("vec_id") % stride < nd / 100))
+        val got = mixQ.count()
+        require(got == 2000, s"mix f=$f labeled 2000 actually holds $got")
+        val hits = hitsBase.filter(col("q_id") % stride < nb / 100).count() +
+          hitsDrift.filter(col("q_id") % stride < nd / 100).count()
+        val recall = hits.toDouble / (2000.0 * TopN)
+        statsJson(mixQ, s"f${(f * 100).toInt}",
+          f""","recall_stale":$recall%.3f""")
+      }
+      // the SPECIFICITY control: 25% of the mix is fresh IN-distribution
+      // vectors (new members of existing clusters — the ingest round 18
+      // measured recall-free at 0.965); est_f must read ≈ 0 here or the
+      // detector pages on every benign batch
+      val inVecs = inDistVectors(spark, dBase, 0 until 1,
+        copyIdBase = 3100L, saltBase = 8800)
+      val inPool = inVecs.filter(col("vec_id") % stride < 500)
+      require(inPool.count() == 500, "in-dist query pool must hold 500")
+      val inMix = basePool.filter(col("vec_id") % stride < 15).unionAll(inPool)
+      require(inMix.count() == 2000, "in-dist mix must hold 2000")
+      val inJson = statsJson(inMix, "indist25", "")
+      println(f"""{"metric":"semk_monitor","n_base":$nBase,"k":$K,""" +
+        f""""iters":$Iters,"topk":$TopN,"calib_q":$CalibQ%.2f,""" +
+        f""""floor":$floor%.4f,"fit_wall":$fitWall%.1f,""" +
+        f"""${points.mkString(",")},$inJson}""")
+      spark.stop()
+      return
+    }
+
     // Round-18 sil mode (VERDICT r17 #2): link the silhouette gate to
     // recall. q_sim_silhouette ships the cluster-quality score and
     // round 17 proved the stakes (clustered 0.892 vs ortho 0.075
@@ -889,10 +1061,15 @@ object SemKBench {
           case _ => ()
         }
       }
-      // `k80` re-runs the calibration at k=80 (fit-only — the pooled
-      // convention is defined at 8·copies=800) to check the band
-      // mapping is a property of the GEOMETRY, not of one k
-      val K = if (args.contains("k80")) 80 else 800
+      // round 19 (VERDICT r18 #3): `sil k=<k>` runs the calibration at
+      // ANY k — "read the gate at the k you will serve with" is now one
+      // command. Non-800 k are fit-only (the pooled convention is
+      // defined at 8·copies=800). `k80` stays as an alias for the
+      // round-18 k-dependence invocation.
+      val K = args.collectFirst {
+        case a if a.startsWith("k=") => a.stripPrefix("k=").toInt
+      }.getOrElse(if (args.contains("k80")) 80 else 800)
+      require(K > 0, s"sil k must be positive, got $K")
       val TopN = 10
       def silhouetteOf(e: DataFrame, cents: DataFrame): (Double, Double) = {
         val ca = broadcast(cents.agg(array_sort(collect_list(
@@ -1123,7 +1300,14 @@ object SemKBench {
       def runAgg(df: DataFrame): (Double, Long) = {
         val a = df.agg(sum(col("payload")).as("s"))
         val t0 = System.nanoTime(); a.collect()
-        ((System.nanoTime() - t0) / 1e9, scanFiles(a))
+        val w = (System.nanoTime() - t0) / 1e9
+        val files = scanFiles(a)
+        if (files < 0)
+          // name the sentinel so a metrics-shape regression reads as
+          // "walker lost the scan", not as a -1 file count (r18 ADVICE)
+          System.err.println("[semk-boundary] WARNING: no FileSourceScanExec " +
+            "reachable in the executed plan — files=-1 is a sentinel, not a count")
+        (w, files)
       }
       def measure(nCells: Int): String = {
         // uniformly-spaced probed cells so pruning can't ride on

@@ -215,7 +215,8 @@ object IvfIndex {
     * k-specific (a k=80 re-check read sil 0.145 with recall 1.000 on
     * the clustered corpus — coarse cells trade silhouette for recall)
     * but the ≲ 0.1 cutoff held at both k: read the gate at the k you
-    * will serve with.
+    * will serve with — one command, `SemKBench <sfDir> sil k=<yourK>`
+    * (round 19).
     *
     * Determinism: cosines are the codegen ascending folds; stage-1
     * ties break low-gid, cell ranking low-cid, candidate ranking
@@ -289,9 +290,16 @@ object IvfIndex {
     * exists to avoid; round-17 ADVICE). The double execution is sound
     * because the probe is bit-deterministic (ascending folds, total tie
     * orders — the object-doc contract), and |Q|-sized work is the cheap
-    * end of the plan; it does require `queries` itself to be
-    * deterministic (every in-repo caller is a parquet read + filter —
-    * don't pass a `sample()` without a seed).
+    * end of the plan; it does require BOTH input plans to be
+    * deterministic — `queries` AND `cents` (a non-deterministic
+    * centroid frame would route the join-side probe to cells absent
+    * from the collected IN-list and silently drop candidates; every
+    * in-repo caller passes a parquet read + filter or a checkpointed
+    * fit table). The contract is ENFORCED, not just documented
+    * (round 19): both plans are walked for non-deterministic
+    * expressions (`rand()`, `uuid()`, `shuffle()`, …) and the call
+    * fails loudly instead of routing wrong — materialize
+    * (checkpoint / write out) such a batch before searching.
     *
     * The distinct-cell collect is BOUNDED by construction:
     * ≤ min(|Q|·probeCells, k) values, required ≤ [[PruneMaxCells]].
@@ -305,6 +313,8 @@ object IvfIndex {
                    pruneMaxCells: Int = PruneMaxCells): DataFrame = {
     val spark = queries.sparkSession
     val k = searchGate(topK, nprobe, probeCells, groupSize, kHint, cents)
+    requireDeterministic(queries, "queries")
+    requireDeterministic(cents, "cents")
     val pc = probedCellsOf(queries, cents, groupSize, nprobe,
       probeCells, dim, k, broadcastMaxCids)
     // bounded collect (see scaladoc): ≤ min(|Q|·probeCells, k) longs
@@ -363,7 +373,15 @@ object IvfIndex {
     * (1−f)·0.96 + f·0.79 where f is the out-of-distribution share of
     * the query mix, so refit when f exceeds your recall budget — e.g.
     * keep recall ≥ 0.95 ⇒ refit by f ≈ 6%; a 0.90 SLO tolerates
-    * f ≈ 35%. In-distribution appends (the common ingest) are MEASURED
+    * f ≈ 35%. AND f IS OBSERVABLE (round 19): [[driftStats]] scores
+    * each query batch's stage-1 routing (no corpus access — the best-
+    * probe cosine collapses for exactly the OOD population) against a
+    * [[routeFloor]] calibrated at fit time; its est_f is a measured
+    * lower bound on f — watch est_f, widen probes when it crosses your
+    * budget, refit when the probe premium stops being acceptable
+    * (`SemKBench cluster monitor` proves est_f tracks true f
+    * monotonically at f = 0/10/25/50% with the in-distribution control
+    * at ≈ 0; SCALE.md §"Semantic dedup" round-19). In-distribution appends (the common ingest) are MEASURED
     * free, not assumed: a 25% batch of new members of existing
     * clusters reads 0.965 recall under the stale centroids vs 0.960
     * after a refit — no drift, no refit needed. And because the
@@ -400,6 +418,186 @@ object IvfIndex {
     assignIndexed(e, cents, groupSize, nprobe, dim, kHint, broadcastMaxCids)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Compact a cell-partitioned inverted store when append generations
+    * have pushed its file count past `fileBudget` — the round-18
+    * compaction RULE (files ≈ cells × (1 + generations), measured:
+    * 8 scattered 25k-row appends grew 800 → 7,200 files and one
+    * [[writeInverted]] rewrite restored 800 in 5.55 s — SCALE.md
+    * §"Semantic dedup" round-18 (d)) turned into a VERB (round 19):
+    * read the store, count files, and if over budget rewrite to ~one
+    * file per cell via a temp directory + rename swap. Under budget the
+    * store is left byte-untouched and the call returns false.
+    *
+    * Safety: the rewrite lands in `<path>.maintain.tmp` and is
+    * row-count-verified against the original BEFORE the original is
+    * touched — a failed or short rewrite can never destroy index data.
+    * The swap is two filesystem renames (atomic metadata ops on HDFS;
+    * emulated on object stores), so a reader listing the directory
+    * between them sees a missing path rather than mixed generations —
+    * run maintain from the ingest owner, between appends, exactly like
+    * the appends themselves. Search results are IDENTICAL before and
+    * after (compaction moves bytes, never rows — IvfIndexSpec pins it).
+    *
+    * Cadence: pick fileBudget ≈ cells × G for the G append generations
+    * you are willing to carry; the measured file-count law makes the
+    * trigger arithmetic, and the price is one full read + write of the
+    * store (the q_sink_compaction posture).
+    */
+  def maintain(spark: SparkSession, path: String, fileBudget: Int): Boolean = {
+    require(fileBudget > 0, s"need fileBudget > 0, got $fileBudget")
+    val before = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+    val filesBefore = before.inputFiles.length
+    if (filesBefore <= fileBudget) return false
+    val rowsBefore = before.count()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".maintain.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".maintain.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    writeInverted(before, tmp.toString)
+    // verify the rewrite BEFORE touching the original: a lost-rows
+    // compaction must abort with the store intact
+    val rowsAfter = spark.read.parquet(tmp.toString).count()
+    if (rowsAfter != rowsBefore) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"maintain rewrite holds $rowsAfter rows, " +
+        s"store holds $rowsBefore — aborted, store untouched")
+    }
+    require(fs.rename(target, old), s"maintain: could not move $path aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // restore; the store was never lost
+      throw new IllegalStateException(
+        s"maintain: swap into $path failed; original restored")
+    }
+    fs.delete(old, true)
+    true
+  }
+
+  /** Per-query ROUTING SCORE — the drift detector's raw signal
+    * (round 19; VERDICT r18 #1): for each query, the best cosine among
+    * its probed centroids, i.e. the stage-2 score of the cell
+    * [[searchTopK]] would rank first. On clusterable geometry an
+    * in-distribution query scores high (its own cluster's centroid is
+    * probed); a distribution-SHIFTED query's cluster has no centroid,
+    * so its best probe collapses — exactly the stage-1 routing loss the
+    * round-18 drift ladder measured (flat 0.786 recall, recovered by
+    * probe-widening). Same two-stage plan as the search probe: one
+    * broadcast of the g-struct routing array, one |Q|-keyed
+    * map-side-combined max aggregate — no corpus access at all, so the
+    * monitor runs on the live QUERY STREAM at query-batch cost.
+    * Input `queries`: (vec_id, embedding, nrm > 0); output
+    * (q_id, route_score).
+    */
+  def routeScores(queries: DataFrame, cents: DataFrame,
+                  groupSize: Int = 8, nprobe: Int = 2,
+                  dim: Int = 64, kHint: Long = -1L,
+                  broadcastMaxCids: Long = BroadcastMaxCids): DataFrame = {
+    val k = if (kHint >= 0L) kHint else cents.count()
+    val g = (k + groupSize.max(1) - 1) / groupSize.max(1)
+    require(g <= BroadcastMaxCids,
+      s"stage-1 routing array would hold $g group means " +
+        s"(> $BroadcastMaxCids): raise groupSize (≈ √k keeps both levels bounded)")
+    val gma = groupMeansArr(cents, groupSize, dim)
+    val probed = queries.crossJoin(gma)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(slice(array_sort(transform(col("gma"), gg => struct(
+          (-(dotD(col("embedding"), gg.getField("gemb"))
+            / (col("nrm") * gg.getField("gnrm")))).as("nscore"),
+          gg.getField("gid").as("gid")))), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qe"), col("qn"), col("p").getField("gid").as("gid"))
+    val centsByGid = cents.withColumn("gid", expr(s"cid div $groupSize"))
+    val joined =
+      if (k <= broadcastMaxCids) probed.join(broadcast(centsByGid), Seq("gid"))
+      else probed.join(centsByGid.hint("shuffle_hash"), Seq("gid"))
+    joined
+      .select(col("q_id"),
+        (dotD(col("qe"), col("cemb")) / (col("qn") * col("cnrm"))).as("s"))
+      .groupBy("q_id").agg(max(col("s")).as("route_score"))
+  }
+
+  /** Calibrate the drift floor τ: the `calibQ`-quantile of
+    * [[routeScores]] over an IN-DISTRIBUTION base sample (held-out
+    * corpus vectors, scored against the same centroids the index
+    * serves with) — computed once at fit/refit time and carried as a
+    * scalar next to the centroid table. The collect is ONE double
+    * (a 1-row aggregate), bounded by construction.
+    */
+  def routeFloor(baseSample: DataFrame, cents: DataFrame,
+                 calibQ: Double = 0.10,
+                 groupSize: Int = 8, nprobe: Int = 2,
+                 dim: Int = 64, kHint: Long = -1L,
+                 broadcastMaxCids: Long = BroadcastMaxCids): Double = {
+    require(calibQ > 0 && calibQ < 1, s"need 0 < calibQ < 1, got $calibQ")
+    routeScores(baseSample, cents, groupSize, nprobe, dim, kHint, broadcastMaxCids)
+      .agg(percentile_approx(col("route_score"), lit(calibQ), lit(100000)).as("f"))
+      .head().getDouble(0)
+  }
+
+  /** The DRIFT MONITOR (round 19; VERDICT r18 #1) — turns the
+    * refit-cadence rule's f (the out-of-distribution share of the query
+    * mix, recall ≈ (1−f)·0.96 + f·0.79, see [[appendInverted]]) from an
+    * unobservable into a per-batch statistic. Returns ONE row over the
+    * batch's [[routeScores]]:
+    *
+    *   n_queries, mean_score, p10_score, p50_score — the score
+    *     distribution (quantiles via percentile_approx, an aggregate —
+    *     no sort, no collect);
+    *   below_frac — fraction of queries scoring under the calibrated
+    *     floor τ ([[routeFloor]] at quantile `calibQ` on a base sample);
+    *   est_f — the implied OOD share: below_frac ≈ (1−f)·calibQ + f·β
+    *     where β = P(an OOD query scores < τ), so with β = 1,
+    *     est_f = max(0, (below_frac − calibQ) / (1 − calibQ)) is a
+    *     LOWER bound on f (β < 1 only makes true f larger — the
+    *     estimator never over-triggers a refit). β is measured ≈ 1 on
+    *     the round-19 monitor leg's shifted-cluster geometry
+    *     (`SemKBench cluster monitor`, SCALE.md §"Semantic dedup"
+    *     round-19: est_f tracks true f to within ~1 point at
+    *     f = 0/10/25/50% while the in-distribution control reads ≈ 0).
+    *
+    * Deployment loop: score every query batch (query-stream cost — no
+    * corpus access); when est_f crosses the probe-widening threshold,
+    * widen (nprobe, probeCells) (measured: (8,8) recovers 0.961 on a
+    * stale index at ~1.4× search wall); when the probe premium stops
+    * being acceptable, refit — the full playbook with every number is
+    * README §"Index operations".
+    */
+  def driftStats(queries: DataFrame, cents: DataFrame, floor: Double,
+                 calibQ: Double = 0.10,
+                 groupSize: Int = 8, nprobe: Int = 2,
+                 dim: Int = 64, kHint: Long = -1L,
+                 broadcastMaxCids: Long = BroadcastMaxCids): DataFrame = {
+    require(calibQ > 0 && calibQ < 1, s"need 0 < calibQ < 1, got $calibQ")
+    routeScores(queries, cents, groupSize, nprobe, dim, kHint, broadcastMaxCids)
+      .agg(
+        count(lit(1)).as("n_queries"),
+        avg(col("route_score")).as("mean_score"),
+        percentile_approx(col("route_score"), lit(0.10), lit(100000)).as("p10_score"),
+        percentile_approx(col("route_score"), lit(0.50), lit(100000)).as("p50_score"),
+        (sum(when(col("route_score") < floor, 1L).otherwise(0L))
+          / count(lit(1))).as("below_frac"))
+      .withColumn("est_f",
+        greatest(lit(0.0), (col("below_frac") - calibQ) / (1.0 - calibQ)))
+  }
+
+  /** Fail fast when a plan that [[searchTopKAt]] will execute TWICE
+    * carries non-deterministic expressions — re-execution could probe
+    * different cells than the collected IN-list and silently drop
+    * candidates (the scaladoc contract, enforced; round 19 / round-18
+    * ADVICE). Walked on the analyzed plan so nothing is hidden by
+    * optimizer rewrites.
+    */
+  private def requireDeterministic(df: DataFrame, what: String): Unit = {
+    val nondet = df.queryExecution.analyzed.collect {
+      case p if p.expressions.exists(!_.deterministic) => p.nodeName
+    }
+    require(nondet.isEmpty,
+      s"searchTopKAt executes its probe pass twice, so the `$what` plan must be " +
+        s"deterministic; non-deterministic expressions found in: ${nondet.mkString(", ")} " +
+        "(rand()/uuid()/shuffle()/…) — materialize the batch first " +
+        "(checkpoint or write it out) and search over the materialized table")
+  }
 
   /** Shared argument gate for the search entry points; returns k. */
   private def searchGate(topK: Int, nprobe: Int, probeCells: Int,

@@ -588,4 +588,170 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(objD.toSeq == objX.toSeq,
       s"objective series diverged: driver=${objD.toSeq} distributed=${objX.toSeq}")
   }
+
+  test("routeScores at full probe equals the exact best-centroid cosine") {
+    // the drift monitor's raw signal (round 19): with nprobe covering
+    // every group the routing score must be EXACTLY the best cosine over
+    // all centroids (same codegen folds — bit equality); with a partial
+    // probe it can only be ≤ that (probing scores a subset).
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = functions.IvfIndex.routeScores(queries, cents32,
+      groupSize = 8, nprobe = 4, kHint = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val exact = queries.crossJoin(broadcast(cents32))
+      .select(col("vec_id"),
+        (dotD(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("s"))
+      .groupBy("vec_id").agg(max(col("s")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == 10)
+    assert(got.toSeq == exact.toSeq,
+      "full-probe route score must equal the exact best-centroid cosine bit for bit")
+    val partial = functions.IvfIndex.routeScores(queries, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    exact.foreach { case (q, m) =>
+      assert(partial(q) <= m, s"partial-probe score exceeded the exact best for q=$q")
+    }
+  }
+
+  test("driftStats separates OOD mixes monotonically and stays quiet in-distribution") {
+    // the detector contract on a synthetic clustered fixture with KNOWN
+    // geometry: 8 orthogonal block centroids, base members = centroid +
+    // tiny in-block noise (route score ≈ 1), OOD vectors = negated
+    // blocks (best possible probe cosine exactly 0). The floor is
+    // calibrated on one half of the base population and judged on the
+    // other, so est_f ≈ 0 in-distribution is a held-out property, not a
+    // tautology; OOD mixes at 50% and 100% must read est_f ≈ 0.5 / 1.0
+    // and the three mixes must order monotonically.
+    import spark.implicits._
+    val dim = 64
+    def toDf(rows: Seq[(Long, Seq[Float])]): DataFrame =
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0)
+    val baseRows = for (c <- 0 until 8; m <- 0 until 20) yield {
+      val v = (0 until dim).map { d =>
+        if (d / 8 == c) 1f + ((c * 31 + m * 7 + d) % 5 - 2) * 0.02f else 0f
+      }
+      ((c * 100 + m).toLong, v.toSeq)
+    }
+    val oodRows = (0 until 40).map { i =>
+      val blk = i % 8
+      ((1000 + i).toLong, (0 until dim).map(d => if (d / 8 == blk) -1f else 0f).toSeq)
+    }
+    val base = toDf(baseRows)
+    val cents = toDf((0 until 8).map(i =>
+      (i.toLong, (0 until dim).map(d => if (d / 8 == i) 1f else 0f).toSeq)))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val floor = functions.IvfIndex.routeFloor(
+      base.filter(col("vec_id") % 2 === 0), cents,
+      calibQ = 0.10, groupSize = 2, nprobe = 2, kHint = 8)
+    assert(floor > 0.9, s"in-block members must route near 1, floor=$floor")
+    val inq = base.filter(col("vec_id") % 2 === 1) // held-out 80
+    val ood = toDf(oodRows)
+    def statsOf(q: DataFrame): (Double, Double) = {
+      val r = functions.IvfIndex.driftStats(q, cents, floor,
+        calibQ = 0.10, groupSize = 2, nprobe = 2, kHint = 8).head()
+      (r.getAs[Double]("below_frac"), r.getAs[Double]("est_f"))
+    }
+    val (_, f0) = statsOf(inq)
+    val (_, f50) = statsOf(inq.filter(col("vec_id") % 4 === 1).unionAll(ood))
+    val (b100, f100) = statsOf(ood)
+    assert(f0 < 0.25, s"in-distribution est_f must read ≈ 0, got $f0")
+    assert(b100 == 1.0 && f100 == 1.0,
+      s"pure-OOD mix must read below_frac = est_f = 1, got $b100/$f100")
+    assert(math.abs(f50 - 0.5) < 0.2, s"50% mix must read est_f ≈ 0.5, got $f50")
+    assert(f0 < f50 && f50 < f100, "est_f must order monotonically with the OOD share")
+  }
+
+  test("maintain compacts an over-budget store search-identically; under-budget is untouched") {
+    // the compaction VERB (round 19; VERDICT r18 #2): the round-18 curve
+    // gave the file-count law and the price — maintain() executes it.
+    // Pins: a store within budget returns false with the file set
+    // byte-identical; an over-budget store compacts to ≈ one file per
+    // cell with every row preserved and searchTopKAt bit-identical.
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maintain").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(
+        functions.IvfIndex.assignIndexed(corpus.filter(col("vec_id") % 2 === 0),
+          cents32, groupSize = 8, nprobe = 2, kHint = 32), path)
+      functions.IvfIndex.appendInverted(
+        corpus.filter(col("vec_id") % 4 === 1), cents32, path, kHint = 32)
+      functions.IvfIndex.appendInverted(
+        corpus.filter(col("vec_id") % 4 === 3), cents32, path, kHint = 32)
+      val filesGrown = spark.read.parquet(path).inputFiles.length
+      val rowsGrown = spark.read.parquet(path).count()
+      val cells = spark.read.parquet(path).select("cell").distinct().count()
+      assert(filesGrown > cells, "fixture must carry append generations to compact")
+      def search(): Seq[(Long, Long, Double, Int)] =
+        functions.IvfIndex.searchTopKAt(queries, path, cents32,
+          topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      val before = search()
+      val untouched = spark.read.parquet(path).inputFiles.toSet
+      assert(!functions.IvfIndex.maintain(spark, path, fileBudget = filesGrown),
+        "a store within budget must not be compacted")
+      assert(spark.read.parquet(path).inputFiles.toSet == untouched,
+        "a within-budget maintain must leave the file set byte-identical")
+      assert(functions.IvfIndex.maintain(spark, path, fileBudget = cells.toInt),
+        "an over-budget store must be compacted")
+      val filesAfter = spark.read.parquet(path).inputFiles.length
+      assert(filesAfter <= cells && filesAfter < filesGrown,
+        s"compaction must restore ≈ one file per cell: $filesGrown -> $filesAfter vs $cells cells")
+      assert(spark.read.parquet(path).count() == rowsGrown,
+        "compaction must preserve every row")
+      assert(search() == before, "maintain must never move search results")
+      assert(!new java.io.File(path + ".maintain.tmp").exists() &&
+        !new java.io.File(path + ".maintain.old").exists(),
+        "maintain must clean up its working directories")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("searchTopKAt rejects non-deterministic query or centroid plans with a named error") {
+    // the probe-determinism contract, ENFORCED (round 19; round-18
+    // ADVICE): searchTopKAt executes its probe pass twice, so a
+    // rand()-filtered batch could probe different cells on re-execution
+    // and silently drop candidates — it must fail loudly instead, for
+    // BOTH inputs, and the gate must not fire on honest plans.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_det").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(inverted, path)
+      def at(q: DataFrame, c: DataFrame) =
+        functions.IvfIndex.searchTopKAt(q, path, c,
+          topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+      // rand() < 2.0 is always true — the REJECTION is purely about the
+      // expression being non-deterministic, not about the rows it keeps
+      val exQ = intercept[IllegalArgumentException] {
+        at(queries.filter(rand() < 2.0), cents32)
+      }
+      assert(exQ.getMessage.contains("`queries` plan must be deterministic"),
+        s"rejection must name the offending input: ${exQ.getMessage}")
+      val exC = intercept[IllegalArgumentException] {
+        at(queries, cents32.filter(rand() < 2.0))
+      }
+      assert(exC.getMessage.contains("`cents` plan must be deterministic"),
+        s"rejection must name the offending input: ${exC.getMessage}")
+      assert(at(queries, cents32).count() == 50,
+        "the gate must not fire on deterministic plans")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
