@@ -933,12 +933,16 @@ object SemKBench {
         base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
         k = K, iters = Iters)._1)
       val fitWall = (System.nanoTime() - tS0) / 1e9
-      // floor calibration on a HELD-OUT base sample: base ids 20..39
-      // (2000 vectors), disjoint from every query mix below — the floor
-      // must not be read off the queries it will judge
+      // floor calibration on a HELD-OUT base sample: base ids 20..99
+      // (8000 vectors, 80 clusters), disjoint from every query mix below
+      // — the floor must not be read off the queries it will judge, and
+      // route scores are CLUSTER-correlated (a first 20-cluster sample
+      // read the f=0 batch at below_frac 0.214 vs the nominal 0.10 —
+      // pure cluster-sampling variance), so the sample must span enough
+      // clusters for its quantile to estimate the corpus-wide one
       val calibSample = base.filter(col("vec_id") % stride >= 20 &&
-        col("vec_id") % stride < 40)
-      require(calibSample.count() == 2000, "calibration sample must hold 2000")
+        col("vec_id") % stride < 100)
+      require(calibSample.count() == 8000, "calibration sample must hold 8000")
       val floor = graft.functions.IvfIndex.routeFloor(calibSample, staleCents,
         calibQ = CalibQ, kHint = K.toLong)
       System.err.println(f"[semk-monitor] k=$K calib_q=$CalibQ floor=$floor%.4f " +
@@ -1225,10 +1229,25 @@ object SemKBench {
         s"compaction must preserve every row: $rowsBefore -> $rowsAfter")
       System.err.println(f"[semk-compact] compacted files=$fc wall=$wc%.2f " +
         f"compact_wall=$compactWall%.2f rows=$rowsAfter")
+      // round 19: the shipped VERB on the same grown store — maintain()
+      // compacts IN PLACE (tmp-dir rewrite, row-count-verified, rename
+      // swap), so its wall prices what a deployment actually runs:
+      // rewrite + verify count + swap, vs the bare rewrite above
+      val tM = System.nanoTime()
+      val did = graft.functions.IvfIndex.maintain(spark, path, fileBudget = 2 * K)
+      val maintainWall = (System.nanoTime() - tM) / 1e9
+      require(did, "maintain must compact a store this far over budget")
+      val fm = filesNow(path); val wm = searchWall(path)
+      val rowsMaint = spark.read.parquet(path).count()
+      require(rowsMaint == n + 8L * 25000,
+        s"maintain must preserve every row: $rowsMaint")
+      System.err.println(f"[semk-compact] maintained files=$fm wall=$wm%.2f " +
+        f"maintain_wall=$maintainWall%.2f rows=$rowsMaint")
       println(f"""{"metric":"semk_compact","n":$n,"k":$K,"batch_rows":25000,""" +
         f""""files_gen0":$f0,"wall_gen0":$w0%.2f,${gens.mkString(",")},""" +
         f""""compact_wall":$compactWall%.2f,"files_compacted":$fc,""" +
-        f""""wall_compacted":$wc%.2f}""")
+        f""""wall_compacted":$wc%.2f,"maintain_wall":$maintainWall%.2f,""" +
+        f""""files_maintained":$fm,"wall_maintained":$wm%.2f}""")
       spark.stop()
       return
     }

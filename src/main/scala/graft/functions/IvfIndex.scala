@@ -550,11 +550,19 @@ object IvfIndex {
     *     where β = P(an OOD query scores < τ), so with β = 1,
     *     est_f = max(0, (below_frac − calibQ) / (1 − calibQ)) is a
     *     LOWER bound on f (β < 1 only makes true f larger — the
-    *     estimator never over-triggers a refit). β is measured ≈ 1 on
-    *     the round-19 monitor leg's shifted-cluster geometry
-    *     (`SemKBench cluster monitor`, SCALE.md §"Semantic dedup"
-    *     round-19: est_f tracks true f to within ~1 point at
-    *     f = 0/10/25/50% while the in-distribution control reads ≈ 0).
+    *     estimator never over-triggers a refit). MEASURED on the
+    *     round-19 monitor leg's shifted-cluster geometry (`SemKBench
+    *     cluster monitor`, SCALE.md §"Semantic dedup" round-19):
+    *     est_f reads 0.00 / 0.06 / 0.17 / 0.45 at true f = 0/10/25/50%
+    *     — monotone and conservative (β ≈ 0.73–0.91: about ¾ of OOD
+    *     queries collapse below the corpus-p10 floor) — while the
+    *     in-distribution control (25% fresh members of existing
+    *     clusters) reads 0.00. Read thresholds off that table, not off
+    *     f literally: a 0.95 recall SLO (refit by f ≈ 6–10%) alarms
+    *     around est_f ≈ 0.06. Calibration caveat, measured: route
+    *     scores are CLUSTER-correlated, so the [[routeFloor]] sample
+    *     must span enough clusters — a 20-cluster sample misread the
+    *     in-distribution below_frac as 0.21; 80 clusters read 0.09.
     *
     * Deployment loop: score every query batch (query-stream cost — no
     * corpus access); when est_f crosses the probe-widening threshold,
