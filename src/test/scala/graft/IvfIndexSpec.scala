@@ -707,6 +707,20 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(!new java.io.File(path + ".maintain.tmp").exists() &&
         !new java.io.File(path + ".maintain.old").exists(),
         "maintain must clean up its working directories")
+      // lifecycle continuity: ingest keeps working on the swapped-in
+      // store — an append AFTER a maintain must land partition-wise and
+      // the result must still equal a single-shot rebuild of everything
+      val late = corpus.filter(col("vec_id") % 2 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      functions.IvfIndex.appendInverted(late, cents32, path, kHint = 32)
+      val rebuilt = functions.IvfIndex.searchTopK(queries,
+        functions.IvfIndex.assignIndexed(corpus.unionAll(late), cents32,
+          groupSize = 8, nprobe = 2, kHint = 32),
+        cents32, topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(search() == rebuilt,
+        "append after maintain must equal a single-shot rebuild of the union")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
