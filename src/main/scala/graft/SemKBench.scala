@@ -927,7 +927,14 @@ object SemKBench {
       val base = corpus(spark, dBase)
       val nBase = base.count()
       val stride = ScaleBench.Stride
-      val K = 800; val Iters = 2; val TopN = 10; val CalibQ = 0.10
+      // `monitor k=<k>` re-runs the detector calibration at another k
+      // (the sil-mode convention) — the k-dependence check: floor and
+      // est_f are calibrated at the k you serve with
+      val K = args.collectFirst {
+        case a if a.startsWith("k=") => a.stripPrefix("k=").toInt
+      }.getOrElse(800)
+      require(K > 0, s"monitor k must be positive, got $K")
+      val Iters = 2; val TopN = 10; val CalibQ = 0.10
       val tS0 = System.nanoTime()
       val staleCents = graft.Checkpoint(graft.functions.IvfIndex.fit(
         base.select(col("vec_id"), col("embedding")), "vec_id", "embedding",

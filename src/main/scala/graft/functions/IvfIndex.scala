@@ -559,10 +559,17 @@ object IvfIndex {
     *     in-distribution control (25% fresh members of existing
     *     clusters) reads 0.00. Read thresholds off that table, not off
     *     f literally: a 0.95 recall SLO (refit by f ≈ 6–10%) alarms
-    *     around est_f ≈ 0.06. Calibration caveat, measured: route
+    *     around est_f ≈ 0.06. Calibration caveats, measured: (1) route
     *     scores are CLUSTER-correlated, so the [[routeFloor]] sample
     *     must span enough clusters — a 20-cluster sample misread the
     *     in-distribution below_frac as 0.21; 80 clusters read 0.09.
+    *     (2) Floor and thresholds are K-SPECIFIC, like the silhouette
+    *     gate's bands: at k=80 the same mixes read est_f
+    *     0.00/0.00/0.15/0.31 — more conservative, and self-consistently
+    *     so, because the drift penalty itself nearly vanishes at coarse
+    *     k (stale recall 0.992→0.972; big cells catch the shifted
+    *     clusters' neighbors). Calibrate at the k you serve with —
+    *     `SemKBench <sf> cluster monitor k=<k>`.
     *
     * Deployment loop: score every query batch (query-stream cost — no
     * corpus access); when est_f crosses the probe-widening threshold,
