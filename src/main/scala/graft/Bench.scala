@@ -297,8 +297,9 @@ object Bench {
     val diskReadMb = mb(diskReadStart, diskReadEnd)
     val diskWriteMb = mb(diskWriteStart, diskWriteEnd)
 
+    val window = windowOf(probeSec, probeIoSec)
     val line = Bench.renderLine(results, total, sfNum, genRows, genSec, genRate, csvRate,
-      cpus, probeSec, probeIoSec)
+      cpus, probeSec, probeIoSec, window)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullMeds = medians.map { case (k, v) => "\"" + k + "\":" + v }
@@ -310,7 +311,7 @@ object Bench {
     val probeJson = probeSec.mkString("[", ",", "]")
     val probeIoJson = probeIoSec.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"probe_sec":$probeJson,"probe_io_sec":$probeIoJson,"probe_io_write_mb":${"%.1f".formatLocal(java.util.Locale.ROOT, probeIoWriteMb)},"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"window":"$window","probe_sec":$probeJson,"probe_io_sec":$probeIoJson,"probe_io_write_mb":${"%.1f".formatLocal(java.util.Locale.ROOT, probeIoWriteMb)},"load_start":$loadStart,"load_end":$loadEnd,"disk_read_mb":$diskReadMb,"disk_write_mb":$diskWriteMb,"queries":$fullQs,"queries_med":$fullMeds,"movers_solo":$fullMovers,"sf":"$sfDir","gen_rows":$genRows,"gen_sec":$genSec,"gen_rows_per_sec":$genRate,"gen_csv_rps":$csvRate,"gen_reps":$genRepsJson,"csv_reps":$csvRepsJson}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -363,6 +364,47 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Self-label the run's host window from its own probe stamps
+    * (round 20; VERDICT r19 #4): every consumer of a BENCH artifact was
+    * re-deriving "was this window quiet?" from the raw stamps — the
+    * r19 driver artifact was ambient-elevated and its +26% total could
+    * only be adjudicated by reading probe_sec/probe_io_sec against the
+    * SCALE.md §"Calibration probe" bands by hand. This is that reading
+    * as a pure function of the existing stamps (NO timed-path change):
+    *
+    *   elevated  — ANY stamp above its band top (CPU > 0.47 s,
+    *               IO > 1.85 s): part of the run landed in a host
+    *               window; the total is an upper bound (the r19 driver
+    *               artifact: CPU 0.42/0.43/0.62, IO 1.6/1.9/2.5).
+    *   sub-floor — no stamp above top AND a series' MEDIAN below its
+    *               band floor (CPU < 0.29, IO < 1.27): quieter than
+    *               the calibration envelope; per the round-19 SCALE.md
+    *               rule the total UNDERSHOOTS the quiet bracket and
+    *               must not be read as an engine speedup (the 78.59 s
+    *               run: CPU 0.30/0.23/0.25). Median, not min: a single
+    *               sub-floor reading is sampling wobble (the in-band
+    *               90.05 s run carried one IO stamp at 1.16), a
+    *               sub-floor MAJORITY is a genuinely undercut window.
+    *   in-band   — everything else: certified-quiet comparison basis.
+    *
+    * Bands are the all-time calibration envelope (SCALE.md
+    * §"Calibration probe", re-pinned r15/r17): CPU 0.29–0.47 s,
+    * IO 1.27–1.85 s. Stamps of -1/absent are ignored; no stamps at
+    * all → "unknown".
+    */
+  def windowOf(probeSec: Seq[Double], probeIoSec: Seq[Double]): String = {
+    val (cpuLo, cpuHi) = (0.29, 0.47)
+    val (ioLo, ioHi) = (1.27, 1.85)
+    val cpu = probeSec.filter(_ > 0)
+    val io = probeIoSec.filter(_ > 0)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    if (cpu.isEmpty && io.isEmpty) "unknown"
+    else if (cpu.exists(_ > cpuHi) || io.exists(_ > ioHi)) "elevated"
+    else if ((cpu.nonEmpty && median(cpu) < cpuLo) ||
+             (io.nonEmpty && median(io) < ioLo)) "sub-floor"
+    else "in-band"
+  }
+
   /** 1-minute loadavg, -1.0 if unreadable (non-Linux). */
   def readLoadavg(): Double =
     try new String(java.nio.file.Files.readAllBytes(
@@ -396,10 +438,12 @@ object Bench {
                  genRows: Long, genSec: Double, genRate: Long,
                  csvRate: Long = -1L, cpus: Int = -1,
                  probeSec: Seq[Double] = Nil,
-                 probeIoSec: Seq[Double] = Nil): String = {
+                 probeIoSec: Seq[Double] = Nil,
+                 window: String = ""): String = {
     import java.util.Locale.ROOT
     val budget = 1870 // 2000-char driver tail minus sbt epilogue + slack
     val probeField =
+      (if (window.isEmpty) "" else s""","window":"$window"""") +
       (if (probeSec.isEmpty) ""
        else s""","probe_sec":${probeSec.map("%.2g".formatLocal(ROOT, _)).mkString("[", ",", "]")}""") +
       (if (probeIoSec.isEmpty) ""

@@ -61,6 +61,14 @@ object SimilarityQueries {
   private val ProjDims = 8
   private val ProjBase = 100
 
+  // Drift-route gate (q_drift_route): floor below which a routing
+  // score counts as "collapsed" and the quantile est_f assumes the
+  // floor was calibrated at. Fixed literals — both engines compare the
+  // same exact doubles; 0.2 sits mid-band for the near-orthogonal sf
+  // corpus's best-of-8 cosine distribution.
+  private val DriftFloor = 0.20
+  private val DriftCalibQ = 0.10
+
   // Indexed (two-level) semantic dedup: k=32 centroids (corpus vectors
   // 10..41, the same fixed-corpus convention as IVF — an offline
   // k-means fit at deployment, graft.functions.IvfIndex.fit), bucketed
@@ -868,6 +876,44 @@ object SimilarityQueries {
               / (col("n_pred") + col("n_gold"))).otherwise(lit(0.0)))
         .orderBy("label")
     }),
+
+    // Drift-monitor routing scores + est_f — the ANN index's drift
+    // DETECTOR (graft.functions.IvfIndex.routeScores/driftStats) under
+    // the cross-engine gate (round 20; the one VERDICT-r19-sanctioned
+    // inventory slot). Per query, route_score = the best cosine among
+    // its probed centroids; with groupSize = NCentroids/2 ⇒ g = 2
+    // groups and nprobe = 2 = g the probe is EXHAUSTIVE, so the score
+    // is exactly max-over-centroids cosine (the IvfIndexSpec full-probe
+    // pin, now mirrored in DuckDB), through the same codegen ascending
+    // folds as every other sim oracle. The batch statistic rides along
+    // as a broadcast 1-row cross join (the established pattern):
+    // below_frac = fraction under the fixed floor, est_f =
+    // max(0, (below_frac − calibQ)/(1 − calibQ)) — driftStats' exact
+    // arithmetic (its percentile columns are approximate-by-design and
+    // column-pruned out here; the sf corpus is near-orthogonal, so the
+    // floor 0.2 splits the best-cosine distribution mid-band). Scale
+    // posture: routeScores is one broadcast of the g-struct routing
+    // array + one |Q|-keyed map-side-combined max — query-stream cost,
+    // zero corpus access (the monitor runs on live traffic).
+    "q_drift_route" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0) // see q_sim_topk
+      val cents = e
+        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NCentroids)
+        .select((col("vec_id") - NumQueries).as("cid"),
+          col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      val rs = graft.functions.IvfIndex.routeScores(e, cents,
+        groupSize = NCentroids / 2, nprobe = 2, kHint = NCentroids)
+      val stats = graft.functions.IvfIndex.driftStats(e, cents, DriftFloor,
+        calibQ = DriftCalibQ, groupSize = NCentroids / 2, nprobe = 2,
+        kHint = NCentroids)
+        .select(col("n_queries"), col("below_frac"), col("est_f"))
+      rs.withColumn("below_floor",
+          when(col("route_score") < DriftFloor, 1L).otherwise(0L))
+        .crossJoin(broadcast(stats))
+        .orderBy("q_id")
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1492,6 +1538,41 @@ object SimilarityQueries {
           |FROM gc LEFT JOIN tp ON gc.gold = tp.tg
           |LEFT JOIN pc ON gc.gold = pc.pred
           |ORDER BY label""".stripMargin,
+
+      // full-probe route score = exact best-centroid cosine (the same
+      // ascending-fold dot/norm as every sim oracle); batch stats =
+      // driftStats' exact est_f arithmetic with the same double
+      // literals the Spark plan folds
+      "q_drift_route" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |), en AS (
+           |  SELECT * FROM e WHERE nrm > 0
+           |), c AS (
+           |  SELECT vec_id - $NumQueries AS cid, embedding AS cemb, nrm AS cnrm
+           |  FROM en WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NCentroids}
+           |), s0 AS (
+           |  SELECT q.vec_id AS q_id,
+           |    max(list_reduce(list_transform(generate_series(1, 64),
+           |      i -> q.embedding[i]::DOUBLE * c.cemb[i]::DOUBLE), (x, y) -> x + y)
+           |      / (q.nrm * c.cnrm)) AS route_score
+           |  FROM en q CROSS JOIN c GROUP BY q.vec_id
+           |), st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |    CAST(sum(CASE WHEN route_score < $DriftFloor THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS below_frac
+           |  FROM s0
+           |), stf AS (
+           |  SELECT n_queries, below_frac,
+           |    greatest(0.0, (below_frac - $DriftCalibQ) / (1.0 - $DriftCalibQ)) AS est_f
+           |  FROM st)
+           |SELECT s0.q_id, s0.route_score,
+           |  CASE WHEN s0.route_score < $DriftFloor THEN 1::BIGINT ELSE 0::BIGINT END AS below_floor,
+           |  stf.n_queries, stf.below_frac, stf.est_f
+           |FROM s0 CROSS JOIN stf ORDER BY q_id""".stripMargin,
     )
   }
 }

@@ -134,12 +134,30 @@ class InventorySpec extends AnyFunSuite {
     // renderLine must degrade to the slowest-N subset, never overflow
     for (vals <- Seq(names.map(_ -> 0.28), names.map(_ -> 0.00098),
                      names.map(_ -> -1.0))) {
+      // "sub-floor" is the widest window label the line can carry
       val line = Bench.renderLine(vals, 123.4567, "0.1", 10000000L, 0.323, 30925774L,
-        1684511L, 32, Seq(0.0998, 0.1234, 0.0987))
+        1684511L, 32, Seq(0.0998, 0.1234, 0.0987), Nil, "sub-floor")
       assert(line.length <= 1870, s"bench line ${line.length} chars > 1870 budget")
       assert(line.count(_ == '{') == line.count(_ == '}'))
       assert(line.contains("\"metric\":\"total\"") && line.contains("\"gen_rows_per_sec\""))
+      assert(line.contains("\"window\":\"sub-floor\""))
     }
+  }
+
+  test("bench window self-label reproduces the round-19 adjudications from the stamps alone") {
+    // the three recorded round-19 windows, classified exactly as the
+    // r19 VERDICT adjudicated them by hand (VERDICT r19 #4); bands =
+    // SCALE.md §"Calibration probe" (CPU 0.29–0.47, IO 1.27–1.85)
+    assert(Bench.windowOf(Seq(0.42, 0.43, 0.62), Seq(1.6, 1.9, 2.5)) == "elevated",
+      "the r19 driver artifact's stamps must read elevated")
+    assert(Bench.windowOf(Seq(0.30, 0.41, 0.36), Seq(1.16, 1.59, 1.28)) == "in-band",
+      "one sub-floor IO stamp is wobble, not an undercut window (the 90.05 s run)")
+    assert(Bench.windowOf(Seq(0.30, 0.23, 0.25), Seq(1.3, 1.2, 1.2)) == "sub-floor",
+      "a sub-floor stamp majority must read sub-floor (the 78.59 s run)")
+    // edge handling: elevated wins over sub-floor; failed stamps ignored
+    assert(Bench.windowOf(Seq(0.20, 0.20, 0.60), Seq(1.5, 1.5, 1.5)) == "elevated")
+    assert(Bench.windowOf(Seq(-1.0, -1.0, -1.0), Nil) == "unknown")
+    assert(Bench.windowOf(Seq(0.35, -1.0, 0.40), Seq(1.5, 1.6, 1.7)) == "in-band")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -730,6 +730,269 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sidecar round-trip: buildIndex persists the serving contract and path-only verbs reproduce explicit-args results") {
+    // the round-20 contract (VERDICT r19 #1): the index's serving and
+    // monitoring parameters — centroids, floor, calibQ, routing shape,
+    // file budget — persist WITH the store, and the path-only
+    // overloads of searchTopKAt/driftStats/maintain read them back, so
+    // a mismatched (floor, calibQ) pair is impossible by construction.
+    val queries = corpus.filter(col("vec_id") < 10)
+    val calib = corpus.filter(col("vec_id") >= 42 && col("vec_id") < 142)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      val meta = functions.IvfIndex.buildIndex(corpus, cents32, path, calib,
+        calibQ = 0.10, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32,
+        fileBudget = 999)
+      // round-trip: the meta read back is bit-identical to the one written
+      val back = functions.IvfIndex.readMeta(spark, path)
+      assert(back == meta, s"sidecar round-trip drifted: wrote $meta read $back")
+      assert(java.lang.Double.doubleToLongBits(back.floor) ==
+        java.lang.Double.doubleToLongBits(meta.floor),
+        "floor must round-trip to the exact IEEE bits")
+      // the stored centroids verify and match the fit table row-for-row
+      val cback = functions.IvfIndex.readCentroids(spark, path, back)
+      assert(cback.orderBy("cid").collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq ==
+        cents32.orderBy("cid").collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq,
+        "stored centroids must equal the table the index was built with")
+      // explicit-floor equality: the sidecar floor IS routeFloor's output
+      val explicitFloor = functions.IvfIndex.routeFloor(calib, cents32,
+        calibQ = 0.10, kHint = 32)
+      assert(meta.floor == explicitFloor,
+        "buildIndex must persist exactly the routeFloor calibration")
+      // overload ≡ explicit args: search
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val viaMeta = rows(functions.IvfIndex.searchTopKAt(queries, path, 5))
+      val viaArgs = rows(functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32))
+      assert(viaMeta == viaArgs,
+        "path-only searchTopKAt must equal the explicit-argument form")
+      // the widen-probes overload ≡ explicit widened args
+      val viaMetaWide = rows(functions.IvfIndex.searchTopKAt(queries, path, 5, 4, 4))
+      val viaArgsWide = rows(functions.IvfIndex.searchTopKAt(queries, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 4, probeCells = 4, kHint = 32))
+      assert(viaMetaWide == viaArgsWide,
+        "widen-probes searchTopKAt must equal the explicit-argument form")
+      // overload ≡ explicit args: monitor — the exact pair the sidecar
+      // exists to keep matched
+      val sMeta = functions.IvfIndex.driftStats(spark, path, queries).head()
+      val sArgs = functions.IvfIndex.driftStats(queries, cents32, meta.floor,
+        calibQ = meta.calibQ, kHint = 32).head()
+      assert(sMeta == sArgs,
+        "path-only driftStats must equal the explicit (floor, calibQ) form")
+      // overload: maintain reads its budget from the sidecar (999 ≥
+      // current files ⇒ no-op false)
+      assert(!functions.IvfIndex.maintain(spark, path),
+        "a store within its sidecar budget must not compact")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("a stale or missing sidecar is rejected with a named error, never silently served") {
+    // the one remaining silent-wrong path of round 19: a floor judged
+    // at a calibQ it wasn't read at, or centroids swapped out from
+    // under the calibration. With the sidecar, both states are LOUD:
+    // missing sidecar names the build remedy; a centroid table that no
+    // longer matches the recorded checksum names the stale-metadata
+    // condition.
+    val queries = corpus.filter(col("vec_id") < 10)
+    val calib = corpus.filter(col("vec_id") >= 42 && col("vec_id") < 142)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stale").toFile
+    try {
+      val bare = new java.io.File(dir, "bare").getAbsolutePath
+      functions.IvfIndex.writeInverted(
+        functions.IvfIndex.assignIndexed(corpus, cents32,
+          groupSize = 8, nprobe = 2, kHint = 32), bare)
+      val exMissing = intercept[IllegalArgumentException] {
+        functions.IvfIndex.searchTopKAt(queries, bare, 5)
+      }
+      assert(exMissing.getMessage.contains("no index metadata"),
+        s"missing sidecar must name the condition: ${exMissing.getMessage}")
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.buildIndex(corpus, cents32, path, calib, kHint = 32)
+      // out-of-band centroid rewrite: drop one centroid without
+      // refreshing the json — the checksum must catch it
+      val tampered = cents32.filter(col("cid") =!= 7)
+      tampered.repartition(1).write.mode("overwrite")
+        .parquet(s"$path/${functions.IvfIndex.CentsDirName}")
+      val exStale = intercept[IllegalArgumentException] {
+        functions.IvfIndex.driftStats(spark, path, queries).head()
+      }
+      assert(exStale.getMessage.contains("stale index metadata"),
+        s"mismatched centroids must read as stale metadata: ${exStale.getMessage}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("driftStats on an empty batch reports n_queries = 0 with null est_f, not a healthy 0.0") {
+    // round-19 ADVICE: greatest(0.0, null) used to make an EMPTY batch
+    // read est_f = 0.0 — a monitor silently saying "no drift" when an
+    // upstream bug feeds it zero queries. The degenerate case must be
+    // distinguishable from healthy.
+    val empty = corpus.filter(col("vec_id") < 0)
+    val r = functions.IvfIndex.driftStats(empty, cents32, floor = 0.5,
+      calibQ = 0.10, kHint = 32).head()
+    assert(r.getAs[Long]("n_queries") == 0L)
+    assert(r.isNullAt(r.fieldIndex("est_f")),
+      s"empty-batch est_f must be null, got ${r.getAs[Any]("est_f")}")
+    assert(r.isNullAt(r.fieldIndex("below_frac")),
+      "empty-batch below_frac must be null")
+    // and a non-empty batch still reads a concrete est_f
+    val ok = functions.IvfIndex.driftStats(corpus.filter(col("vec_id") < 10),
+      cents32, floor = 0.5, calibQ = 0.10, kHint = 32).head()
+    assert(ok.getAs[Long]("n_queries") == 10L)
+    assert(!ok.isNullAt(ok.fieldIndex("est_f")))
+  }
+
+  test("searchTopKAt rejects an un-ordered limit (row-set non-determinism) but accepts an ordered one") {
+    // round-19 ADVICE: the expression walk cannot see row-SET
+    // non-determinism — limit(n) without an ordering selects arbitrary
+    // rows per execution on multi-partition input, and the probe pass
+    // runs twice. An orderBy+limit is a deterministic top-n and must
+    // still pass.
+    val inverted = functions.IvfIndex.assignIndexed(corpus, cents32,
+      groupSize = 8, nprobe = 2, kHint = 32)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lim").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(inverted, path)
+      def at(q: DataFrame) = functions.IvfIndex.searchTopKAt(q, path, cents32,
+        topK = 5, groupSize = 8, nprobe = 2, probeCells = 2, kHint = 32)
+      val ex = intercept[IllegalArgumentException] {
+        at(queries.limit(5))
+      }
+      assert(ex.getMessage.contains("limit without an ordering"),
+        s"un-ordered limit must be rejected by name: ${ex.getMessage}")
+      assert(at(queries.orderBy("vec_id").limit(5)).count() == 25,
+        "an ordered limit is deterministic and must pass the gate")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("maintain auto-restores an interrupted swap, and readInverted retries across a mid-swap window") {
+    // round-20 fencing (VERDICT r19 #2 + round-19 ADVICE): a maintain
+    // that dies between its two renames leaves the store only at
+    // <path>.maintain.old. (a) The NEXT maintain call detects that
+    // state at entry and restores it before proceeding. (b) A reader
+    // going through readInverted sees the swap markers and retries
+    // instead of failing on the missing path. (c) A missing path with
+    // NO markers fails immediately — wrong path, not a swap.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_swap").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.writeInverted(
+        functions.IvfIndex.assignIndexed(corpus, cents32,
+          groupSize = 8, nprobe = 2, kHint = 32), path)
+      val rowsBefore = spark.read.parquet(path).count()
+      val filesBefore = spark.read.parquet(path).inputFiles.toSet
+      // simulate the death-between-renames state
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".maintain.old")))
+      // (a) maintain at entry restores, then proceeds normally (budget
+      // generous ⇒ no-op false, file set untouched)
+      assert(!functions.IvfIndex.maintain(spark, path, fileBudget = 10000))
+      assert(spark.read.parquet(path).count() == rowsBefore,
+        "auto-restore must bring back every row")
+      assert(spark.read.parquet(path).inputFiles.toSet == filesBefore,
+        "auto-restore + within-budget maintain must leave files untouched")
+      assert(!new java.io.File(path + ".maintain.old").exists(),
+        "the restored swap must leave no marker behind")
+      // (b) reader retry: put the store mid-swap again, restore it from
+      // another thread after ~0.5 s — readInverted must ride it out
+      assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".maintain.old")))
+      val restorer = new Thread(() => {
+        Thread.sleep(500)
+        fs.rename(new org.apache.hadoop.fs.Path(path + ".maintain.old"),
+          new org.apache.hadoop.fs.Path(path))
+      })
+      restorer.start()
+      val got = functions.IvfIndex.readInverted(spark, path).count()
+      restorer.join()
+      assert(got == rowsBefore, "reader must see the full store after the swap closes")
+      // (c) a genuinely-missing path (no markers) fails immediately by name
+      val exMissing = intercept[IllegalStateException] {
+        functions.IvfIndex.readInverted(spark,
+          new java.io.File(dir, "nope").getAbsolutePath)
+      }
+      assert(exMissing.getMessage.contains("no maintain-swap markers"),
+        s"missing store must not be read as a swap: ${exMissing.getMessage}")
+      // and a swap that NEVER closes names the recovery step
+      assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".maintain.old")))
+      val exStuck = intercept[IllegalStateException] {
+        functions.IvfIndex.readInverted(spark, path, attempts = 2, waitMs = 50L)
+      }
+      assert(exStuck.getMessage.contains("maintain(spark, path)"),
+        s"a stuck swap must name the recovery verb: ${exStuck.getMessage}")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(path + ".maintain.old"),
+        new org.apache.hadoop.fs.Path(path)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("maintain carries the sidecar through compaction byte-for-byte") {
+    // the serving contract must survive the rewrite: compact an
+    // over-budget store built with buildIndex and pin that the meta
+    // (floor bits included) and stored centroids read back identical,
+    // and that the path-only search still serves.
+    val queries = corpus.filter(col("vec_id") < 10)
+    val calib = corpus.filter(col("vec_id") >= 42 && col("vec_id") < 142)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_keep").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      val meta = functions.IvfIndex.buildIndex(
+        corpus.filter(col("vec_id") % 2 === 0), cents32, path, calib, kHint = 32)
+      functions.IvfIndex.appendInverted(
+        corpus.filter(col("vec_id") % 2 === 1), cents32, path, kHint = 32)
+      val before = functions.IvfIndex.searchTopKAt(queries, path, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val cells = spark.read.parquet(path).select("cell").distinct().count()
+      assert(functions.IvfIndex.maintain(spark, path, fileBudget = cells.toInt),
+        "the appended store must be over a one-file-per-cell budget")
+      assert(functions.IvfIndex.readMeta(spark, path) == meta,
+        "compaction must carry the sidecar unchanged")
+      val after = functions.IvfIndex.searchTopKAt(queries, path, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(after == before, "path-only search must be identical across maintain")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("searchTopKAt rejects non-deterministic query or centroid plans with a named error") {
     // the probe-determinism contract, ENFORCED (round 19; round-18
     // ADVICE): searchTopKAt executes its probe pass twice, so a
