@@ -528,12 +528,22 @@ object IvfIndex {
   }
 
   def searchTopKAt(queries: DataFrame, path: String, topK: Int,
-                   nprobe: Int, probeCells: Int): DataFrame = {
+                   nprobe: Int, probeCells: Int): DataFrame =
+    searchTopKAt(queries, path, topK, nprobe, probeCells, excludeSelf = false)
+
+  /** The widen-probes form plus the excludeSelf flag — the floor-free
+    * recall-audit shape (corpus-drawn queries carry a guaranteed
+    * rank-1 self-hit that floors recall@k at 1/k; see [[searchTopK]]).
+    */
+  def searchTopKAt(queries: DataFrame, path: String, topK: Int,
+                   nprobe: Int, probeCells: Int,
+                   excludeSelf: Boolean): DataFrame = {
     val spark = queries.sparkSession
     val m = readMeta(spark, path)
     val cents = readCentroids(spark, path, m)
     searchTopKAt(queries, path, cents, topK, m.groupSize, nprobe,
-      probeCells, m.dim, m.k)
+      probeCells, m.dim, m.k, BroadcastMaxCids, broadcastQueries = true,
+      excludeSelf = excludeSelf)
   }
 
   /** [[driftStats]] with floor, calibQ, and routing parameters read
