@@ -245,6 +245,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"centroid array must broadcast:\n$plan")
   }
 
+  test("q_drift_route: query-stream cost — window-free, broadcast-only joins, no corpus store access") {
+    // the drift monitor's defining property (round 20): it runs on the
+    // LIVE QUERY STREAM — one broadcast of the routing array, one
+    // q_id-keyed map-side-combined max, a broadcast 1-row stats join —
+    // and never touches an inverted store. Zero windows, zero
+    // cartesian products, every join a broadcast.
+    val plan = planOf("q_drift_route")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 0, s"expected a window-free plan, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row stats join must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"routing array and stats row must ride broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the monitor must not exchange any table:\n$plan")
+  }
+
   test("q_dedup_semantic: cell-blocked pairs come from an equi-join, assignment is window-free") {
     // the SemDeDup shape: row-local argmax cell assignment (no Window
     // over the corpus — the q_sim_ivf property) and a cell-keyed
