@@ -424,9 +424,18 @@ object IvfIndex {
       s""""file_budget":${meta.fileBudget},"centroid_hash":${meta.centroidHash}}"""
     val (fs, _) = fsOf(spark, path)
     val mp = new org.apache.hadoop.fs.Path(s"$path/$MetaFileName")
-    val out = fs.create(mp, true)
+    // write-then-rename so a reader never sees a HALF-WRITTEN sidecar:
+    // the visible file flips in one metadata op (a crash mid-write
+    // leaves only the .tmp, and readMeta's named missing-sidecar /
+    // corrupt-field errors cover the residue). The delete→rename pair
+    // is the same metadata-op window the maintain swap documents.
+    val mpTmp = new org.apache.hadoop.fs.Path(s"$path/$MetaFileName.tmp")
+    val out = fs.create(mpTmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(mp, false)
+    require(fs.rename(mpTmp, mp),
+      s"writeIndexMeta: could not move the sidecar into place at $mp")
     meta
   }
 

@@ -838,6 +838,61 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupted or wrong-format sidecar fails with a named remedy, and no .tmp residue survives a write") {
+    // crash-surface completeness for the sidecar itself: a truncated
+    // json (crash mid-write would leave one only as .tmp, but a disk
+    // corruption can produce one in place) names the missing field and
+    // the rewrite remedy; a wrong-format file names the format; and a
+    // successful writeIndexMeta leaves no .tmp behind (the write lands
+    // via write-then-rename, so readers never see a partial sidecar).
+    val calib = corpus.filter(col("vec_id") >= 42 && col("vec_id") < 142)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_corrupt").toFile
+    try {
+      val path = new java.io.File(dir, "inverted").getAbsolutePath
+      functions.IvfIndex.buildIndex(corpus, cents32, path, calib, kHint = 32)
+      assert(!new java.io.File(path,
+        functions.IvfIndex.MetaFileName + ".tmp").exists(),
+        "writeIndexMeta must leave no .tmp residue")
+      val mp = new java.io.File(path, functions.IvfIndex.MetaFileName)
+      val good = new String(java.nio.file.Files.readAllBytes(mp.toPath), "UTF-8")
+      // out-of-band writes must also drop Hadoop's local-FS checksum
+      // side file, or ChecksumFileSystem rejects the read before the
+      // parse-level errors under test can engage (itself a nice
+      // property — on the local FS, byte-level tampering is caught
+      // one layer below readMeta)
+      def dropCrc(): Unit =
+        new java.io.File(path, "." + functions.IvfIndex.MetaFileName + ".crc").delete()
+      // truncate: keep the format header, drop later fields
+      java.nio.file.Files.write(mp.toPath,
+        good.substring(0, good.indexOf("\"nprobe\"")).getBytes("UTF-8"))
+      dropCrc()
+      val exTrunc = intercept[IllegalArgumentException] {
+        functions.IvfIndex.readMeta(spark, path)
+      }
+      assert(exTrunc.getMessage.contains("missing field") &&
+        exTrunc.getMessage.contains("writeIndexMeta"),
+        s"truncated sidecar must name the field and remedy: ${exTrunc.getMessage}")
+      java.nio.file.Files.write(mp.toPath,
+        """{"format":"not-graft","k":1}""".getBytes("UTF-8"))
+      dropCrc()
+      val exFmt = intercept[IllegalArgumentException] {
+        functions.IvfIndex.readMeta(spark, path)
+      }
+      assert(exFmt.getMessage.contains("graft-ivf-v1"),
+        s"wrong-format sidecar must name the expected format: ${exFmt.getMessage}")
+      // and a rewrite heals it: the full contract round-trips again
+      java.nio.file.Files.write(mp.toPath, good.getBytes("UTF-8"))
+      dropCrc()
+      assert(functions.IvfIndex.readMeta(spark, path).k == 32L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("driftStats on an empty batch reports n_queries = 0 with null est_f, not a healthy 0.0") {
     // round-19 ADVICE: greatest(0.0, null) used to make an EMPTY batch
     // read est_f = 0.0 — a monitor silently saying "no drift" when an
