@@ -43,10 +43,31 @@ case class ShingleGenExpr(child: Expression, shingleLen: Int)
     val t = child.eval(input).asInstanceOf[UTF8String]
     if (t == null) Iterator.empty
     else {
+      // One linear pass precomputes every code-point boundary, then
+      // each shingle is a byte-range slice. The previous
+      // `t.substring(i, i + len)` re-scanned from byte 0 on EVERY call
+      // to locate char i (UTF8String.substring counts code points from
+      // the start), making shingling O(chars²) per document — invisible
+      // on short rows, a scale-killer on real corpora (a 100k-char doc
+      // paid ~10^10 byte steps). Slices are byte-identical to
+      // substring's output, so consumers (and the DuckDB oracle) see
+      // exactly the same shingles.
+      val bytes = t.getBytes
       val n = t.numChars()
+      val starts = new Array[Int](n + 1)
+      var b = 0
+      var c = 0
+      while (b < bytes.length) {
+        starts(c) = b
+        b += UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      starts(n) = bytes.length
       val count = math.max(n - (shingleLen - 1), 1)
       (0 until count).iterator.map { i =>
-        InternalRow(i + 1, t.substring(i, math.min(i + shingleLen, n)))
+        val from = starts(i)
+        val until = starts(math.min(i + shingleLen, n))
+        InternalRow(i + 1, UTF8String.fromBytes(bytes, from, until - from))
       }
     }
   }

@@ -240,7 +240,7 @@ object RelationalQueries {
     val rounds = (1 to 3).map { r =>
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= 2).select("v").transform(graft.Checkpoint.apply)
+      val keep = deg.filter(col("dg") >= 2).select("v")
       e = e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select("a", "b")

@@ -130,6 +130,31 @@ class ExtensionsSpec extends AnyFunSuite {
       (3L, 4, "lo wö"), (3L, 5, "o wör"), (3L, 6, " wörl"), (3L, 7, "wörld")))
   }
 
+  test("graft_shingles byte-slice fast path ≡ UTF8String.substring on every boundary class") {
+    // round-20 optimization: eval precomputes code-point boundaries in
+    // one pass and emits byte-range slices instead of calling
+    // UTF8String.substring per position (which re-scans from byte 0
+    // every call — O(chars²) per document). This pins the slices
+    // byte-identical to substring across 1-, 2-, 3-, and 4-byte
+    // (supplementary-plane) code points, including the end-clip and
+    // whole-text-when-short rules.
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("", "a", "ab", "abc", "abcd",
+      "héllo wörld", "日本語のテキスト", "a😀b😀c", "😀😀😀", "mixé😀日x")
+    for (s <- texts; len <- Seq(2, 3, 5)) {
+      val t = UTF8String.fromString(s)
+      val viaExpr = gen.ShingleGenExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal(t,
+            org.apache.spark.sql.types.StringType), len)
+        .eval(null).iterator.toSeq
+        .map(r => (r.getInt(0), r.getUTF8String(1).toString))
+      val n = t.numChars()
+      val viaSubstring = (0 until math.max(n - (len - 1), 1))
+        .map(i => (i + 1, t.substring(i, math.min(i + len, n)).toString))
+      assert(viaExpr == viaSubstring, s"text='$s' len=$len")
+    }
+  }
+
   test("graft_cms_estimate: one-sided error within eps*N; analysis rejects bad types") {
     GraftExtensions.register(spark)
     import spark.implicits._
