@@ -55,3 +55,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // if it ever recurs, capture the JVM error file instead of shrugging
   "-XX:ErrorFile=/tmp/graft_hs_err_pid%p.log",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+// The r18 exit-56 DID recur (round 20, twice, full stack captured):
+// exit 56 IS Spark's "Exit as unable to send heartbeats to driver more
+// than 60 times". Mechanism: a startup race drops the local executor's
+// HeartbeatReceiver registration, the first heartbeat answers
+// "re-register", and in local mode re-registration can NEVER succeed —
+// BlockManagerMasterEndpoint.register → isExecutorAlive looks up the
+// CoarseGrainedScheduler endpoint, which does not exist under local[*]
+// (RpcEndpointNotFoundException, seen in the captured trace). 60
+// consecutive failures × 10 s later the executor System.exits the
+// forked JVM mid-suite and every later getOrCreate dies on the stopped
+// context. Executor self-exit protects nothing in a single-JVM test
+// run (the driver IS the executor), so disable the suicide threshold
+// for forked TEST JVMs only; cluster posture is unaffected.
+Test / javaOptions += "-Dspark.executor.heartbeat.maxFailures=1000000"

@@ -215,9 +215,18 @@ class ClusterPostureSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("the cluster is real: two executor JVMs, neither is the driver") {
-    val pids = executorPids()
+    // Registration alone does not guarantee PLACEMENT: with
+    // locality.wait=0 on a stalled host, one executor can swallow all
+    // 8 probe tasks before the other's task threads spin up (seen once
+    // in round 20's elevated ambient window — the first probe job took
+    // 9.1 s and every task landed on one pid, cascading into the rest
+    // of the fork). The gate's claim is that BOTH executor JVMs run
+    // tasks and the driver runs none — retrying the probe until
+    // placement catches up asserts exactly that, bounded.
+    var pids: Seq[Long] = Nil
+    waitUntil({ pids = executorPids(); pids.size == 2 }, 120.seconds,
+      s"tasks never spread over 2 executor JVMs, last probe: $pids")
     val driverPid = ProcessHandle.current().pid()
-    assert(pids.size == 2, s"expected 2 executor JVMs, tasks ran in: $pids")
     assert(!pids.contains(driverPid),
       s"tasks ran inside the driver JVM ($driverPid) — this is not a cluster")
   }
